@@ -1,0 +1,55 @@
+"""Text-analysis column helpers for the LLM-data-pipeline operators.
+
+All helpers are Catalyst higher-order-function expressions (split/transform/
+filter/aggregate) — JVM-side, no Python row boundary — so they hold up on a
+100 TB documents table: per-row work inside whole-stage codegen, shuffles only
+where an aggregation/join needs one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer regex: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword lists for the n-gram language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the Q32 contract)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_ngrams(tokens_col: str = "w", n: int = 3) -> Column:
+    """Word n-grams (joined by single spaces) over an existing tokens column.
+
+    Empty array when the doc has < n tokens — guarded with `when` because
+    `sequence(0, -1)` generates a DESCENDING range in Spark, not an empty one.
+    """
+    parts = ", ".join(f"{tokens_col}[i + {j}]" for j in range(n))
+    expr = f"transform(sequence(0, size({tokens_col}) - {n}), i -> concat_ws(' ', {parts}))"
+    return F.when(F.size(F.col(tokens_col)) >= n, F.expr(expr)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """Number of tokens contained in a (tiny, broadcast-as-literal) stopword list."""
+    lit_array = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit_array, t)))
+
+
+def non_ascii_ratio(text: Column | str) -> Column:
+    """Fraction of non-ASCII characters — the 'zh' signal in the lang-ID chain."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(col, r"[\x00-\x7F]", "")) / F.greatest(
+        F.length(col), F.lit(1)
+    ).cast("double")

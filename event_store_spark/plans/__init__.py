@@ -1,0 +1,13 @@
+"""Query plan inventory (SURVEY.md §2.9 + LLM-pipeline operators).
+
+Importing this package populates the registry with every declared query.
+"""
+
+from event_store_spark.plans.registry import ORACLE, QUERIES
+
+# populate the registry
+from event_store_spark.plans import relational as _relational  # noqa: F401,E402
+from event_store_spark.plans import event_queries as _event_queries  # noqa: F401,E402
+from event_store_spark.plans import llm as _llm  # noqa: F401,E402
+
+__all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,684 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.9 Q30–Q33 + first-class extras).
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), and text
+analysis (lang-ID, quality scoring, token counting, fingerprinting) over the
+`documents` / `embeddings` fixtures.
+
+Every operator is expressed with built-in Catalyst expressions (split /
+transform / filter / aggregate / md5 / array ops) — no Python UDFs — so the
+hot path stays in whole-stage codegen. Hashing uses md5 hex strings because
+the ordering/equality semantics are identical in Spark and the DuckDB oracle
+(lexicographic on fixed-width hex == numeric), making every operator
+oracle-checkable.
+
+Scale notes (100 TB posture) are on each operator; the common theme: never
+enumerate O(n²) pairs globally — bucket first (LSH band, simhash block,
+length/lang bucket), enumerate pairs only within buckets, and make the
+bucket join an equi-join so AQE can handle skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    non_ascii_ratio,
+    stopword_hits,
+    whitespace_tokens,
+    word_ngrams,
+)
+from event_store_spark.functions.vectors import as_double, cosine
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+N_MINHASH = 12  # minhash signature length
+LSH_BAND = 3  # rows per band → 4 bands
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------------ dedup
+
+@register(
+    "q30",
+    oracle="""
+    SELECT COUNT(DISTINCT md5(text)) AS surviving,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS dropped
+    FROM documents
+    """,
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: surviving (keep MIN(doc_id) per hash)
+    vs dropped counts. One hash-aggregate; at 100 TB this is the cheapest
+    dedup — a single shuffle on a 16-byte key with map-side partials."""
+    return _docs(spark, sf_dir).agg(
+        F.countDistinct(F.md5("text")).alias("surviving"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("dropped"),
+    )
+
+
+@register(
+    "q31",
+    oracle="""
+    SELECT CAST(COALESCE(SUM(CAST(c * (c - 1) / 2 AS BIGINT)), 0) AS BIGINT)
+           AS candidate_pairs
+    FROM (SELECT COUNT(*) AS c FROM documents
+          GROUP BY SUBSTR(text, 1, 64) HAVING COUNT(*) > 1)
+    """,
+)
+def q31_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs sharing a 64-char prefix (grouped count>1).
+
+    Pair counts are computed arithmetically from group sizes — the pairs are
+    never materialized, so this scales to any group-size distribution."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.substring("text", 1, 64).alias("prefix"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("candidate_pairs")
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM tok),
+    mh AS (SELECT doc_id, seed,
+                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+           FROM sh, (SELECT UNNEST(range({N_MINHASH})) AS seed) seeds
+           GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, seed // {LSH_BAND} AS band,
+                   string_agg(mh, ',' ORDER BY seed) AS bandkey
+            FROM mh GROUP BY doc_id, seed // {LSH_BAND}),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM sig a JOIN sig b
+               ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs FROM cand
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates over word 3-gram shingles.
+
+    Pipeline: shingle → {N_MINHASH} seeded md5 minhashes → band signatures
+    (bands of {LSH_BAND}) → equi-self-join on (band, bandkey) → distinct pairs.
+
+    Scale: the only pair enumeration happens inside LSH buckets (equi join on
+    the band key), which is the standard way this survives 100 TB; the
+    signature build is two hash aggregations. Hashes are md5 hex strings so
+    MIN() agrees byte-for-byte with the oracle.
+    """
+    docs = _docs(spark, sf_dir)
+    shingles = (
+        docs.select("doc_id", whitespace_tokens("text").alias("w"))
+        .select("doc_id", F.explode(word_ngrams("w", 3)).alias("sh"))
+    )
+    minhashes = (
+        shingles.withColumn(
+            "seed", F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1)))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+            ).alias("mh")
+        )
+    )
+    sig = (
+        minhashes.withColumn("band", F.expr(f"seed div {LSH_BAND}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"],
+                ),
+            ).alias("bandkey")
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return cand.agg(F.count(F.lit(1)).cast("bigint").alias("candidate_pairs"))
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id, md5(t) AS h FROM tok),
+    bits AS (SELECT doc_id, pos,
+                    SUM(CASE WHEN substr(h, CAST(pos AS INT), 1)
+                             IN ('8','9','a','b','c','d','e','f')
+                        THEN 1 ELSE -1 END) AS s
+             FROM h, (SELECT UNNEST(range(1, 33)) AS pos) p
+             GROUP BY doc_id, pos),
+    sig AS (SELECT doc_id,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+                   AS sig
+            FROM bits GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     list_sum(list_transform(range(1, 33),
+                       i -> CASE WHEN substr(a.sig, CAST(i AS INT), 1)
+                                    = substr(b.sig, CAST(i AS INT), 1)
+                            THEN 0 ELSE 1 END)) AS hd
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_pairs FROM pairs WHERE hd <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit signature, Hamming distance ≤ 3).
+
+    Signature: per token, md5 hex; each of the 32 hex positions contributes
+    +1/−1 by its high bit; signature bit = sign of the sum.
+
+    Pair search uses the pigeonhole block trick — split the 32-bit signature
+    into 4 blocks of 8; any pair within Hamming ≤ 3 must share at least one
+    whole block, so candidates come from 4 equi-joins on (block_idx, block),
+    then the exact Hamming check filters. The oracle does the O(n²) naive
+    scan; the engine plan is the one that survives 100 TB.
+    """
+    docs = _docs(spark, sf_dir)
+    token_hashes = docs.select(
+        "doc_id", F.explode(whitespace_tokens("text")).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    bits = (
+        token_hashes.withColumn("pos", F.explode(F.sequence(F.lit(1), F.lit(32))))
+        .withColumn(
+            "contrib",
+            F.when(
+                F.expr("substr(h, pos, 1)").isin(*list("89abcdef")), 1
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos", F.when(F.col("s") > 0, "1").otherwise("0").alias("bit")
+                        )
+                    )
+                ),
+                lambda x: x["bit"],
+            ),
+        ).alias("sig")
+    )
+    # 4 pigeonhole blocks of 8 bits each
+    blocked = sig.withColumn(
+        "block_idx", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).withColumn("block", F.expr("substr(sig, block_idx * 8 + 1, 8)"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.expr(
+        """
+        aggregate(transform(sequence(1, 32),
+                  i -> CASE WHEN substr(a.sig, i, 1) = substr(b.sig, i, 1)
+                       THEN 0 ELSE 1 END),
+                  0, (acc, x) -> acc + x)
+        """
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.alias("hd"),
+        )
+        .where(F.col("hd") <= 3)
+        .select("d1", "d2")
+        .distinct()
+    )
+    return cand.agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH g AS (SELECT doc_id, lang, n_chars,
+                      list_distinct(list_transform(
+                          range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0) + 1),
+                          i -> string_split_regex(trim(text), '\\s+')[i] || ' '
+                            || string_split_regex(trim(text), '\\s+')[i+1] || ' '
+                            || string_split_regex(trim(text), '\\s+')[i+2])) AS grams
+               FROM documents),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
+                     len(a.grams) + len(b.grams)
+                       - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS uni
+              FROM g a JOIN g b
+                ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 5
+               AND a.doc_id < b.doc_id),
+    j AS (SELECT d1, d2,
+                 CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END AS jac
+          FROM pairs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+           CAST(COUNT(*) FILTER (jac >= 0.3) AS BIGINT) AS dup_pairs,
+           ROUND(MAX(jac), 4) AS max_jaccard
+    FROM j
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup over length/lang-bucketed candidate pairs.
+
+    Candidates: same lang, |n_chars| within 5 (an equi-ish bucket join that
+    avoids the global cross product). Exact Jaccard over distinct word
+    3-gram sets via array_intersect/union sizes. MAX is reported instead of
+    AVG so the float comparison is a single IEEE value, not an
+    accumulation-order-dependent mean.
+    """
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.select("doc_id", "lang", "n_chars", whitespace_tokens("text").alias("w"))
+        .select(
+            "doc_id", "lang", "n_chars", F.array_distinct(word_ngrams("w", 3)).alias("grams")
+        )
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("inter"),
+        (
+            F.size(F.col("a.grams"))
+            + F.size(F.col("b.grams"))
+            - F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+        ).alias("uni"),
+    )
+    j = pairs.select(
+        F.when(F.col("uni") > 0, F.col("inter").cast("double") / F.col("uni"))
+        .otherwise(F.lit(0.0))
+        .alias("jac")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("candidate_pairs"),
+        F.count(F.when(F.col("jac") >= 0.3, 1)).cast("bigint").alias("dup_pairs"),
+        F.round(F.max("jac"), 4).alias("max_jaccard"),
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT v1, v2, ROUND(sim, 4) AS sim FROM p
+    ORDER BY sim DESC, v1, v2 LIMIT 10
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-10 most similar same-label pairs.
+
+    The label acts as the blocking key (in production: an LSH/IVF bucket),
+    so pair enumeration is per-bucket, not global. Dot products are
+    sequential JVM folds (see functions.vectors) — bit-identical with the
+    oracle's list_sum evaluation order.
+    """
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "v1", "v2")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+@register(
+    "q33",
+    oracle="""
+    WITH t AS (SELECT embedding AS tv FROM embeddings WHERE vec_id = 0),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(t.tv) + 1),
+            i -> CAST(t.tv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))))
+        AS sim
+        FROM embeddings e, t WHERE e.vec_id <> 0)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 to vec_id=0 — the exact-ANN baseline.
+
+    The single query vector is a broadcast cross join (one row); scoring is
+    a JVM fold per row; top-5 is TakeOrderedAndProject. At 100 TB this plan
+    is a full scan by design — `ann_lsh_topk` is the sublinear variant.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("v"))
+    target = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("tv"))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("tv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle="""
+    WITH bucketed AS (SELECT vec_id, embedding,
+        (CASE WHEN embedding[1]  >= embedding[9]  THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[17] >= embedding[25] THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[33] >= embedding[41] THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[49] >= embedding[57] THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+    t AS (SELECT embedding AS tv, bucket AS tb FROM bucketed WHERE vec_id = 0),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(t.tv) + 1),
+            i -> CAST(t.tv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))))
+        AS sim
+        FROM bucketed e, t WHERE e.vec_id <> 0 AND e.bucket = t.tb)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5: score only vectors in the query's
+    hyperplane-sign bucket (4 deterministic component-comparison planes →
+    16 buckets). The scale path for similarity search: the bucket equi-join
+    prunes ~15/16 of the corpus before any scoring; real deployments swap
+    the planes for random projections and probe multiple buckets."""
+    emb = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("v"))
+    bucket = F.concat(
+        *[
+            F.when(F.col("v")[p * 16] >= F.col("v")[p * 16 + 8], "1").otherwise("0")
+            for p in range(4)
+        ]
+    )
+    bucketed = emb.withColumn("bucket", bucket)
+    target = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("tv"), F.col("bucket").alias("tb")
+    )
+    return (
+        bucketed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(target), F.col("bucket") == F.col("tb"))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("tv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+@register(
+    "q32",
+    oracle="""
+    SELECT lang,
+           ROUND(AVG(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)), 2)
+               AS avg_tokens,
+           COUNT(*) AS cnt
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per language (Q32 contract)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", F.size(whitespace_tokens("text")).cast("double").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _langid_oracle() -> str:
+    def hits(words: list[str]) -> str:
+        inlist = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter(w, t -> t IN ({inlist})))"
+
+    return f"""
+    WITH scored AS (
+        SELECT lang AS actual_lang,
+               CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS za,
+               {hits(STOPWORDS['en'])} AS s_en,
+               {hits(STOPWORDS['es'])} AS s_es,
+               {hits(STOPWORDS['de'])} AS s_de,
+               {hits(STOPWORDS['fr'])} AS s_fr
+        FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents)),
+    pred AS (
+        SELECT actual_lang,
+               CASE WHEN za > 0.3 THEN 'zh'
+                    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM scored)
+    SELECT actual_lang, pred_lang, COUNT(*) AS cnt
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword n-gram hits + non-ASCII ratio) and its
+    confusion matrix against the labeled `lang` column.
+
+    Deterministic priority chain breaks score ties (zh → en → es → de → fr).
+    Pure codegen expressions — at 100 TB this is a map-only pass plus one
+    small aggregation."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("lang").alias("actual_lang"),
+        F.col("text"),
+        whitespace_tokens("text").alias("w"),
+    )
+    scored = docs.select(
+        "actual_lang",
+        non_ascii_ratio("text").alias("za"),
+        *[
+            stopword_hits(F.col("w"), STOPWORDS[lang]).alias(f"s_{lang}")
+            for lang in ("en", "es", "de", "fr")
+        ],
+    )
+    pred = scored.select(
+        "actual_lang",
+        F.when(F.col("za") > 0.3, "zh")
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+        .alias("pred_lang"),
+    )
+    return (
+        pred.groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH q AS (SELECT source,
+        least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_norm,
+        least(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+              / greatest(length(text), 1) * 10.0, 1.0) AS punct_norm,
+        least(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
+              / greatest(len(string_split_regex(trim(text), '\\s+')), 1) * 5.0, 1.0)
+            AS stop_norm
+        FROM documents)
+    SELECT source, COUNT(*) AS cnt,
+           ROUND(AVG(0.5 * len_norm + 0.3 * stop_norm + 0.2 * (1.0 - punct_norm)), 2)
+               AS avg_quality
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: length norm + stopword ratio − punctuation
+    density, averaged per source. All closed-form arithmetic (identical IEEE
+    evaluation on both engines)."""
+    docs = _docs(spark, sf_dir)
+    w = whitespace_tokens("text")
+    len_norm = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    punct_norm = F.least(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), F.lit(0))).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+        * 10.0,
+        F.lit(1.0),
+    )
+    stop_norm = F.least(
+        stopword_hits(w, STOPWORDS["en"]).cast("double")
+        / F.greatest(F.size(w), F.lit(1))
+        * 5.0,
+        F.lit(1.0),
+    )
+    return (
+        docs.select(
+            "source",
+            (0.5 * len_norm + 0.3 * stop_norm + 0.2 * (1.0 - punct_norm)).alias("score"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("score"), 2).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_tokens_bpe",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS BIGINT)
+               AS total_tokens,
+           ROUND(AVG(CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS DOUBLE)), 2)
+               AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs | digit runs | punctuation)."""
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH pos AS (SELECT doc_id, text,
+                        UNNEST(range(1, greatest(length(text) - 7, 0) + 1)) AS p
+                 FROM documents),
+    fp AS (SELECT doc_id, (p - 1) // 64 AS block,
+                  MIN(md5(substr(text, CAST(p AS INT), 8))) AS fp
+           FROM pos GROUP BY doc_id, (p - 1) // 64)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_fingerprints
+    FROM fp
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprinting: min-hash of 8-char shingles
+    per 64-char block. The per-block MIN is a hash aggregate; shingle
+    expansion is a lateral explode that never leaves the executor."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    positions = docs.withColumn(
+        "p",
+        F.explode(
+            F.when(
+                F.length("text") >= 8,
+                F.sequence(F.lit(1), F.length("text") - 7),
+            ).otherwise(F.array().cast("array<int>"))
+        ),
+    )
+    fp = (
+        positions.withColumn("block", F.expr("(p - 1) div 64"))
+        .withColumn("fp", F.md5(F.expr("substr(text, p, 8)")))
+        .groupBy("doc_id", "block")
+        .agg(F.min("fp").alias("fp"))
+    )
+    return fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.countDistinct("fp").cast("bigint").alias("distinct_fingerprints"),
+    )

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test substrate; the configs are chosen so the same plans
+scale to a multi-executor cluster: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), shuffle partitions sized to the local core
+count rather than the 200 default, Arrow enabled for every pandas_udf
+boundary, UTC session timezone so timestamp semantics match the DuckDB
+oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "event-store-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all
+    local cores. On a real cluster the master/conf come from spark-submit;
+    everything set here is safe to carry over.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,71 @@
+"""Test-fixture table loading (TESTDATA.md star schema + events/documents/embeddings).
+
+``load_tables`` reads each parquet lazily — Catalyst prunes columns and pushes
+filters into the scan, so loading "all tables" costs nothing until an action.
+At cluster scale the same call works over directory-partitioned datasets; the
+paths are the only local-mode artifact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: dimension tables small enough to broadcast at any realistic scale factor
+#: (region: 5 rows, nation: 25 — fixed-size in TPC-H regardless of SF)
+BROADCAST_DIMS = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing parquet TIMESTAMP(NANOS) columns.
+
+    Spark 4 rejects nanosecond parquet timestamps outright
+    (PARQUET_TYPE_ILLEGAL); the `events` fixture stores `ts` as
+    timestamp[ns]. We read nanos as epoch-int64 via the legacy conf and
+    rebuild a TimestampType column (exact: the fixture has no sub-microsecond
+    components, and `div 1000` floors identically to DuckDB's ns→us cast).
+    """
+    from pyspark.sql import functions as F
+
+    # Event time is UTC by contract (reference stores timestamptz / epoch
+    # millis); pin the session timezone so NTZ→LTZ casts and epoch
+    # projections are deterministic regardless of the host session's config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Return ``{name: DataFrame}`` for every fixture table under ``sf_dir``."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> dict[str, DataFrame]:
+    """Register each table as a temp view (optionally suffixed) and return them."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(f"{name}{suffix}")
+    return dfs

@@ -1,0 +1,72 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its oracle SQL over the same parquet fixtures,
+canonicalizes both results (columns sorted by name, rows sorted, floats kept
+as-is — queries already ROUND), and compares values cell-by-cell.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from event_store_spark.tables import TABLE_NAMES, table_path
+
+
+def run_oracle(sql: str, sf_dir: str) -> list[tuple]:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
+        )
+    return con.execute(sql).fetchall()
+
+
+def canonicalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, then rows; normalize values for comparison."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return v + 0.0  # collapse -0.0
+        if hasattr(v, "timestamp"):  # datetime
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        try:
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return float(v)
+        except ImportError:
+            pass
+        return v
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    o_res = run_oracle(oracle_sql, sf_dir)
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'")
+    o_cols = [d[0] for d in con.execute(oracle_sql).description]
+
+    if sorted(s_cols) != sorted(o_cols):
+        return False, f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    if len(s_rows) != len(o_res):
+        return False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_res)}"
+    sc = canonicalize(s_cols, s_rows)
+    oc = canonicalize(o_cols, o_res)
+    for i, (a, b) in enumerate(zip(sc, oc)):
+        if a != b:
+            return False, f"row {i} differs: spark={a!r} oracle={b!r}"
+    return True, f"ok ({len(s_rows)} rows)"
