@@ -1,0 +1,98 @@
+"""Bookkeeping state: consumer offsets and replication progress cursors.
+
+Re-expresses the reference's two bookkeeping relations:
+
+- ``events.topic_offsets(topic, partition, offset)`` with offset initialized
+  to −1 and resume at offset+1 (`topic_offsets.sql:1-9`,
+  `ReactorKafkaEventStore.java:301-329`)  → :class:`OffsetsTable`
+- the compacted progress topic ``_event_replicator_progress`` (key = topic,
+  value = ``"lsn:id"`` cursor, last-write-wins, primed with a ``noop`` record
+  — `EventReplicator.java:79,85,215-256`)  → :class:`ProgressStore`
+
+Both are O(topics × partitions) rows by construction — bookkeeping, not
+data — so a driver-side atomic JSON file (temp-write + os.replace) is the
+local-mode analog of the reference's single Postgres table / single-partition
+compacted topic. In a cluster deployment the same interface is backed by a
+transactional table (Delta MERGE or a DB); the data plane never touches it
+except once per micro-batch.
+
+Exactly-once composition: both stores record the ``batch_id`` that produced
+each update, so a `foreachBatch` sink can make redelivered batches no-ops
+(idempotent-by-batchId — the Spark answer to the reference's Kafka
+transactions, SURVEY §2.8 X2/X3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from event_store_spark.core.cursor import Cursor
+
+NOOP_KEY = "noop"  # progress-topic priming record parity (EventReplicator.java:85)
+
+
+class _AtomicJsonState:
+    """A tiny key→value store with atomic whole-file replace."""
+
+    def __init__(self, path: str, initial: dict | None = None):
+        self.path = path
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._write(initial or {})
+
+    def _read(self) -> dict:
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _write(self, data: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, self.path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+
+class OffsetsTable(_AtomicJsonState):
+    """events.topic_offsets analog; offset −1 = nothing consumed yet."""
+
+    def get(self, topic: str, partition: int = 0) -> int:
+        return self._read().get(f"{topic}/{partition}", {}).get("offset", -1)
+
+    def last_batch_id(self, topic: str, partition: int = 0) -> int | None:
+        return self._read().get(f"{topic}/{partition}", {}).get("batch_id")
+
+    def upsert(
+        self, topic: str, offset: int, partition: int = 0, batch_id: int | None = None
+    ) -> None:
+        data = self._read()
+        data[f"{topic}/{partition}"] = {"offset": offset, "batch_id": batch_id}
+        self._write(data)
+
+
+class ProgressStore(_AtomicJsonState):
+    """Replication progress: last replicated cursor per topic (last-write-wins)."""
+
+    def __init__(self, path: str):
+        super().__init__(path, initial={NOOP_KEY: Cursor.zero().serialize()})
+
+    def last_cursor(self, topic: str) -> Cursor | None:
+        v = self._read().get(topic)
+        return Cursor.parse(v["cursor"] if isinstance(v, dict) else v) if v else None
+
+    def last_batch_id(self, topic: str) -> int | None:
+        v = self._read().get(topic)
+        return v.get("batch_id") if isinstance(v, dict) else None
+
+    def save(self, topic: str, cursor: Cursor, batch_id: int | None = None) -> None:
+        data = self._read()
+        data[topic] = {"cursor": cursor.serialize(), "batch_id": batch_id}
+        self._write(data)
+
+    def topics(self) -> list[str]:
+        return sorted(k for k in self._read() if k != NOOP_KEY)

@@ -1,0 +1,179 @@
+"""AEAD payload encryption with the reference's AAD layout (C1–C3).
+
+Semantics mirrored from `tech.kage.event.crypto.EventEncryptor`:
+
+- **AAD layout** (`EventEncryptor.java:139-154`): canonical key bytes ‖
+  big-endian int64 of the event's epoch-millis timestamp ‖ canonical
+  (key-sorted) Avro ``map<bytes>`` serialization of the metadata — with the
+  reserved keys ``id``/``kid`` excluded (`EventEncryptor.java:115-137`), so
+  encrypt-side and decrypt-side AAD agree even after the store adds them.
+- **Conditional decrypt** (C2): records without a ``kid`` entry pass
+  through unchanged; tampering with ciphertext, AAD metadata, key bytes or
+  timestamp fails authentication (tamper tests mirror
+  `EncryptedPostgresEventStoreIT.java:188-228`).
+- **Key-id bookkeeping** (C3): ``kid`` travels in metadata, never inside
+  the AAD metadata itself.
+
+Cipher: AES-256-GCM via the `cryptography` package (the reference uses Tink
+AEAD, same construction). Ciphertext layout: 12-byte nonce ‖ GCM output.
+The keyset (kid URI → 32-byte key) stands in for a KMS.
+
+Spark integration is Arrow-batched pandas UDFs — crypto is inherently
+per-row Python here, exactly the "slow path" the architecture isolates: the
+UDF touches only (data, key, ts, metadata) columns, everything else stays
+JVM-side, and batches cross the boundary once via Arrow.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from event_store_spark.avro.codec import encode_map_bytes
+from event_store_spark.core.envelope import ENCRYPTION_KEY_ID, SOURCE_ID
+
+try:
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+except ImportError:  # pragma: no cover - cryptography is expected here
+    AESGCM = None
+
+_NONCE_LEN = 12
+
+
+def build_aad(key: bytes, ts_millis: int, metadata: dict[str, bytes] | None) -> bytes:
+    """key_bytes ‖ int64_be(ts_millis) ‖ canonical metadata bytes."""
+    clean = {
+        k: v
+        for k, v in (metadata or {}).items()
+        if k not in (SOURCE_ID, ENCRYPTION_KEY_ID)
+    }
+    return bytes(key) + struct.pack(">q", ts_millis) + encode_map_bytes(clean)
+
+
+class EventEncryptor:
+    """AES-256-GCM AEAD over event payloads, keyed by ``kid`` URI."""
+
+    def __init__(self, keys: dict[str, bytes]):
+        if AESGCM is None:
+            raise ImportError("cryptography package required for AEAD")
+        for kid, key in keys.items():
+            if len(key) != 32:
+                raise ValueError(f"key {kid!r} must be 32 bytes (AES-256)")
+        self.keys = dict(keys)
+
+    @staticmethod
+    def generate_key() -> bytes:
+        return AESGCM.generate_key(bit_length=256)
+
+    # ------------------------------------------------------------ bytes API
+
+    def encrypt(self, plaintext: bytes, aad: bytes, kid: str) -> bytes:
+        nonce = os.urandom(_NONCE_LEN)
+        return nonce + AESGCM(self.keys[kid]).encrypt(nonce, bytes(plaintext), aad)
+
+    def decrypt(self, data: bytes, aad: bytes, kid: str) -> bytes:
+        nonce, ct = bytes(data[:_NONCE_LEN]), bytes(data[_NONCE_LEN:])
+        return AESGCM(self.keys[kid]).decrypt(nonce, ct, aad)
+
+    # -------------------------------------------------------- dataframe API
+
+    def _udf(self, mode: str):
+        from event_store_spark.shipping import ensure_shipped
+
+        ensure_shipped()
+        # Everything the UDF needs is either stdlib, imported inside the
+        # function body, or a plain closure value — never a module-level
+        # class/function reference, so cloudpickle ships it cleanly to
+        # workers regardless of their import environment.
+        keys = dict(self.keys)
+        nonce_len = _NONCE_LEN
+
+        @F.pandas_udf("binary")
+        def fn(
+            data: pd.Series, key: pd.Series, ts_ms: pd.Series, md: pd.Series, kid: pd.Series
+        ) -> pd.Series:
+            import os as _os
+            import struct as _struct
+
+            from cryptography.hazmat.primitives.ciphers.aead import AESGCM as _AESGCM
+
+            def _enc_varint(n: int) -> bytes:
+                z = (n << 1) ^ (n >> 63)
+                out = bytearray()
+                while True:
+                    b = z & 0x7F
+                    z >>= 7
+                    if z:
+                        out.append(b | 0x80)
+                    else:
+                        out.append(b)
+                        return bytes(out)
+
+            def _aad(k: bytes, t: int, meta: dict) -> bytes:
+                # key ‖ int64_be(ts_ms) ‖ canonical Avro map<bytes>
+                body = bytearray(k + _struct.pack(">q", t))
+                if meta:
+                    body += _enc_varint(len(meta))
+                    for mk in sorted(meta):
+                        kb = mk.encode("utf-8")
+                        body += _enc_varint(len(kb)) + kb
+                        body += _enc_varint(len(meta[mk])) + meta[mk]
+                body += _enc_varint(0)
+                return bytes(body)
+
+            out = []
+            for d, k, t, m, ki in zip(data, key, ts_ms, md, kid):
+                if ki is None:  # no kid → passthrough (C2)
+                    out.append(d)
+                    continue
+                meta = {e["key"]: bytes(e["value"]) for e in (m or [])}
+                aad = _aad(bytes(k), int(t), meta)
+                cipher = _AESGCM(keys[ki])
+                if mode == "encrypt":
+                    nonce = _os.urandom(nonce_len)
+                    out.append(nonce + cipher.encrypt(nonce, bytes(d), aad))
+                else:
+                    out.append(
+                        cipher.decrypt(bytes(d[:nonce_len]), bytes(d[nonce_len:]), aad)
+                    )
+            return pd.Series(out)
+
+        return fn
+
+    def _args(self, df: DataFrame, kid: Column) -> list[Column]:
+        md_entries = F.array_sort(
+            F.map_entries(
+                F.map_filter(
+                    F.coalesce(F.col("metadata"), F.expr("map()")),
+                    lambda k, _: ~k.isin(SOURCE_ID, ENCRYPTION_KEY_ID),
+                )
+            )
+        )
+        return [
+            F.col("key"),
+            F.unix_millis(F.col("timestamp").cast("timestamp_ltz")),
+            md_entries,
+            kid,
+        ]
+
+    def encrypt_df(self, df: DataFrame, kid: str) -> DataFrame:
+        """Encrypt ``data`` and record ``kid`` in metadata (C1 + C3)."""
+        encrypted = self._udf("encrypt")(F.col("data"), *self._args(df, F.lit(kid)))
+        with_kid = F.map_concat(
+            F.coalesce(F.col("metadata"), F.expr("map()")),
+            F.create_map(F.lit(ENCRYPTION_KEY_ID), F.encode(F.lit(kid), "UTF-8")),
+        )
+        return df.withColumn("data", encrypted).withColumn("metadata", with_kid)
+
+    def decrypt_df(self, df: DataFrame) -> DataFrame:
+        """Decrypt rows that carry a ``kid``; pass others through (C2)."""
+        kid = F.when(
+            F.map_contains_key(F.coalesce(F.col("metadata"), F.expr("map()")), ENCRYPTION_KEY_ID),
+            F.decode(F.col("metadata")[ENCRYPTION_KEY_ID], "UTF-8"),
+        )
+        decrypted = self._udf("decrypt")(F.col("data"), *self._args(df, kid))
+        return df.withColumn("data", decrypted)

@@ -9,5 +9,6 @@ from event_store_spark.plans.registry import ORACLE, QUERIES
 from event_store_spark.plans import relational as _relational  # noqa: F401,E402
 from event_store_spark.plans import event_queries as _event_queries  # noqa: F401,E402
 from event_store_spark.plans import llm as _llm  # noqa: F401,E402
+from event_store_spark.plans import multimodal as _multimodal  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -239,19 +239,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sig")
     )
-    # 4 pigeonhole blocks of 8 bits each
-    blocked = sig.withColumn(
-        "block_idx", F.explode(F.sequence(F.lit(0), F.lit(3)))
-    ).withColumn("block", F.expr("substr(sig, block_idx * 8 + 1, 8)"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    hamming = F.expr(
-        """
-        aggregate(transform(sequence(1, 32),
-                  i -> CASE WHEN substr(a.sig, i, 1) = substr(b.sig, i, 1)
-                       THEN 0 ELSE 1 END),
-                  0, (acc, x) -> acc + x)
-        """
+    # 4 pigeonhole blocks of 8 bits; Hamming distance as one codegen op:
+    # parse the bit string once per row, then bit_count(xor) per pair.
+    blocked = (
+        sig.withColumn("sig_int", F.conv("sig", 2, 10).cast("long"))
+        .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("block", F.expr("substr(sig, block_idx * 8 + 1, 8)"))
     )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.sig_int").bitwiseXOR(F.col("b.sig_int")))
     cand = (
         a.join(
             b,
@@ -259,13 +255,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.block") == F.col("b.block"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            hamming.alias("hd"),
-        )
-        .where(F.col("hd") <= 3)
-        .select("d1", "d2")
+        .where(hamming <= 3)
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
     return cand.agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs"))

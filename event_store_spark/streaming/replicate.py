@@ -1,0 +1,128 @@
+"""Replicate: exactly-once, commit-order replication of event tables (X2).
+
+Re-expresses the reference's Postgres→Kafka replicator
+(`EventReplicator.java` + `EventReplicatorWorker.java`):
+
+| reference | here |
+|---|---|
+| keyset scan `WHERE lsn IS NOT NULL AND (lsn,id) > cursor ORDER BY lsn,id LIMIT n` (`EventReplicatorWorker.java:66-72`) | streaming micro-batches + in-batch keyset filter; `maxFilesPerTrigger` bounds batch size (O2) |
+| Kafka txn {events + cursor} (`:184-208`) | idempotent-by-batchId `foreachBatch` appending records and saving the cursor in one atomic progress update |
+| record shape: key/value/ts + headers incl. `id`,`lsn`, sorted (T7/O4, `:187-230`) | outbound projection with `headers: array<struct<key,value>>` canonically sorted |
+| compacted progress topic, last-write-wins (S9, `EventReplicator.java:215-256`) | :class:`ProgressStore` (atomic JSON; Delta/DB in prod) |
+| per-topic worker threads (`:174-183`) | one streaming query per topic |
+| advisory-lock single writer (X4) | driver-singleton query per topic (checkpoint dir is the lock) |
+
+Scale: replication never globally sorts — micro-batches arrive in append
+(lsn) order from the file source and `sortWithinPartitions` restores the
+within-batch (lsn, id) order cheaply. Downstream consumers that need total
+order replay via `(lsn, id)` exactly like the reference's consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from event_store_spark.core.cursor import Cursor, keyset_after
+from event_store_spark.core.envelope import canonical_metadata_entries
+from event_store_spark.core.state import ProgressStore
+from event_store_spark.core.store import EventStore
+
+
+def to_kafka_records(df: DataFrame) -> DataFrame:
+    """Envelope → outbound record shape (T7): key bytes, payload/data value,
+    epoch-ms timestamp, canonically sorted headers including id + lsn."""
+    if "data" in df.columns:
+        value = F.col("data")
+    else:
+        from pyspark.sql import types as T
+
+        ptype = df.schema["payload"].dataType
+        if isinstance(ptype, (T.StructType, T.MapType, T.ArrayType)):
+            value = F.encode(F.to_json("payload"), "UTF-8")
+        elif isinstance(ptype, T.BinaryType):
+            value = F.col("payload")
+        else:
+            value = F.encode(F.col("payload").cast("string"), "UTF-8")
+    meta = F.coalesce(
+        canonical_metadata_entries(F.col("metadata")),
+        F.array().cast("array<struct<key:string,value:binary>>"),
+    )
+    extra = F.array(
+        F.struct(F.lit("id").alias("key"), F.encode(F.col("id").cast("string"), "UTF-8").alias("value")),
+        F.struct(F.lit("lsn").alias("key"), F.encode(F.col("lsn").cast("string"), "UTF-8").alias("value")),
+    )
+    return df.select(
+        F.col("key"),
+        value.alias("value"),
+        F.unix_millis(F.col("timestamp").cast("timestamp_ltz")).alias("timestamp_ms"),
+        F.array_sort(F.concat(extra, meta)).alias("headers"),
+        F.col("lsn"),
+        F.col("id"),
+    )
+
+
+class Replicator:
+    """Exactly-once replication of one or more event tables to record tables."""
+
+    def __init__(
+        self,
+        store: EventStore,
+        target_root: str,
+        progress: ProgressStore,
+        checkpoint_root: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.store = store
+        self.target_root = target_root
+        self.progress = progress
+        self.checkpoint_root = checkpoint_root
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def target_path(self, topic: str) -> str:
+        return f"{self.target_root}/{topic}"
+
+    def replicate(self, topic: str, available_now: bool = True) -> StreamingQuery:
+        spark = self.store.spark
+        path = self.store.topic_path(topic)
+        schema = spark.read.parquet(path).schema
+        reader = spark.readStream.schema(schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.parquet(path)
+
+        def sink(df: DataFrame, batch_id: int) -> None:
+            last_bid = self.progress.last_batch_id(topic)
+            if last_bid is not None and batch_id <= last_bid:
+                return  # redelivered batch — already replicated (X2)
+            cursor = self.progress.last_cursor(topic) or Cursor.zero()
+            batch = df.where(keyset_after(cursor))  # F1 eligibility predicate
+            records = to_kafka_records(batch).sortWithinPartitions("lsn", "id")
+            # idempotent-by-batchId: a crash between this write and the
+            # progress save redelivers the batch, which OVERWRITES the same
+            # partition directory instead of appending duplicates — the
+            # Spark-file analog of the reference's Kafka transaction.
+            records.write.mode("overwrite").parquet(
+                f"{self.target_path(topic)}/batch_id={batch_id}"
+            )
+            hw = records.agg(F.max(F.struct("lsn", "id"))).first()[0]
+            new_cursor = Cursor(hw["lsn"], hw["id"]) if hw is not None else cursor
+            self.progress.save(topic, new_cursor, batch_id=batch_id)
+
+        writer = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{self.checkpoint_root}/{topic}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def replicate_all(self, available_now: bool = True) -> list[StreamingQuery]:
+        """One query per discovered `_events` table (S7/F2 + per-topic workers)."""
+        return [self.replicate(t, available_now) for t in self.store.topics()]
+
+    def lag(self, topic: str) -> int:
+        """WAL-distance analog: MAX(lsn) − replicated cursor (A1)."""
+        cursor = self.progress.last_cursor(topic) or Cursor.zero()
+        return self.store.lag(topic, cursor)

@@ -1,0 +1,95 @@
+"""Subscribe: streaming consumption with offsets-table exactly-once (X3).
+
+Re-expresses `ReactorKafkaEventStore.subscribe` (reference:
+`ReactorKafkaEventStore.java:233-246` + intended-usage doc :214-232): the
+caller gets a stream of events and composes per-batch processing with an
+offset update so that a crash never duplicates or skips work
+(`ReactorKafkaEventStoreIT.java:262-317`).
+
+Spark shape: the event table is a file-source streaming DataFrame (new
+parquet files = new events, in append order); processing runs in
+``foreachBatch`` wrapped by :func:`exactly_once_batch`; the offsets table
+records the high-water cursor + batch id in one atomic update. The source
+checkpoint gives redelivery-with-same-id; the wrapper gives idempotence.
+
+Scale: the file source scales to object-store event logs (listing cost is
+amortized via maxFilesPerTrigger — the analog of the reference's batched
+pulls, `EventReplicatorWorker.java:71,134`); swapping in a Kafka source
+changes only `_stream()` (format("kafka") + from-offsets from the table),
+none of the EOS composition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from event_store_spark.core.state import OffsetsTable
+from event_store_spark.core.store import EventStore
+from event_store_spark.streaming.eos import exactly_once_batch
+
+
+class Subscription:
+    """Streaming consumption of one event table with offsets-table EOS."""
+
+    def __init__(
+        self,
+        store: EventStore,
+        offsets: OffsetsTable,
+        checkpoint_root: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.store = store
+        self.offsets = offsets
+        self.checkpoint_root = checkpoint_root
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _spark(self) -> SparkSession:
+        return self.store.spark
+
+    def stream(self, topic: str) -> DataFrame:
+        """Streaming DataFrame over the event table (decode-on-read, T6)."""
+        path = self.store.topic_path(topic)
+        schema = self._spark().read.parquet(path).schema
+        reader = self._spark().readStream.schema(schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(path)
+
+    def run(
+        self,
+        topic: str,
+        processor: Callable[[DataFrame, int], None],
+        available_now: bool = True,
+    ) -> StreamingQuery:
+        """Process the topic exactly once per micro-batch.
+
+        ``processor(batch_df, batch_id)`` is the user projection; after it
+        returns, the offsets table records the batch's high-water (lsn, id)
+        cursor and batch id in one atomic update. Redelivered batches are
+        skipped before the processor runs.
+        """
+
+        def process_and_offset(df: DataFrame, batch_id: int) -> None:
+            processor(df, batch_id)
+            hw = df.agg(F.max(F.struct("lsn", "id"))).first()[0]
+            offset = hw["id"] if hw is not None else -1
+            self.offsets.upsert(topic, offset, batch_id=batch_id)
+
+        fn = exactly_once_batch(
+            topic,
+            process_and_offset,
+            get_last_batch_id=self.offsets.last_batch_id,
+            commit=lambda t, b: None,  # committed atomically inside upsert
+        )
+        writer = (
+            self.stream(topic)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", f"{self.checkpoint_root}/{topic}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

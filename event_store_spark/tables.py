@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
     # Event time is UTC by contract (reference stores timestamptz / epoch
     # millis); pin the session timezone so NTZ→LTZ casts and epoch
     # projections are deterministic regardless of the host session's config.

@@ -1,0 +1,200 @@
+"""Avro codec / Confluent framing / AEAD crypto semantics.
+
+Mirrors (by behavior): MetadataSerializerTest.java:42-77 (canonical sort),
+PostgresEventStoreIT golden round-trips, EventEncryptorIT.java:140-230 and
+EncryptedPostgresEventStoreIT.java:188-228 (AAD + tamper detection).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.avro import (
+    LocalSchemaRegistry,
+    RecordCodec,
+    decode_map_bytes,
+    encode_map_bytes,
+    frame,
+    unframe,
+)
+from event_store_spark.avro.codec import decode_long, encode_long
+from event_store_spark.avro.spark import from_confluent_avro, to_confluent_avro
+from event_store_spark.crypto import EventEncryptor, build_aad
+
+TEST_SCHEMA = {
+    "type": "record",
+    "name": "TestPayload",
+    "fields": [{"name": "text", "type": "string"}],
+}
+
+
+# ---------------------------------------------------------------- codec
+
+def test_zigzag_long_roundtrip():
+    import io
+
+    for n in (0, 1, -1, 63, 64, -64, -65, 2**31, -(2**31), 2**62, -(2**62)):
+        buf = io.BytesIO(encode_long(n))
+        assert decode_long(buf) == n
+
+
+def test_map_bytes_golden_and_canonical_order():
+    # {"k": b"v"} → count 1, "k", b"v", terminator — Avro spec golden bytes
+    assert encode_map_bytes({"k": b"v"}) == b"\x02\x02k\x02v\x00"
+    assert encode_map_bytes({}) == b"\x00"
+    assert encode_map_bytes(None) == b"\x00"
+    # canonical: keys sorted regardless of insertion order
+    a = encode_map_bytes({"zTest": b"z", "bTest": b"123", "dTest": b"meta"})
+    b = encode_map_bytes({"bTest": b"123", "dTest": b"meta", "zTest": b"z"})
+    assert a == b
+    assert list(decode_map_bytes(a)) == ["bTest", "dTest", "zTest"]
+
+
+def test_map_bytes_rejects_non_bytes():
+    with pytest.raises(TypeError):
+        encode_map_bytes({"a": "not-bytes"})
+
+
+def test_record_codec_roundtrip():
+    schema = {
+        "type": "record",
+        "name": "AllTypes",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "opt", "type": ["null", "string"]},
+        ],
+    }
+    codec = RecordCodec(schema)
+    rec = {"s": "hé", "l": -42, "d": 2.5, "b": True, "raw": b"\x00\xff", "opt": None}
+    assert codec.decode(codec.encode(rec)) == rec
+    rec2 = dict(rec, opt="present")
+    assert codec.decode(codec.encode(rec2)) == rec2
+
+
+def test_confluent_framing():
+    body = b"avro-body"
+    framed = frame(7, body)
+    assert framed[:1] == b"\x00" and struct.unpack(">i", framed[1:5])[0] == 7
+    assert unframe(framed) == (7, body)
+    with pytest.raises(ValueError, match="magic"):
+        unframe(b"\x01xxxxxx")
+
+
+def test_registry_record_name_strategy(tmp_path):
+    reg = LocalSchemaRegistry(str(tmp_path / "registry.json"))
+    sid = reg.register(TEST_SCHEMA)
+    sid2 = reg.register({"type": "record", "name": "Other", "fields": []})
+    assert sid != sid2
+    assert reg.register(TEST_SCHEMA) == sid  # same record name → same subject
+    data = reg.serialize("TestPayload", {"text": "hello"})
+    assert unframe(data)[0] == sid
+    assert reg.deserialize(data) == ("TestPayload", {"text": "hello"})
+    # persisted across instances
+    reg2 = LocalSchemaRegistry(str(tmp_path / "registry.json"))
+    assert reg2.deserialize(data) == ("TestPayload", {"text": "hello"})
+
+
+# ---------------------------------------------------------------- crypto
+
+def test_aad_layout_golden():
+    """AAD = key ‖ int64_be(ts_ms) ‖ canonical metadata, id/kid excluded."""
+    aad = build_aad(b"key-bytes", 1736025221442, {"z": b"1", "a": b"2"})
+    expected = (
+        b"key-bytes"
+        + struct.pack(">q", 1736025221442)
+        + encode_map_bytes({"a": b"2", "z": b"1"})
+    )
+    assert aad == expected
+    assert build_aad(b"k", 0, None) == b"k" + b"\x00" * 8 + b"\x00"
+    # reserved keys never enter the AAD (EventEncryptor.java:115-137)
+    assert build_aad(b"k", 1, {"id": b"9", "kid": b"u", "a": b"x"}) == build_aad(
+        b"k", 1, {"a": b"x"}
+    )
+
+
+def test_encrypt_decrypt_and_tamper():
+    enc = EventEncryptor({"kms://key1": EventEncryptor.generate_key()})
+    aad = build_aad(b"k1", 1736025221442, {"m": b"v"})
+    ct = enc.encrypt(b"payload", aad, "kms://key1")
+    assert enc.decrypt(ct, aad, "kms://key1") == b"payload"
+    from cryptography.exceptions import InvalidTag
+
+    tampered = ct[:-1] + bytes([ct[-1] ^ 1])
+    with pytest.raises(InvalidTag):
+        enc.decrypt(tampered, aad, "kms://key1")
+    with pytest.raises(InvalidTag):  # metadata tamper changes AAD
+        enc.decrypt(ct, build_aad(b"k1", 1736025221442, {"m": b"TAMPER"}), "kms://key1")
+    with pytest.raises(InvalidTag):  # timestamp tamper
+        enc.decrypt(ct, build_aad(b"k1", 1736025221443, {"m": b"v"}), "kms://key1")
+
+
+def test_encryptor_requires_256bit_keys():
+    with pytest.raises(ValueError, match="32 bytes"):
+        EventEncryptor({"kid": b"short"})
+
+
+# ----------------------------------------------------- dataframe round trip
+
+def test_dataframe_serialize_encrypt_roundtrip(spark, tmp_path):
+    """Full T1→C1→(store)→C2→T2 pipeline on DataFrames: struct payload →
+    Confluent Avro → AEAD encrypt → decrypt → struct, golden-compared."""
+    import datetime
+
+    from event_store_spark.core import EventStore
+
+    reg = LocalSchemaRegistry()
+    sid = reg.register(TEST_SCHEMA)
+    enc = EventEncryptor({"kms://k1": EventEncryptor.generate_key()})
+
+    ts = datetime.datetime(2025, 1, 4, 21, 13, 41, 442000)
+    df = spark.createDataFrame(
+        [("key-1", "secret message", ts, {"mTest": bytearray(b"mv")})],
+        "key string, text string, timestamp timestamp, metadata map<string,binary>",
+    )
+    payload = df.select(
+        "key",
+        "timestamp",
+        "metadata",
+        to_confluent_avro(F.struct("text"), TEST_SCHEMA, sid).alias("data"),
+    )
+
+    store = EventStore(spark, str(tmp_path / "store"))
+    # envelope-ize first (append assigns id/lsn), then encrypt the data col
+    store.append("enc_events", payload)
+    raw = store.read_events("enc_events")
+    encrypted = enc.encrypt_df(raw, "kms://k1")
+
+    # at-rest ciphertext differs from plaintext and carries kid
+    enc_row = encrypted.first()
+    assert bytes(enc_row.metadata["kid"]) == b"kms://k1"
+    plain_frame = reg.serialize("TestPayload", {"text": "secret message"})
+    assert bytes(enc_row.data) != plain_frame
+
+    decrypted = enc.decrypt_df(encrypted)
+    out = decrypted.select(
+        from_confluent_avro(F.col("data"), TEST_SCHEMA, sid).alias("payload"),
+        "metadata",
+    ).first()
+    assert out.payload.text == "secret message"
+    assert bytes(out.metadata["mTest"]) == b"mv"
+
+
+def test_decrypt_passthrough_without_kid(spark):
+    """Rows lacking kid pass through decrypt unchanged (C2 conditional)."""
+    import datetime
+
+    enc = EventEncryptor({"kms://k1": EventEncryptor.generate_key()})
+    ts = datetime.datetime(2025, 1, 4)
+    df = spark.createDataFrame(
+        [(bytearray(b"plain"), bytearray(b"k"), ts, None)],
+        "data binary, key binary, timestamp timestamp, metadata map<string,binary>",
+    )
+    out = enc.decrypt_df(df).first()
+    assert bytes(out.data) == b"plain"

@@ -1,0 +1,206 @@
+"""Streaming assertions S-A…S-D (SURVEY §2.9) + replication semantics.
+
+- S-B: tumbling/session windows over a streamed events table match the
+  Q36/Q37 batch analogs on the same data
+- S-A: watermark config drops late data beyond 10 minutes (config asserted
+  on the streaming plan; full lateness simulation needs a rate source)
+- S-C: exactly-once projection — restart storms never duplicate or skip
+  (mirrors ReactorKafkaEventStoreIT.java:262-317)
+- S-D: replication replays from stored cursor without duplication
+  (mirrors EventReplicatorWorkerIT.java:281-326)
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.core import Cursor, EventStore
+from event_store_spark.core.state import OffsetsTable, ProgressStore
+from event_store_spark.streaming import Replicator, Subscription
+from event_store_spark.tables import load_table
+
+TS = datetime.datetime(2025, 1, 4, 12, 0, 0)
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "store"))
+
+
+def _seed(spark, store, n=8, topic="s_events", batches=2):
+    per = n // batches
+    for b in range(batches):
+        rows = [
+            (f"k{b * per + i}", str(b * per + i), TS + datetime.timedelta(minutes=b * per + i))
+            for i in range(per)
+        ]
+        store.append(topic, spark.createDataFrame(rows, "key string, payload string, timestamp timestamp"))
+    return topic
+
+
+# ---------------------------------------------------------------- S-B
+
+def test_streaming_tumbling_window_matches_batch(spark, tmp_path, sf_smoke):
+    """Stream the events fixture through a 1h tumbling window and compare
+    with the Q36 batch analog on the same data."""
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    out = str(tmp_path / "window_out")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in spark.sql("select * from win_out").collect()
+    }
+    batch = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    )
+    expected = {(r["h"], r["event_type"]): (r["cnt"], r["sum_value"]) for r in batch}
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path, sf_smoke):
+    """session_window(ts, '30 minutes') session counts per user == Q37 batch analog."""
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_src2")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select user_id, count(*) as session_count from sess_out group by user_id")
+        .collect()
+    )
+    got = {r.user_id: r.session_count for r in got}
+    from event_store_spark.plans import QUERIES
+
+    expected = {
+        r.user_id: r.session_count for r in QUERIES["q37"](spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------- S-A
+
+def test_watermark_declared(spark, tmp_path, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_src3")
+    events.limit(10).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    wm = stream.withWatermark("ts", "10 minutes")
+    assert "watermark" in wm._jdf.queryExecution().analyzed().toString().lower()
+
+
+# ---------------------------------------------------------------- S-C
+
+def test_exactly_once_subscription_restart_storm(spark, tmp_path, store):
+    """Process a topic, then restart with a WIPED checkpoint (worst-case
+    redelivery of every batch): the offsets-table EOS wrapper must not
+    re-apply effects."""
+    topic = _seed(spark, store, n=6, batches=3)
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    sink_path = str(tmp_path / "projection")
+    applied = []
+
+    def processor(df, batch_id):
+        applied.append(batch_id)
+        df.select("id", "lsn", "payload").write.mode("overwrite").parquet(
+            f"{sink_path}/batch_id={batch_id}"
+        )
+
+    sub = Subscription(store, offsets, str(tmp_path / "ckpt1"))
+    q = sub.run(topic, processor)
+    q.awaitTermination(120)
+    first_rows = spark.read.parquet(sink_path).count()
+    assert first_rows == 6
+    first_applied = list(applied)
+
+    # restart with same checkpoint: no new data → nothing reprocessed
+    q = sub.run(topic, processor)
+    q.awaitTermination(120)
+    assert applied == first_applied
+
+    # wipe checkpoint (full redelivery with batch ids from 0) → wrapper skips
+    sub2 = Subscription(store, offsets, str(tmp_path / "ckpt2"))
+    q = sub2.run(topic, processor)
+    q.awaitTermination(120)
+    assert applied == first_applied  # no duplicate effects
+    assert spark.read.parquet(sink_path).count() == 6  # no dup, no skip
+
+
+# ---------------------------------------------------------------- S-D
+
+def test_replication_cursor_resume_no_duplicates(spark, tmp_path, store):
+    """Replicate, append more, replicate again from the stored cursor —
+    target has every event exactly once, in (lsn, id) order with sorted
+    headers carrying id+lsn (T7/O4)."""
+    topic = _seed(spark, store, n=4, batches=2)
+    progress = ProgressStore(str(tmp_path / "progress.json"))
+    rep = Replicator(store, str(tmp_path / "kafka"), progress, str(tmp_path / "rckpt"))
+    q = rep.replicate(topic)
+    q.awaitTermination(120)
+    t1 = spark.read.parquet(rep.target_path(topic))
+    assert t1.count() == 4
+    assert rep.lag(topic) == 0
+
+    cursor1 = progress.last_cursor(topic)
+    assert cursor1 is not None and cursor1.lsn == 2
+
+    # append a third batch and replicate again (new query, same progress)
+    store.append(
+        topic,
+        spark.createDataFrame([("k9", "9", TS)], "key string, payload string, timestamp timestamp"),
+    )
+    assert rep.lag(topic) == 1
+    q = rep.replicate(topic)
+    q.awaitTermination(120)
+    t2 = spark.read.parquet(rep.target_path(topic))
+    assert t2.count() == 5
+    # exactly-once: no (lsn, id) appears twice
+    assert t2.select("lsn", "id").distinct().count() == 5
+    # headers sorted and carry id + lsn
+    row = t2.orderBy("lsn", "id").first()
+    hkeys = [h["key"] for h in row.headers]
+    assert hkeys == sorted(hkeys) and "id" in hkeys and "lsn" in hkeys
+
+
+def test_replicate_all_discovers_topics(spark, tmp_path, store):
+    _seed(spark, store, n=2, batches=1, topic="a_events")
+    _seed(spark, store, n=2, batches=1, topic="b_events")
+    progress = ProgressStore(str(tmp_path / "progress.json"))
+    rep = Replicator(store, str(tmp_path / "kafka"), progress, str(tmp_path / "rckpt"))
+    qs = rep.replicate_all()
+    for q in qs:
+        q.awaitTermination(120)
+    assert progress.topics() == ["a_events", "b_events"]
