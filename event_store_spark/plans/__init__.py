@@ -10,5 +10,7 @@ from event_store_spark.plans import relational as _relational  # noqa: F401,E402
 from event_store_spark.plans import event_queries as _event_queries  # noqa: F401,E402
 from event_store_spark.plans import llm as _llm  # noqa: F401,E402
 from event_store_spark.plans import multimodal as _multimodal  # noqa: F401,E402
+from event_store_spark.plans import relational_ext as _relational_ext  # noqa: F401,E402
+from event_store_spark.plans import llm_ext as _llm_ext  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,121 @@
+"""LLM-pipeline operator extensions: TF-IDF vocabulary, PII scrubbing,
+dedup survivor listing.
+
+Same design rules as plans.llm: built-in Catalyst expressions only, each
+with a DuckDB oracle, never a global O(n²) stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.text import whitespace_tokens
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+                 FROM documents),
+    tf AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 2) AS tfidf
+    FROM tf, n
+    ORDER BY tfidf DESC, term LIMIT 20
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary by TF-IDF: term frequency × ln(N/df), top 20.
+
+    One explode + one hash aggregate (tf and df combined in a single
+    groupBy via countDistinct) + broadcast of the scalar doc count — the
+    canonical vocabulary-building job at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, computed once driver-side
+    tok = docs.select("doc_id", F.explode(whitespace_tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return (
+        tf.select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 2
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH scrubbed AS (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                   '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS clean
+        FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (clean <> text) AS BIGINT) AS docs_changed,
+           CAST(SUM(octet_length(encode(text)) - octet_length(encode(clean)))
+                AS BIGINT) AS bytes_delta
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: mask emails and long digit runs, report how many
+    documents changed and the byte-size delta. Map-only regexp_replace
+    inside codegen — the shape of every large-scale scrubbing job."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        r"[0-9][0-9][0-9][0-9]+",
+        "<NUM>",
+    )
+    scrubbed = docs.select("doc_id", "text", clean.alias("clean"))
+    return scrubbed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("clean") != F.col("text"), 1))
+        .cast("bigint")
+        .alias("docs_changed"),
+        F.sum(
+            F.length(F.encode("text", "UTF-8")) - F.length(F.encode("clean", "UTF-8"))
+        )
+        .cast("bigint")
+        .alias("bytes_delta"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents GROUP BY md5(text)
+    ORDER BY keep_id LIMIT 100
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivor listing: the kept doc_id (MIN per content hash)
+    and its duplicate-group size — the actual dedup output, not just counts
+    (complements q30)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        )
+        .select("keep_id", "group_size")
+        .orderBy("keep_id")
+        .limit(100)
+    )
