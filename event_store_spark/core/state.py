@@ -59,19 +59,37 @@ class _AtomicJsonState:
 
 
 class OffsetsTable(_AtomicJsonState):
-    """events.topic_offsets analog; offset −1 = nothing consumed yet."""
+    """events.topic_offsets analog; offset −1 = nothing consumed yet.
+
+    Against a Kafka source the offset is the partition offset (a single
+    long, like the reference). Against the file-source event tables the
+    consumption position is the ``(lsn, id)`` cursor — ``id`` alone is only
+    unique within one append — so the cursor is stored alongside.
+    """
 
     def get(self, topic: str, partition: int = 0) -> int:
         return self._read().get(f"{topic}/{partition}", {}).get("offset", -1)
+
+    def get_cursor(self, topic: str, partition: int = 0) -> Cursor | None:
+        c = self._read().get(f"{topic}/{partition}", {}).get("cursor")
+        return Cursor.parse(c) if c else None
 
     def last_batch_id(self, topic: str, partition: int = 0) -> int | None:
         return self._read().get(f"{topic}/{partition}", {}).get("batch_id")
 
     def upsert(
-        self, topic: str, offset: int, partition: int = 0, batch_id: int | None = None
+        self,
+        topic: str,
+        offset: int,
+        partition: int = 0,
+        batch_id: int | None = None,
+        cursor: Cursor | None = None,
     ) -> None:
         data = self._read()
-        data[f"{topic}/{partition}"] = {"offset": offset, "batch_id": batch_id}
+        entry = {"offset": offset, "batch_id": batch_id}
+        if cursor is not None:
+            entry["cursor"] = cursor.serialize()
+        data[f"{topic}/{partition}"] = entry
         self._write(data)
 
 

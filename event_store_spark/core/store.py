@@ -66,6 +66,14 @@ class EventStore:
                 "(reference: EventReplicator.java:74, LsnUpdater.java:102)"
             )
 
+    def create_topic(self, topic: str) -> str:
+        """Provision an event table directory (X7 analog —
+        `EventReplicator.java:156-171` creates replicated topics with
+        unlimited retention; parquet directories retain by construction)."""
+        path = self.topic_path(topic)
+        os.makedirs(path, exist_ok=True)
+        return path
+
     def topics(self) -> list[str]:
         """Discover event tables (suffix filter, F2/S7)."""
         if not os.path.isdir(self.root):
@@ -137,10 +145,18 @@ class EventStore:
         )
         return Cursor(lsn, max_id)
 
+    @staticmethod
+    def _has_data(path: str) -> bool:
+        """Topic dir contains parquet data (a freshly provisioned topic is
+        an empty directory — X7 — which parquet cannot infer a schema from)."""
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+
     def _next_lsn(self, topic: str) -> int:
         """Monotone append epoch: 1 + MAX(lsn) (parquet footer-stats scan)."""
         path = self.topic_path(topic)
-        if not os.path.isdir(path):
+        if not self._has_data(path):
             return 1
         prev = self.spark.read.parquet(path).agg(F.max("lsn")).first()[0]
         return (prev or 0) + 1

@@ -63,6 +63,37 @@ def to_kafka_records(df: DataFrame) -> DataFrame:
     )
 
 
+def from_kafka_records(df: DataFrame) -> DataFrame:
+    """Inbound record → event shape (T6): ``data`` = value, timestamp from
+    epoch-ms, metadata = {partition?, offset?, header.*} as map<string,binary>.
+
+    Mirrors `ReactorKafkaEventTransformer.java:128-145,169-190`: consumption
+    metadata (partition/offset when present, plus every header) is exposed
+    read-only on the event. Header-borne ``lsn``/``id`` are also lifted back
+    into typed envelope columns for replay ordering.
+    """
+    meta_cols = [
+        F.struct(F.lit(c).alias("key"), F.encode(F.col(c).cast("string"), "UTF-8").alias("value"))
+        for c in ("partition", "offset")
+        if c in df.columns
+    ]
+    entries = F.concat(
+        F.array(*meta_cols) if meta_cols else F.array().cast("array<struct<key:string,value:binary>>"),
+        F.coalesce(F.col("headers"), F.array().cast("array<struct<key:string,value:binary>>")),
+    )
+    header = lambda name: F.expr(  # noqa: E731 - one-line header lookup
+        f"filter(headers, h -> h.key = '{name}')[0].value"
+    )
+    return df.select(
+        F.decode(header("id"), "UTF-8").cast("long").alias("id"),
+        F.col("key"),
+        F.timestamp_millis(F.col("timestamp_ms")).alias("timestamp"),
+        F.map_from_entries(entries).alias("metadata"),
+        F.decode(header("lsn"), "UTF-8").cast("long").alias("lsn"),
+        F.col("value").alias("data"),
+    )
+
+
 class Replicator:
     """Exactly-once replication of one or more event tables to record tables."""
 

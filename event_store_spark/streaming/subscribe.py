@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from event_store_spark.core.cursor import Cursor
 from event_store_spark.core.state import OffsetsTable
 from event_store_spark.core.store import EventStore
 from event_store_spark.streaming.eos import exactly_once_batch
@@ -76,8 +77,11 @@ class Subscription:
         def process_and_offset(df: DataFrame, batch_id: int) -> None:
             processor(df, batch_id)
             hw = df.agg(F.max(F.struct("lsn", "id"))).first()[0]
-            offset = hw["id"] if hw is not None else -1
-            self.offsets.upsert(topic, offset, batch_id=batch_id)
+            if hw is not None:
+                cursor = Cursor(hw["lsn"], hw["id"])
+                self.offsets.upsert(topic, cursor.id, batch_id=batch_id, cursor=cursor)
+            else:
+                self.offsets.upsert(topic, -1, batch_id=batch_id)
 
         fn = exactly_once_batch(
             topic,
@@ -93,3 +97,42 @@ class Subscription:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def lag(self, topic: str) -> int:
+        """Consumer lag (A2 analog): events appended beyond the last
+        processed (lsn, id) cursor. The reference's gauge is end-offset −
+        processed − 2 (txn-marker correction,
+        `ReactorKafkaEventStore.java:379-400`); without Kafka transaction
+        markers the correction term is zero."""
+        from event_store_spark.core.cursor import Cursor as _Cursor
+        from event_store_spark.core.cursor import keyset_after
+
+        cursor = self.offsets.get_cursor(topic) or _Cursor.zero()
+        df = self.store.spark.read.parquet(self.store.topic_path(topic))
+        return df.where(keyset_after(cursor)).count()
+
+
+def kafka_starting_offsets(
+    offsets: OffsetsTable, topic: str, partitions: list[int]
+) -> str:
+    """`startingOffsets` JSON for a Kafka source resuming from the offsets
+    table — seek(lastOffset + 1) per partition (O5,
+    `ReactorKafkaEventStore.java:270-278`). Offset −1 (nothing consumed)
+    maps to Kafka's -2 ("earliest") sentinel.
+
+    Usage with a real broker:
+        spark.readStream.format("kafka")
+             .option("subscribe", topic)
+             .option("kafka.isolation.level", "read_committed")
+             .option("startingOffsets", kafka_starting_offsets(...))
+    (No broker or kafka-sql connector exists in this environment, so this
+    builder is unit-tested and the file-source path is the integration-tested
+    substrate; swapping sources changes nothing in the EOS composition.)
+    """
+    import json
+
+    per_partition = {}
+    for p in partitions:
+        last = offsets.get(topic, p)
+        per_partition[str(p)] = -2 if last < 0 else last + 1
+    return json.dumps({topic: per_partition})

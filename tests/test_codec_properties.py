@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the Avro codec — round-trip laws
+hold for arbitrary inputs, not just the golden vectors."""
+
+from __future__ import annotations
+
+import io
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from event_store_spark.avro.codec import (
+    RecordCodec,
+    decode_long,
+    decode_map_bytes,
+    encode_long,
+    encode_map_bytes,
+    frame,
+    unframe,
+)
+
+longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+keys = st.text(min_size=0, max_size=20)
+blobs = st.binary(min_size=0, max_size=64)
+
+
+@given(longs)
+@settings(max_examples=200)
+def test_long_roundtrip(n):
+    assert decode_long(io.BytesIO(encode_long(n))) == n
+
+
+@given(st.dictionaries(keys, blobs, max_size=8))
+@settings(max_examples=100)
+def test_map_roundtrip_and_canonical(d):
+    enc = encode_map_bytes(d)
+    out = decode_map_bytes(enc)
+    assert out == d
+    assert list(out) == sorted(d)  # stored order is canonical
+    # canonical: same bytes regardless of insertion order
+    assert enc == encode_map_bytes(dict(sorted(d.items(), reverse=True)))
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1), blobs)
+@settings(max_examples=100)
+def test_frame_roundtrip(sid, body):
+    assert unframe(frame(sid, body)) == (sid, body)
+
+
+record_schema = {
+    "type": "record",
+    "name": "Prop",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"]},
+    ],
+}
+
+
+@given(
+    st.text(max_size=50),
+    longs,
+    st.floats(allow_nan=False, allow_infinity=False),
+    blobs,
+    st.none() | longs,
+)
+@settings(max_examples=100)
+def test_record_roundtrip(s, n, d, b, opt):
+    codec = RecordCodec(record_schema)
+    rec = {"s": s, "n": n, "d": d, "b": b, "opt": opt}
+    assert codec.decode(codec.encode(rec)) == rec
