@@ -189,6 +189,46 @@ class EventStore:
         """
         return self.read_events(topic, after=after).orderBy("lsn", "id")
 
+    # ------------------------------------------------------- maintenance
+
+    def compact(self, topic: str, target_files: int | None = None) -> int:
+        """Rewrite accumulated small append files into (lsn, id)-range
+        partitioned, internally sorted files; returns the new file count.
+
+        Every append creates at least one file, so a long-lived topic
+        accumulates small files — the classic streaming-table problem. The
+        rewrite uses ``repartitionByRange(lsn, id)`` so each output file
+        covers a contiguous cursor range (maximum min/max-stat pruning for
+        keyset predicates) and is sorted within, keeping replay merges
+        cheap. Runs under the topic's single writer (X4), swapping
+        directories atomically at the end; readers re-list on next query.
+        """
+        path = self.topic_path(topic)
+        if not self._has_data(path):
+            return 0
+        df = self.spark.read.parquet(path)
+        if target_files is None:
+            total = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            target_files = max(1, total // (128 * 1024 * 1024))  # ~128 MB files
+        tmp = f"{path}.compacting"
+        old = f"{path}.old"
+        (
+            df.repartitionByRange(target_files, "lsn", "id")
+            .sortWithinPartitions("lsn", "id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        import shutil
+
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
     # ----------------------------------------------------------- metrics
 
     def lag(self, topic: str, cursor: Cursor) -> int:

@@ -31,7 +31,7 @@ from event_store_spark.functions.text import (
     whitespace_tokens,
     word_ngrams,
 )
-from event_store_spark.functions.vectors import as_double, cosine
+from event_store_spark.functions.vectors import as_double, cosine, dot, norm
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -134,30 +134,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", whitespace_tokens("text").alias("w"))
         .select("doc_id", F.explode(word_ngrams("w", 3)).alias("sh"))
     )
-    minhashes = (
-        shingles.withColumn(
-            "seed", F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1)))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
-            ).alias("mh")
-        )
+    # All N_MINHASH seeded hashes as columns of one row — no seed explosion,
+    # so the signature build is ONE hash aggregate (12 min() partials ride
+    # the same shuffle) instead of a 12×-row shuffle plus a regroup.
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh"))).alias(f"h{seed}")
+        for seed in range(N_MINHASH)
+    ]
+    minhashes = shingles.select("doc_id", *hash_cols).groupBy("doc_id").agg(
+        *[F.min(f"h{seed}").alias(f"mh{seed}") for seed in range(N_MINHASH)]
     )
-    sig = (
-        minhashes.withColumn("band", F.expr(f"seed div {LSH_BAND}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"],
-                ),
-            ).alias("bandkey")
-        )
+    n_bands = N_MINHASH // LSH_BAND
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{band * LSH_BAND + j}") for j in range(LSH_BAND)]
+                ).alias("bandkey"),
+            )
+            for band in range(n_bands)
+        ]
     )
+    sig = minhashes.select(
+        "doc_id", F.explode(band_entries).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bandkey").alias("bandkey"))
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -356,9 +357,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's list_sum evaluation order.
     """
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "label", as_double("embedding").alias("v")
+        "vec_id",
+        "label",
+        as_double("embedding").alias("v"),
     )
+    # norms computed once per vector BEFORE the pair join — each pair then
+    # costs one fold (the dot product) instead of three
+    emb = emb.withColumn("nrm", norm(F.col("v")))
     a, b = emb.alias("a"), emb.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -368,7 +375,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
+            F.round(sim, 4).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), "v1", "v2")
         .limit(10)

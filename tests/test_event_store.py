@@ -205,3 +205,25 @@ def test_keyset_after_matches_rowvalue_semantics(spark):
         (r.lsn, r.id) for r in df.where(keyset_after(Cursor(1, 1))).collect()
     )
     assert got == [(1, 2), (2, 0), (2, 1), (2, 2)]
+
+
+def test_compaction_preserves_replay(store, spark):
+    """Compaction rewrites small files into (lsn,id)-ranged sorted files
+    without changing contents or replay order."""
+    import os
+
+    for b in range(5):
+        store.append(
+            "cmp_events",
+            _payload_df(spark, [(f"k{b}-{i}", f"{b}-{i}", TS) for i in range(4)]),
+        )
+    path = store.topic_path("cmp_events")
+    before_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    before = [(r.lsn, r.id, r.payload) for r in store.replay("cmp_events").collect()]
+    n_files = store.compact("cmp_events", target_files=2)
+    after = [(r.lsn, r.id, r.payload) for r in store.replay("cmp_events").collect()]
+    assert after == before and len(after) == 20
+    assert n_files <= 2 < before_files
+    # appends keep working post-compaction, lsn still monotone
+    cur = store.append("cmp_events", _payload_df(spark, [("kx", "x", TS)]))
+    assert cur.lsn == 6
