@@ -22,25 +22,40 @@ class LocalSchemaRegistry:
     def __init__(self, path: str | None = None):
         self.path = path
         self._by_id: dict[int, RecordCodec] = {}
-        self._by_name: dict[str, int] = {}
+        self._by_name: dict[str, int] = {}  # name → latest version's id
+        self._versions: dict[str, list[int]] = {}  # name → ids, oldest first
         if path and os.path.exists(path):
             with open(path) as f:
-                for sid, schema in json.load(f).items():
+                for sid, schema in sorted(
+                    json.load(f).items(), key=lambda kv: int(kv[0])
+                ):
                     self._install(int(sid), RecordCodec(schema))
 
     def _install(self, sid: int, codec: RecordCodec) -> None:
         self._by_id[sid] = codec
         self._by_name[codec.name] = sid
+        self._versions.setdefault(codec.name, []).append(sid)
 
     def register(self, schema: dict | str) -> int:
-        """Register under the record-name subject; returns the schema id."""
+        """Register under the record-name subject; returns the schema id.
+
+        Re-registering an identical schema is a no-op (same id). A *changed*
+        schema under the same subject gets a NEW id — Avro-style evolution:
+        old frames keep decoding with their writer schema (looked up by the
+        id in each Confluent frame), new writes carry the new id.
+        """
         codec = RecordCodec(schema)
-        if codec.name in self._by_name:
-            return self._by_name[codec.name]
+        for sid in self._versions.get(codec.name, []):
+            if self._by_id[sid].schema == codec.schema:
+                return sid
         sid = max(self._by_id, default=0) + 1
         self._install(sid, codec)
         self._persist()
         return sid
+
+    def versions(self, name: str) -> list[int]:
+        """Schema ids registered under a subject, oldest first."""
+        return list(self._versions.get(name, []))
 
     def _persist(self) -> None:
         if self.path:

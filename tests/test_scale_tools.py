@@ -1,0 +1,87 @@
+"""Scale tooling: salted aggregation/join equivalence, bucketed
+shuffle-free joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.bucketing import (
+    bucketed_join,
+    exchange_count,
+    write_bucketed,
+)
+from event_store_spark.functions.skew import salted_agg, salted_join
+from event_store_spark.tables import load_table
+
+
+def test_salted_agg_exact_equivalence(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    direct = {
+        (r.l_returnflag, r.l_linestatus): (r.s, r.c, r.mn, r.mx)
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("s"),
+            F.count("l_quantity").alias("c"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.l_linestatus): (r.s, r.c, r.mn, r.mx)
+        for r in salted_agg(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            {
+                "s": ("l_quantity", "sum"),
+                "c": ("l_quantity", "count"),
+                "mn": ("l_quantity", "min"),
+                "mx": ("l_quantity", "max"),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    assert direct.keys() == salted.keys()
+    for k, (s, c, mn, mx) in direct.items():
+        s2, c2, mn2, mx2 = salted[k]
+        assert (c, mn, mx) == (c2, mn2, mx2)
+        assert abs(s - s2) < 1e-6 * max(abs(s), 1)  # float re-association only
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(li, ["l_returnflag"], {"a": ("l_quantity", "avg")})
+
+
+def test_salted_join_exact_equivalence(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, sf_smoke, "part").select("p_partkey", "p_size")
+    plain = li.join(part, li.l_partkey == part.p_partkey).count()
+    salted = salted_join(li, part, "l_partkey", "p_partkey").count()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
+    # managed tables land in the session's spark-warehouse dir (static conf);
+    # dropped in the finally block
+    orders = load_table(spark, sf_smoke, "orders")
+    customer = load_table(spark, sf_smoke, "customer")
+    write_bucketed(orders, "b_orders", "o_custkey", num_buckets=8)
+    write_bucketed(customer, "b_customer", "c_custkey", num_buckets=8)
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force a non-broadcast join so the bucket layout (not broadcast) is
+    # what avoids the shuffle — the 100 TB fact⋈fact scenario
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_customer", ("o_custkey", "c_custkey"))
+        assert exchange_count(joined) == 0, "bucketed join must not shuffle"
+        # same row count as the shuffling plan
+        plain = orders.join(customer, orders.o_custkey == customer.c_custkey)
+        assert joined.count() == plain.count()
+        assert exchange_count(plain) > 0  # the baseline does shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

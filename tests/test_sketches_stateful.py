@@ -1,0 +1,103 @@
+"""Sketch accuracy bounds, schema evolution, stateful streaming operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.avro import LocalSchemaRegistry
+from event_store_spark.plans import ORACLE, QUERIES
+from event_store_spark.tables import load_table
+
+
+def test_approx_distinct_within_error(spark, sf_correct):
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["approx_distinct_users"](spark, sf_correct).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, sf_correct, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, e in exact.items():
+        assert abs(approx[et] - e) <= max(0.05 * e, 2), (et, approx[et], e)
+
+
+def test_approx_quantiles_within_tolerance(spark, sf_correct):
+    row = QUERIES["approx_price_quantiles"](spark, sf_correct).first()
+    orders = load_table(spark, sf_correct, "orders")
+    exact = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+    ).first()
+    for q in ("p25", "p50", "p75"):
+        assert abs(row[q] - exact[q]) / exact[q] < 0.01
+
+
+def test_sketches_declared_without_oracle():
+    """Approx operators are rows-only by design (algorithm-specific values)."""
+    assert "approx_distinct_users" in QUERIES and "approx_distinct_users" not in ORACLE
+    assert "approx_price_quantiles" in QUERIES and "approx_price_quantiles" not in ORACLE
+
+
+def test_schema_evolution_old_frames_still_decode(tmp_path):
+    reg = LocalSchemaRegistry(str(tmp_path / "reg.json"))
+    v1 = {"type": "record", "name": "Evt", "fields": [{"name": "text", "type": "string"}]}
+    v2 = {
+        "type": "record",
+        "name": "Evt",
+        "fields": [
+            {"name": "text", "type": "string"},
+            {"name": "lang", "type": ["null", "string"], "default": None},
+        ],
+    }
+    sid1 = reg.register(v1)
+    frame_v1 = reg.serialize("Evt", {"text": "old"})
+    sid2 = reg.register(v2)
+    assert sid2 != sid1 and reg.versions("Evt") == [sid1, sid2]
+    assert reg.register(v2) == sid2  # identical re-registration is a no-op
+    frame_v2 = reg.serialize("Evt", {"text": "new", "lang": "en"})
+    # both generations decode via their writer schema (Confluent frame id)
+    assert reg.deserialize(frame_v1) == ("Evt", {"text": "old"})
+    assert reg.deserialize(frame_v2) == ("Evt", {"text": "new", "lang": "en"})
+    # persistence preserves version order
+    reg2 = LocalSchemaRegistry(str(tmp_path / "reg.json"))
+    assert reg2.versions("Evt") == [sid1, sid2]
+    assert reg2.deserialize(frame_v1) == ("Evt", {"text": "old"})
+
+
+def test_stateful_running_counters_match_batch(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState running counters == batch groupBy totals."""
+    from event_store_spark.streaming.stateful import running_user_counters
+
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        running_user_counters(stream)
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    # last update per user wins (update mode emits one row per key per batch)
+    got = {
+        r.user_id: (r.total_events, round(r.total_value, 2))
+        for r in spark.sql("select * from state_out").collect()
+    }
+    expected = {
+        r.user_id: (r.cnt, round(r.sv, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got == expected
