@@ -114,6 +114,13 @@ class EventStore:
         if validate:
             validate_metadata(df)
 
+        existing = self._topic_key_type(topic)
+        if existing is not None and existing != key_type:
+            raise ValueError(
+                f"topic {topic!r} stores {existing!r} keys; cannot append "
+                f"{key_type!r} keys (reference: one key type per table, "
+                "events_schema.sql DDL)"
+            )
         lsn = self._next_lsn(topic)
         ts = (
             F.col("timestamp").cast("timestamp_ltz")
@@ -144,6 +151,14 @@ class EventStore:
             .first()[0]
         )
         return Cursor(lsn, max_id)
+
+    def _topic_key_type(self, topic: str) -> str | None:
+        """The topic's established key type (None for new/empty topics)."""
+        path = self.topic_path(topic)
+        if not self._has_data(path):
+            return None
+        row = self.spark.read.parquet(path).select("key_type").first()
+        return row[0] if row else None
 
     @staticmethod
     def _has_data(path: str) -> bool:

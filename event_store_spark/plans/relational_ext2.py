@@ -1,0 +1,186 @@
+"""Third-wave relational coverage Q44–Q49: lateral explode, IGNORE NULLS
+window navigation, UNION ALL, conditional aggregation, date arithmetic,
+three-valued-logic scalar semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q44",
+    oracle="""
+    SELECT p_partkey, CAST(s.pos - 1 AS INT) AS pos, s.word FROM (
+        SELECT p_partkey,
+               UNNEST(list_transform(string_split(p_name, ' '),
+                      (w, i) -> struct_pack(pos := i, word := w))) AS s
+        FROM part WHERE p_partkey < 50)
+    ORDER BY p_partkey, pos
+    """,
+)
+def q44_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view / posexplode: part names flattened to (pos, word) rows.
+
+    Generators run inside the executor (no shuffle until the final sort) —
+    the same mechanism behind every shingle/token expansion in plans.llm.
+    """
+    return (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 50)
+        .select("p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@register(
+    "q45",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(NULLIF(o_orderpriority, '1-URGENT') IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_non_urgent
+    FROM orders
+    ORDER BY o_custkey LIMIT 500
+    """,
+)
+def q45_first_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE ... IGNORE NULLS navigation over the full partition frame."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first(
+                F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), ignorenulls=True
+            )
+            .over(w)
+            .alias("first_non_urgent"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(500)
+    )
+
+
+@register(
+    "q46",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS k FROM customer
+        UNION ALL
+        SELECT s_nationkey FROM supplier)
+    """,
+)
+def q46_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union — no distinct shuffle, unlike q22)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionAll(s).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "q47",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+               AS high_disc_rev,
+           CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_tax_cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q47_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (filtered sums without separate scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0)
+                ),
+                2,
+            ).alias("high_disc_rev"),
+            F.sum(F.when(F.col("l_tax") > 0.04, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_tax_cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q48",
+    oracle="""
+    SELECT CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS INT) AS min_days,
+           CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS INT) AS max_days,
+           ROUND(AVG(CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE)), 2)
+               AS avg_days,
+           CAST(SUM(CASE WHEN l_shipdate < o_orderdate + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS shipped_within_30d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q48_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic across a join: ship-lag stats + interval comparison."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(
+            F.min(lag_days).cast("int").alias("min_days"),
+            F.max(lag_days).cast("int").alias("max_days"),
+            F.round(F.avg(lag_days.cast("double")), 2).alias("avg_days"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("shipped_within_30d"),
+        )
+    )
+
+
+@register(
+    "q49",
+    oracle="""
+    SELECT CAST(COUNT(NULLIF(o_orderstatus, 'O')) AS BIGINT) AS non_open_cnt,
+           ROUND(SUM(COALESCE(NULLIF(o_totalprice, 0), -1)), 2) AS coalesced_sum,
+           CAST(SUM(CASE WHEN o_orderstatus IS DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS not_f_cnt
+    FROM orders
+    """,
+)
+def q49_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic scalars: NULLIF (COUNT skips nulls), COALESCE,
+    IS DISTINCT FROM (null-safe comparison)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("O")))
+        .cast("bigint")
+        .alias("non_open_cnt"),
+        F.round(
+            F.sum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(-1.0))), 2
+        ).alias("coalesced_sum"),
+        F.sum(
+            F.when(F.expr("o_orderstatus IS DISTINCT FROM 'F'"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("not_f_cnt"),
+    )

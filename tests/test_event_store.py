@@ -227,3 +227,11 @@ def test_compaction_preserves_replay(store, spark):
     # appends keep working post-compaction, lsn still monotone
     cur = store.append("cmp_events", _payload_df(spark, [("kx", "x", TS)]))
     assert cur.lsn == 6
+
+
+def test_key_type_consistency_enforced(store, spark):
+    """One key type per topic (reference DDL fixes the key column type)."""
+    store.append("ktc_events", _payload_df(spark, [("k", "p", TS)]), key_type="string")
+    int_df = spark.createDataFrame([(7, "p")], "key int, payload string")
+    with pytest.raises(ValueError, match="stores 'string' keys"):
+        store.append("ktc_events", int_df, key_type="int")
