@@ -92,6 +92,7 @@ class EventStore:
         df: DataFrame,
         key_type: str = "string",
         validate: bool = True,
+        partition_by_day: bool = False,
     ) -> Cursor:
         """Append a batch of events; returns the batch's high-water cursor.
 
@@ -114,6 +115,14 @@ class EventStore:
         if validate:
             validate_metadata(df)
 
+        if self._has_data(self.topic_path(topic)) and (
+            self._is_day_partitioned(topic) != partition_by_day
+        ):
+            raise ValueError(
+                f"topic {topic!r} layout is "
+                f"{'day-partitioned' if self._is_day_partitioned(topic) else 'flat'}; "
+                "appends must match the established layout"
+            )
         existing = self._topic_key_type(topic)
         if existing is not None and existing != key_type:
             raise ValueError(
@@ -141,9 +150,16 @@ class EventStore:
             F.lit(lsn).cast("long").alias("lsn"),
             *[F.col(c) for c in payload_cols],
         )
-        out.sortWithinPartitions("id").write.mode("append").parquet(
-            self.topic_path(topic)
-        )
+        writer = out.sortWithinPartitions("id").write.mode("append")
+        if partition_by_day:
+            # hive-style dt= layout: time-range replay prunes whole
+            # partitions statically (the 100 TB event-table layout);
+            # (lsn, id) file stats still prune within each day
+            out = out.withColumn("dt", F.to_date("timestamp"))
+            writer = (
+                out.sortWithinPartitions("id").write.mode("append").partitionBy("dt")
+            )
+        writer.parquet(self.topic_path(topic))
         max_id = (
             self.spark.read.parquet(self.topic_path(topic))
             .where(F.col("lsn") == lsn)
@@ -162,10 +178,27 @@ class EventStore:
 
     @staticmethod
     def _has_data(path: str) -> bool:
-        """Topic dir contains parquet data (a freshly provisioned topic is
-        an empty directory — X7 — which parquet cannot infer a schema from)."""
+        """Topic dir contains parquet data — directly or inside ``dt=``
+        partition subdirectories (a freshly provisioned topic is an empty
+        directory — X7 — which parquet cannot infer a schema from)."""
+        if not os.path.isdir(path):
+            return False
+        for entry in os.listdir(path):
+            if entry.endswith(".parquet"):
+                return True
+            sub = os.path.join(path, entry)
+            if (
+                entry.startswith("dt=")
+                and os.path.isdir(sub)
+                and any(f.endswith(".parquet") for f in os.listdir(sub))
+            ):
+                return True
+        return False
+
+    def _is_day_partitioned(self, topic: str) -> bool:
+        path = self.topic_path(topic)
         return os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
+            e.startswith("dt=") for e in os.listdir(path)
         )
 
     def _next_lsn(self, topic: str) -> int:
@@ -183,9 +216,22 @@ class EventStore:
         topic: str,
         after: Cursor | None = None,
         typed_key: bool = False,
+        start_day: str | None = None,
+        end_day: str | None = None,
     ) -> DataFrame:
-        """Unordered event scan with optional keyset-resume predicate (F1)."""
+        """Unordered event scan with optional keyset-resume predicate (F1)
+        and, for day-partitioned topics, static partition pruning via
+        ``start_day``/``end_day`` (ISO dates, inclusive)."""
+        if (start_day or end_day) and not self._is_day_partitioned(topic):
+            raise ValueError(
+                f"topic {topic!r} is not day-partitioned; day-range reads "
+                "require append(..., partition_by_day=True)"
+            )
         df = self.spark.read.parquet(self.topic_path(topic))
+        if start_day is not None:
+            df = df.where(F.col("dt") >= F.lit(start_day).cast("date"))
+        if end_day is not None:
+            df = df.where(F.col("dt") <= F.lit(end_day).cast("date"))
         if after is not None:
             df = df.where(keyset_after(after))
         if typed_key:
@@ -195,6 +241,13 @@ class EventStore:
                     "key_view", typed_key_view(F.col("key"), key_type[0])
                 )
         return df
+
+    def view(self, topic: str, name: str | None = None) -> str:
+        """Register the event table as a temp view for Spark SQL analytics
+        (the bridge from the event-log layer to the analytics layer)."""
+        view_name = name or topic
+        self.read_events(topic).createOrReplaceTempView(view_name)
+        return view_name
 
     def replay(self, topic: str, after: Cursor | None = None) -> DataFrame:
         """Total-order replay: ORDER BY (lsn, id) (O1).

@@ -184,3 +184,82 @@ def q49_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("not_f_cnt"),
     )
+
+
+@register(
+    "q50",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(percent_rank() OVER w, 4) AS pr,
+           ROUND(cume_dist() OVER w, 4) AS cd
+    FROM part
+    WINDOW w AS (ORDER BY p_retailprice, p_partkey)
+    ORDER BY p_partkey LIMIT 200
+    """,
+)
+def q50_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist distribution analytics (tie-broken total
+    order; single-reducer window acceptable for rank sketches — see q19
+    note for the 100 TB alternative)."""
+    w = W.orderBy("p_retailprice", "p_partkey")
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q51",
+    oracle="""
+    SELECT s_nationkey,
+           list_slice(list_sort(list(s_suppkey)), 1, 3) AS first3,
+           CAST(len(list(s_suppkey)) AS INT) AS n_sup
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def q51_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + manipulation: collect, sort, slice per group."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("s_suppkey")), 1, 3).alias("first3"),
+            F.size(F.collect_list("s_suppkey")).alias("n_sup"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "q52",
+    oracle="""
+    SELECT json_keys(props)[1] AS key_name,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q52_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → typed map column: map_keys + typed value aggregation
+    (from_json to map<string,int> vs q28's string extraction)."""
+    parsed = F.from_json("props", "map<string,int>")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.map_keys(parsed)[0].alias("key_name"),
+            parsed["k"].alias("k_val"),
+        )
+        .groupBy("key_name")
+        .agg(
+            F.sum("k_val").cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("key_name")
+    )

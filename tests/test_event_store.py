@@ -235,3 +235,40 @@ def test_key_type_consistency_enforced(store, spark):
     int_df = spark.createDataFrame([(7, "p")], "key int, payload string")
     with pytest.raises(ValueError, match="stores 'string' keys"):
         store.append("ktc_events", int_df, key_type="int")
+
+
+def test_day_partitioned_topic_prunes_and_orders(store, spark):
+    """Day-partitioned layout: dt= partitions prune statically; (lsn, id)
+    replay semantics unchanged; layout mixing rejected."""
+    rows = [
+        ("k1", "a", datetime.datetime(2025, 1, 1, 10)),
+        ("k2", "b", datetime.datetime(2025, 1, 2, 10)),
+    ]
+    store.append("dp_events", _payload_df(spark, rows), partition_by_day=True)
+    store.append(
+        "dp_events",
+        _payload_df(spark, [("k3", "c", datetime.datetime(2025, 1, 2, 12))]),
+        partition_by_day=True,
+    )
+    # lsn continues across partitioned appends
+    assert sorted(
+        r.lsn for r in store.read_events("dp_events").select("lsn").distinct().collect()
+    ) == [1, 2]
+    # date-range read prunes partitions (PartitionFilters in the scan)
+    day2 = store.read_events("dp_events", start_day="2025-01-02")
+    assert sorted(r.payload for r in day2.collect()) == ["b", "c"]
+    plan = day2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan
+    # replay order intact
+    replayed = [r.payload for r in store.replay("dp_events").collect()]
+    assert replayed[0] == "a" and set(replayed) == {"a", "b", "c"}
+    # layout consistency enforced
+    with pytest.raises(ValueError, match="layout"):
+        store.append("dp_events", _payload_df(spark, [("k", "x", TS)]))
+
+
+def test_view_bridges_to_sql(store, spark):
+    store.append("v_events", _payload_df(spark, [("k", "hello", TS)]))
+    name = store.view("v_events")
+    got = spark.sql(f"SELECT payload FROM {name} WHERE lsn = 1").first()
+    assert got.payload == "hello"
