@@ -59,6 +59,7 @@ class LocalSchemaRegistry:
 
     def _persist(self) -> None:
         if self.path:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
             with open(self.path, "w") as f:
                 json.dump({str(i): c.schema for i, c in self._by_id.items()}, f)
 
