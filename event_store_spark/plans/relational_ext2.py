@@ -191,7 +191,7 @@ def q49_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            ROUND(percent_rank() OVER w, 4) AS pr,
-           ROUND(cume_dist() OVER w, 4) AS cd
+           ROUND(cume_dist() OVER w, 5) AS cd
     FROM part
     WINDOW w AS (ORDER BY p_retailprice, p_partkey)
     ORDER BY p_partkey LIMIT 200
@@ -207,7 +207,11 @@ def q50_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             F.round(F.percent_rank().over(w), 4).alias("pr"),
-            F.round(F.cume_dist().over(w), 4).alias("cd"),
+            # 5 decimals: cume_dist = k/n terminates exactly at 5 digits for
+            # the fixture row counts (n = 2·10^m), so rounding never sits on
+            # a representation-dependent half-way boundary (observed flip at
+            # sf0.1 with 4 digits: 321/20000 = 0.01605)
+            F.round(F.cume_dist().over(w), 5).alias("cd"),
         )
         .orderBy("p_partkey")
         .limit(200)
