@@ -119,3 +119,89 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("keep_id")
         .limit(100)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 64) = substr(b.text, 1, 64)
+         AND a.doc_id < b.doc_id),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM cand
+        UNION ALL SELECT d2, d1 FROM cand),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+        SELECT a, MIN(b) AS cluster FROM r GROUP BY a)
+    SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(MAX(sz) AS INT) AS max_cluster_size,
+           CAST(COUNT(DISTINCT CASE WHEN sz > 1 THEN cluster END) AS BIGINT)
+               AS n_multi_clusters
+    FROM (SELECT cluster, COUNT(*) AS sz FROM reach GROUP BY cluster) g
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over near-dup
+    candidate pairs (prefix-64 blocking), by iterative min-label
+    propagation — pairwise candidates alone under-merge when A~B and B~C
+    but A≁C; clusters are what dedup actually keeps one document of.
+
+    Spark side: a driver loop of join+min aggregations until fixpoint
+    (components here are tiny, so 2–3 rounds); each round is two shuffles
+    on doc_id. At 100 TB-graph scale the same loop gets the
+    large-star/small-star optimization and checkpointing every few rounds —
+    the standard Spark connected-components recipe. The oracle runs a
+    recursive-CTE transitive closure (fine at oracle scale, quadratic in
+    component size — another case where the engine plan, not the oracle
+    plan, is the scalable one).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = a.join(
+        b, (F.col("a.p") == F.col("b.p")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    edges = cand.unionAll(cand.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.cache()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster")).cache()
+    while True:
+        msgs = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nbr_min", "cluster")).alias(
+                    "cluster"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+        F.max("sz").cast("int").alias("max_cluster_size"),
+        F.countDistinct(F.when(F.col("sz") > 1, F.col("cluster")))
+        .cast("bigint")
+        .alias("n_multi_clusters"),
+    )
