@@ -204,3 +204,30 @@ def test_replicate_all_discovers_topics(spark, tmp_path, store):
     for q in qs:
         q.awaitTermination(120)
     assert progress.topics() == ["a_events", "b_events"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, sf_smoke):
+    """Streaming exact dedup: duplicated events collapse to one row each via
+    dropDuplicatesWithinWatermark (the streaming twin of q30's hash dedup —
+    state is bounded by the watermark instead of growing forever)."""
+    events = load_table(spark, sf_smoke, "events").limit(200)
+    src = str(tmp_path / "dup_src")
+    # write each event twice (two files → possibly two micro-batches)
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_out").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == 200  # one row per event, none lost
