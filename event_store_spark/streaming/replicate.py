@@ -6,7 +6,7 @@ Re-expresses the reference's Postgres→Kafka replicator
 | reference | here |
 |---|---|
 | keyset scan `WHERE lsn IS NOT NULL AND (lsn,id) > cursor ORDER BY lsn,id LIMIT n` (`EventReplicatorWorker.java:66-72`) | streaming micro-batches + in-batch keyset filter; `maxFilesPerTrigger` bounds batch size (O2) |
-| Kafka txn {events + cursor} (`:184-208`) | idempotent-by-batchId `foreachBatch` appending records and saving the cursor in one atomic progress update |
+| Kafka txn {events + cursor} (`:184-208`) | cursor-keyed idempotent `foreachBatch`: each batch's row range overwrites a directory named by its high-water cursor, then the cursor is saved atomically — redelivery overwrites, checkpoint loss cannot skip or duplicate |
 | record shape: key/value/ts + headers incl. `id`,`lsn`, sorted (T7/O4, `:187-230`) | outbound projection with `headers: array<struct<key,value>>` canonically sorted |
 | compacted progress topic, last-write-wins (S9, `EventReplicator.java:215-256`) | :class:`ProgressStore` (atomic JSON; Delta/DB in prod) |
 | per-topic worker threads (`:174-183`) | one streaming query per topic |
@@ -124,21 +124,26 @@ class Replicator:
         stream = reader.parquet(path)
 
         def sink(df: DataFrame, batch_id: int) -> None:
-            last_bid = self.progress.last_batch_id(topic)
-            if last_bid is not None and batch_id <= last_bid:
-                return  # redelivered batch — already replicated (X2)
             cursor = self.progress.last_cursor(topic) or Cursor.zero()
             batch = df.where(keyset_after(cursor))  # F1 eligibility predicate
             records = to_kafka_records(batch).sortWithinPartitions("lsn", "id")
-            # idempotent-by-batchId: a crash between this write and the
-            # progress save redelivers the batch, which OVERWRITES the same
-            # partition directory instead of appending duplicates — the
-            # Spark-file analog of the reference's Kafka transaction.
-            records.write.mode("overwrite").parquet(
-                f"{self.target_path(topic)}/batch_id={batch_id}"
-            )
             hw = records.agg(F.max(F.struct("lsn", "id"))).first()[0]
-            new_cursor = Cursor(hw["lsn"], hw["id"]) if hw is not None else cursor
+            if hw is None:
+                # nothing past the cursor (redelivery of fully-replicated
+                # data, or an empty trigger) — just record the batch id
+                self.progress.save(topic, cursor, batch_id=batch_id)
+                return
+            new_cursor = Cursor(hw["lsn"], hw["id"])
+            # Idempotence is keyed by the batch's high-water CURSOR, not the
+            # Spark batch id: a crash between this write and the progress
+            # save redelivers the same row range, which OVERWRITES the same
+            # directory (the Spark-file analog of the reference's Kafka
+            # transaction) — and unlike batch ids, cursors stay monotone
+            # even if the streaming checkpoint is lost, so a checkpoint wipe
+            # can never skip new data or duplicate old data (X2).
+            records.write.mode("overwrite").parquet(
+                f"{self.target_path(topic)}/cursor={new_cursor.serialize().replace(':', '_')}"
+            )
             self.progress.save(topic, new_cursor, batch_id=batch_id)
 
         writer = (

@@ -231,3 +231,27 @@ def test_streaming_dedup_within_watermark(spark, tmp_path, sf_smoke):
     got = spark.sql("select event_id from dedup_out").collect()
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)) == 200  # one row per event, none lost
+
+
+def test_replication_survives_checkpoint_loss(spark, tmp_path, store):
+    """Cursor-keyed sink: wiping the streaming checkpoint (batch ids restart
+    at 0) neither duplicates already-replicated rows nor skips new ones —
+    strictly stronger than batch-id idempotence."""
+    topic = _seed(spark, store, n=4, batches=2)
+    progress = ProgressStore(str(tmp_path / "progress.json"))
+    rep = Replicator(store, str(tmp_path / "kafka"), progress, str(tmp_path / "ck1"))
+    rep.replicate(topic).awaitTermination(120)
+    assert spark.read.parquet(rep.target_path(topic)).count() == 4
+
+    # new events arrive, then the checkpoint is lost
+    store.append(
+        topic,
+        spark.createDataFrame(
+            [("kN", "new", TS)], "key string, payload string, timestamp timestamp"
+        ),
+    )
+    rep2 = Replicator(store, str(tmp_path / "kafka"), progress, str(tmp_path / "ck2"))
+    rep2.replicate(topic).awaitTermination(120)
+    t = spark.read.parquet(rep2.target_path(topic))
+    assert t.count() == 5  # new row replicated (no skip)
+    assert t.select("lsn", "id").distinct().count() == 5  # no duplicates
