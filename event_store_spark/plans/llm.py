@@ -292,25 +292,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup over length/lang-bucketed candidate pairs.
+    """n-gram Jaccard near-dup over banded (lang, length-bucket) candidate pairs.
 
-    Candidates: same lang, |n_chars| within 5 (an equi-ish bucket join that
-    avoids the global cross product). Exact Jaccard over distinct word
-    3-gram sets via array_intersect/union sizes. MAX is reported instead of
-    AVG so the float comparison is a single IEEE value, not an
+    Candidates: same lang, |n_chars| within 5. Blocking is a TRUE composite
+    equi key: n_chars is banded into width-5 buckets; the left side keeps its
+    own band, the right side explodes to {band-1, band, band+1}. Any pair
+    with |delta chars| <= 5 has bands differing by at most 1 (band width ==
+    max delta), so it collides on exactly ONE (lang, bucket) key -- no
+    distinct pass needed, and Spark hash-partitions on the high-cardinality
+    composite key instead of lang alone (cardinality 5, the round-1 skew
+    bug). The exact |delta| <= 5 predicate remains as a residual evaluated
+    only within tiny buckets. Exact Jaccard over distinct word 3-gram sets
+    via array_intersect/union sizes. MAX is reported instead of AVG so the
+    float comparison is a single IEEE value, not an
     accumulation-order-dependent mean.
     """
+    band_w = 5  # == max |n_chars| delta, so bands differ by at most 1
     docs = _docs(spark, sf_dir)
     grams = (
         docs.select("doc_id", "lang", "n_chars", whitespace_tokens("text").alias("w"))
         .select(
             "doc_id", "lang", "n_chars", F.array_distinct(word_ngrams("w", 3)).alias("grams")
         )
+        .withColumn("band", F.floor(F.col("n_chars") / band_w))
     )
-    a, b = grams.alias("a"), grams.alias("b")
+    a = grams.withColumnRenamed("band", "bucket").alias("a")
+    b = grams.withColumn(
+        "bucket",
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)),
+    ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5)
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
