@@ -45,13 +45,22 @@ _NONCE_LEN = 12
 
 
 def build_aad(key: bytes, ts_millis: int, metadata: dict[str, bytes] | None) -> bytes:
-    """key_bytes ‖ int64_be(ts_millis) ‖ canonical metadata bytes."""
+    """key_bytes ‖ int64_be(ts_millis) ‖ canonical metadata bytes.
+
+    An EMPTY (post-filter) metadata map contributes a ZERO-LENGTH segment,
+    not the 1-byte Avro empty-map encoding — the reference serializes the
+    map only when non-empty (`EventEncryptor.java:139-142`:
+    ``metadata.isEmpty() ? new byte[0] : serialize(...)``), and empty
+    metadata is the default case, so this byte decides cross-engine
+    decryptability.
+    """
     clean = {
         k: v
         for k, v in (metadata or {}).items()
         if k not in (SOURCE_ID, ENCRYPTION_KEY_ID)
     }
-    return bytes(key) + struct.pack(">q", ts_millis) + encode_map_bytes(clean)
+    md = encode_map_bytes(clean) if clean else b""
+    return bytes(key) + struct.pack(">q", ts_millis) + md
 
 
 class EventEncryptor:
@@ -114,7 +123,9 @@ class EventEncryptor:
                         return bytes(out)
 
             def _aad(k: bytes, t: int, meta: dict) -> bytes:
-                # key ‖ int64_be(ts_ms) ‖ canonical Avro map<bytes>
+                # key ‖ int64_be(ts_ms) ‖ canonical Avro map<bytes>; empty
+                # map → zero-length segment (EventEncryptor.java:139-142),
+                # NOT the 1-byte Avro empty-map terminator
                 body = bytearray(k + _struct.pack(">q", t))
                 if meta:
                     body += _enc_varint(len(meta))
@@ -122,7 +133,7 @@ class EventEncryptor:
                         kb = mk.encode("utf-8")
                         body += _enc_varint(len(kb)) + kb
                         body += _enc_varint(len(meta[mk])) + meta[mk]
-                body += _enc_varint(0)
+                    body += _enc_varint(0)
                 return bytes(body)
 
             out = []

@@ -112,8 +112,15 @@ def test_aad_layout_golden():
         + encode_map_bytes({"a": b"2", "z": b"1"})
     )
     assert aad == expected
-    assert build_aad(b"k", 0, None) == b"k" + b"\x00" * 8 + b"\x00"
-    # reserved keys never enter the AAD (EventEncryptor.java:115-137)
+    # empty metadata contributes a ZERO-LENGTH segment, not the Avro
+    # empty-map terminator byte: EventEncryptor.java:139-142 serializes the
+    # map only when non-empty, so the reference AAD for (key, ts, {}) is
+    # exactly key ‖ int64_be(ts) and nothing else
+    assert build_aad(b"k", 0, None) == b"k" + b"\x00" * 8
+    assert build_aad(b"k", 0, {}) == b"k" + b"\x00" * 8
+    # reserved keys never enter the AAD (EventEncryptor.java:115-137);
+    # a map that becomes empty AFTER filtering is the empty case too
+    assert build_aad(b"k", 1, {"id": b"9", "kid": b"u"}) == b"k" + struct.pack(">q", 1)
     assert build_aad(b"k", 1, {"id": b"9", "kid": b"u", "a": b"x"}) == build_aad(
         b"k", 1, {"a": b"x"}
     )
@@ -184,6 +191,29 @@ def test_dataframe_serialize_encrypt_roundtrip(spark, tmp_path):
     ).first()
     assert out.payload.text == "secret message"
     assert bytes(out.metadata["mTest"]) == b"mv"
+
+
+def test_empty_metadata_aad_matches_reference_layout(spark):
+    """Empty-metadata ciphertext from the DataFrame UDF decrypts against the
+    reference AAD layout key ‖ int64_be(ts) with a ZERO-LENGTH metadata
+    segment (EventEncryptor.java:139-142) — the default case, so this is
+    what decides cross-decryptability with the reference. Also proves the
+    UDF path and build_aad agree byte-for-byte on the empty case."""
+    import datetime
+
+    key = EventEncryptor.generate_key()
+    enc = EventEncryptor({"kms://k1": key})
+    ts = datetime.datetime(2025, 1, 4, 21, 13, 41, 442000, tzinfo=datetime.timezone.utc)
+    ts_ms = int(ts.timestamp() * 1000)
+    df = spark.createDataFrame(
+        [(bytearray(b"payload"), bytearray(b"k1"), ts.replace(tzinfo=None), None)],
+        "data binary, key binary, timestamp timestamp, metadata map<string,binary>",
+    )
+    row = enc.encrypt_df(df, "kms://k1").first()
+    # reference layout: nothing after the 8 timestamp bytes
+    ref_aad = b"k1" + struct.pack(">q", ts_ms)
+    assert build_aad(b"k1", ts_ms, {"kid": b"kms://k1"}) == ref_aad
+    assert enc.decrypt(bytes(row.data), ref_aad, "kms://k1") == b"payload"
 
 
 def test_decrypt_passthrough_without_kid(spark):
