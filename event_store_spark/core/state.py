@@ -93,6 +93,46 @@ class OffsetsTable(_AtomicJsonState):
         self._write(data)
 
 
+class TicketStore(_AtomicJsonState):
+    """Per-topic append ticket: high-water ``(lsn, max_id)``, cumulative row
+    count, and layout facts (``key_type``, day-partitioning).
+
+    The Spark-file analog of the reference's transactional id/lsn sequence:
+    the reference gets MAX(lsn)/MAX(id) for free from Postgres sequences and
+    indexes; a parquet topic would need a full footer-stat scan per append
+    (two O(table) file listings at 100 TB — the round-1 scale bug). Instead
+    ``EventStore.append`` reserves the next lsn here BEFORE writing and
+    records the batch's high water after computing it from the batch alone,
+    so appends never read pre-existing topic files. A crash between the
+    reservation and the parquet write leaves an lsn gap (never a duplicate
+    lsn), mirroring a WAL that reserves LSNs ahead of the commit record.
+    Legacy topics without a ticket are recovered by one explicit scan.
+    """
+
+    def get(self, topic: str) -> dict | None:
+        return self._read().get(topic)
+
+    def save(
+        self,
+        topic: str,
+        *,
+        lsn: int,
+        max_id: int,
+        total: int,
+        key_type: str,
+        day_partitioned: bool,
+    ) -> None:
+        data = self._read()
+        data[topic] = {
+            "lsn": lsn,
+            "max_id": max_id,
+            "total": total,
+            "key_type": key_type,
+            "day_partitioned": day_partitioned,
+        }
+        self._write(data)
+
+
 class ProgressStore(_AtomicJsonState):
     """Replication progress: last replicated cursor per topic (last-write-wins)."""
 

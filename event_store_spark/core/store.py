@@ -40,6 +40,7 @@ from event_store_spark.core.envelope import (
     typed_key_view,
     validate_metadata,
 )
+from event_store_spark.core.state import TicketStore
 
 TOPIC_SUFFIX = "_events"
 
@@ -51,6 +52,7 @@ class EventStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._tickets = TicketStore(os.path.join(root, "_meta", "tickets.json"))
 
     # ------------------------------------------------------------- paths
 
@@ -104,6 +106,14 @@ class EventStore:
         All rows of one append share one ``lsn`` (same-commit siblings,
         exactly the invariant the reference's commit-LSN stamping provides);
         ``id`` is unique within the append.
+
+        Scale: an append touches ONLY the incoming batch — the next lsn,
+        layout and key-type checks come from the :class:`TicketStore`
+        bookkeeping (O(1)), and the batch's high-water id is computed from
+        the cached batch itself, never by re-reading the topic. The round-1
+        implementation paid two O(table) scans per append (MAX(lsn) +
+        post-write re-read); at 100 TB that is two million-file listings
+        per append.
         """
         if key_type not in KEY_TYPES:
             raise ValueError(f"key_type must be one of {KEY_TYPES}")
@@ -115,22 +125,21 @@ class EventStore:
         if validate:
             validate_metadata(df)
 
-        if self._has_data(self.topic_path(topic)) and (
-            self._is_day_partitioned(topic) != partition_by_day
-        ):
-            raise ValueError(
-                f"topic {topic!r} layout is "
-                f"{'day-partitioned' if self._is_day_partitioned(topic) else 'flat'}; "
-                "appends must match the established layout"
-            )
-        existing = self._topic_key_type(topic)
-        if existing is not None and existing != key_type:
-            raise ValueError(
-                f"topic {topic!r} stores {existing!r} keys; cannot append "
-                f"{key_type!r} keys (reference: one key type per table, "
-                "events_schema.sql DDL)"
-            )
-        lsn = self._next_lsn(topic)
+        ticket = self._ticket(topic)
+        if ticket is not None:
+            if ticket["day_partitioned"] != partition_by_day:
+                raise ValueError(
+                    f"topic {topic!r} layout is "
+                    f"{'day-partitioned' if ticket['day_partitioned'] else 'flat'}; "
+                    "appends must match the established layout"
+                )
+            if ticket["key_type"] != key_type:
+                raise ValueError(
+                    f"topic {topic!r} stores {ticket['key_type']!r} keys; cannot "
+                    f"append {key_type!r} keys (reference: one key type per "
+                    "table, events_schema.sql DDL)"
+                )
+        lsn = (ticket["lsn"] if ticket else 0) + 1
         ts = (
             F.col("timestamp").cast("timestamp_ltz")
             if "timestamp" in df.columns
@@ -150,31 +159,81 @@ class EventStore:
             F.lit(lsn).cast("long").alias("lsn"),
             *[F.col(c) for c in payload_cols],
         )
-        writer = out.sortWithinPartitions("id").write.mode("append")
-        if partition_by_day:
-            # hive-style dt= layout: time-range replay prunes whole
-            # partitions statically (the 100 TB event-table layout);
-            # (lsn, id) file stats still prune within each day
-            out = out.withColumn("dt", F.to_date("timestamp"))
-            writer = (
-                out.sortWithinPartitions("id").write.mode("append").partitionBy("dt")
+        # Persist so the high-water agg and the write see the SAME partition
+        # evaluations (monotonically_increasing_id is deterministic per
+        # partition layout; the cache removes even recompute-order risk).
+        # Both jobs are O(batch): new data only, bounded, spills if large.
+        out = out.persist()
+        try:
+            stats = out.agg(
+                F.max("id").alias("max_id"), F.count(F.lit(1)).alias("n")
+            ).first()
+            if stats.n == 0:
+                return (
+                    Cursor(ticket["lsn"], ticket["max_id"])
+                    if ticket
+                    else Cursor.zero()
+                )
+            # Reserve the ticket BEFORE the data write: a crash in between
+            # leaves an lsn gap (harmless), while write-then-save could
+            # reissue the same lsn to two appends (cursor corruption).
+            self._tickets.save(
+                topic,
+                lsn=lsn,
+                max_id=stats.max_id,
+                total=(ticket["total"] if ticket else 0) + stats.n,
+                key_type=key_type,
+                day_partitioned=partition_by_day,
             )
-        writer.parquet(self.topic_path(topic))
-        max_id = (
-            self.spark.read.parquet(self.topic_path(topic))
-            .where(F.col("lsn") == lsn)
-            .agg(F.max("id"))
-            .first()[0]
-        )
-        return Cursor(lsn, max_id)
+            writer = out.sortWithinPartitions("id").write.mode("append")
+            if partition_by_day:
+                # hive-style dt= layout: time-range replay prunes whole
+                # partitions statically (the 100 TB event-table layout);
+                # (lsn, id) file stats still prune within each day
+                day = out.withColumn("dt", F.to_date("timestamp"))
+                writer = (
+                    day.sortWithinPartitions("id").write.mode("append").partitionBy("dt")
+                )
+            writer.parquet(self.topic_path(topic))
+        finally:
+            out.unpersist()
+        return Cursor(lsn, stats.max_id)
 
-    def _topic_key_type(self, topic: str) -> str | None:
-        """The topic's established key type (None for new/empty topics)."""
+    def _ticket(self, topic: str) -> dict | None:
+        """The topic's append ticket; recovered by one explicit scan for
+        topics written before the ticket store existed (or after losing it —
+        the parquet data remains the source of truth)."""
+        ticket = self._tickets.get(topic)
+        if ticket is not None:
+            return ticket
         path = self.topic_path(topic)
         if not self._has_data(path):
             return None
-        row = self.spark.read.parquet(path).select("key_type").first()
-        return row[0] if row else None
+        df = self.spark.read.parquet(path)
+        row = df.agg(
+            F.max(F.struct("lsn", "id")).alias("hw"),
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("key_type").alias("kt"),
+        ).first()
+        ticket = {
+            "lsn": row.hw["lsn"],
+            "max_id": row.hw["id"],
+            "total": row.n,
+            "key_type": row.kt,
+            "day_partitioned": self._is_day_partitioned(topic),
+        }
+        self._tickets.save(topic, **ticket)
+        return ticket
+
+    def high_water(self, topic: str) -> dict | None:
+        """Bookkept high-water facts ``{lsn, max_id, total, ...}`` (O(1) once
+        ticketed) — the substrate for lag gauges and resume decisions."""
+        return self._ticket(topic)
+
+    def _topic_key_type(self, topic: str) -> str | None:
+        """The topic's established key type (None for new/empty topics)."""
+        ticket = self._ticket(topic)
+        return ticket["key_type"] if ticket else None
 
     @staticmethod
     def _has_data(path: str) -> bool:
@@ -200,14 +259,6 @@ class EventStore:
         return os.path.isdir(path) and any(
             e.startswith("dt=") for e in os.listdir(path)
         )
-
-    def _next_lsn(self, topic: str) -> int:
-        """Monotone append epoch: 1 + MAX(lsn) (parquet footer-stats scan)."""
-        path = self.topic_path(topic)
-        if not self._has_data(path):
-            return 1
-        prev = self.spark.read.parquet(path).agg(F.max("lsn")).first()[0]
-        return (prev or 0) + 1
 
     # -------------------------------------------------------------- read
 
@@ -274,37 +325,52 @@ class EventStore:
         path = self.topic_path(topic)
         if not self._has_data(path):
             return 0
+        day_partitioned = self._is_day_partitioned(topic)
         df = self.spark.read.parquet(path)
         if target_files is None:
-            total = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
+            # walk dt= subdirectories too: a day-partitioned topic has NO
+            # top-level parquet files, so a flat listing would see total=0
+            # and always compact to a single file
+            total = sum(os.path.getsize(f) for f in self._parquet_files(path))
             target_files = max(1, total // (128 * 1024 * 1024))  # ~128 MB files
         tmp = f"{path}.compacting"
         old = f"{path}.old"
-        (
+        writer = (
             df.repartitionByRange(target_files, "lsn", "id")
             .sortWithinPartitions("lsn", "id")
             .write.mode("overwrite")
-            .parquet(tmp)
         )
+        if day_partitioned:
+            # preserve the established hive layout: dt is a partition column
+            # on read, so it must go back out via partitionBy or the rewrite
+            # silently flips the topic to flat (breaking later
+            # partition_by_day appends and start_day/end_day pruning)
+            writer = writer.partitionBy("dt")
+        writer.parquet(tmp)
         import shutil
 
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
-        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        return sum(1 for _ in self._parquet_files(path))
+
+    @staticmethod
+    def _parquet_files(path: str) -> list[str]:
+        """All parquet data files under ``path``, including dt= subdirs."""
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            out.extend(
+                os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+            )
+        return out
 
     # ----------------------------------------------------------- metrics
 
     def lag(self, topic: str, cursor: Cursor) -> int:
-        """Replication lag: MAX(lsn) − cursor.lsn (A1 analog)."""
-        max_lsn = (
-            self.read_events(topic)
-            .where(F.col("lsn").isNotNull())
-            .agg(F.max("lsn"))
-            .first()[0]
-        )
-        return (max_lsn or 0) - cursor.lsn
+        """Replication lag: high-water lsn − cursor.lsn (A1 analog).
+
+        O(1) arithmetic from the append ticket — the reference's gauge is
+        likewise bookkeeping math, not a scan
+        (`EventReplicatorWorker.java:242-248`)."""
+        ticket = self._ticket(topic)
+        return (ticket["lsn"] if ticket else 0) - cursor.lsn

@@ -76,12 +76,29 @@ class Subscription:
 
         def process_and_offset(df: DataFrame, batch_id: int) -> None:
             processor(df, batch_id)
-            hw = df.agg(F.max(F.struct("lsn", "id"))).first()[0]
-            if hw is not None:
-                cursor = Cursor(hw["lsn"], hw["id"])
-                self.offsets.upsert(topic, cursor.id, batch_id=batch_id, cursor=cursor)
+            stats = df.agg(
+                F.max(F.struct("lsn", "id")).alias("hw"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            prev_offset = self.offsets.get(topic)
+            if stats.n:
+                # the stored offset is a 0-based running consumed-row index
+                # (Kafka-offset semantics): last consumed = prev + batch rows,
+                # making the lag gauge pure arithmetic (A2)
+                cursor = Cursor(stats.hw["lsn"], stats.hw["id"])
+                self.offsets.upsert(
+                    topic, prev_offset + stats.n, batch_id=batch_id, cursor=cursor
+                )
             else:
-                self.offsets.upsert(topic, -1, batch_id=batch_id)
+                # empty redelivery: record the batch id but PRESERVE the
+                # consumed position (overwriting with -1 would reset the
+                # gauge and drop the resume cursor)
+                self.offsets.upsert(
+                    topic,
+                    prev_offset,
+                    batch_id=batch_id,
+                    cursor=self.offsets.get_cursor(topic),
+                )
 
         fn = exactly_once_batch(
             topic,
@@ -100,16 +117,17 @@ class Subscription:
 
     def lag(self, topic: str) -> int:
         """Consumer lag (A2 analog): events appended beyond the last
-        processed (lsn, id) cursor. The reference's gauge is end-offset −
-        processed − 2 (txn-marker correction,
-        `ReactorKafkaEventStore.java:379-400`); without Kafka transaction
-        markers the correction term is zero."""
-        from event_store_spark.core.cursor import Cursor as _Cursor
-        from event_store_spark.core.cursor import keyset_after
-
-        cursor = self.offsets.get_cursor(topic) or _Cursor.zero()
-        df = self.store.spark.read.parquet(self.store.topic_path(topic))
-        return df.where(keyset_after(cursor)).count()
+        processed position, as O(1) arithmetic — appended total (from the
+        store's append ticket) minus consumed count (from the offsets
+        table). The reference's gauge is likewise end-offset − processed − 2
+        (txn-marker correction, `ReactorKafkaEventStore.java:379-400`);
+        without Kafka transaction markers the correction term is zero.
+        Round 1 computed this with a full keyset scan-and-count — an
+        O(table) Spark job per gauge read."""
+        ticket = self.store.high_water(topic)
+        total = ticket["total"] if ticket else 0
+        consumed = self.offsets.get(topic) + 1  # stored as 0-based index
+        return total - consumed
 
 
 def kafka_starting_offsets(

@@ -267,6 +267,99 @@ def test_day_partitioned_topic_prunes_and_orders(store, spark):
         store.append("dp_events", _payload_df(spark, [("k", "x", TS)]))
 
 
+def test_append_never_reads_preexisting_files(store, spark):
+    """An append is O(batch): lsn/layout/key-type come from the ticket store
+    and the high water from the batch itself. Proven the hard way — corrupt
+    every pre-existing parquet file; a second append must still succeed
+    because it never opens them (round 1 paid two O(table) scans here)."""
+    import os
+
+    store.append("nt_events", _payload_df(spark, [("a", "1", TS), ("b", "2", TS)]))
+    path = store.topic_path("nt_events")
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            with open(os.path.join(path, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    cur = store.append("nt_events", _payload_df(spark, [("c", "3", TS)]))
+    assert cur.lsn == 2  # ticket-derived, monotone past the corrupted batch
+    assert store.lag("nt_events", Cursor.zero()) == 2  # gauge is O(1) too
+
+
+def test_ticket_recovery_after_state_loss(store, spark, tmp_path):
+    """Losing the ticket store must not reissue lsns: the next append
+    recovers the high water by one explicit scan of the parquet source of
+    truth, then resumes O(1) bookkeeping."""
+    import shutil
+
+    store.append("rec_events", _payload_df(spark, [("a", "1", TS)]))
+    store.append("rec_events", _payload_df(spark, [("b", "2", TS)]))
+    shutil.rmtree(str(tmp_path / "store" / "_meta"))
+    fresh = EventStore(store.spark, store.root)
+    cur = fresh.append("rec_events", _payload_df(spark, [("c", "3", TS)]))
+    assert cur.lsn == 3
+    lsns = sorted(
+        r.lsn for r in fresh.read_events("rec_events").select("lsn").distinct().collect()
+    )
+    assert lsns == [1, 2, 3]
+
+
+def test_empty_append_does_not_advance_cursor(store, spark):
+    c1 = store.append("empty_events", _payload_df(spark, [("a", "1", TS)]))
+    c2 = store.append("empty_events", _payload_df(spark, []))
+    assert c2 == c1
+    c3 = store.append("empty_events", _payload_df(spark, [("b", "2", TS)]))
+    assert c3.lsn == c1.lsn + 1
+
+
+def test_compaction_preserves_day_partitioning(store, spark):
+    """Compacting a day-partitioned topic must keep the dt= hive layout:
+    day-range reads keep pruning and partition_by_day appends keep working
+    (a flat rewrite silently flipped the layout before)."""
+    import os
+
+    days = [datetime.datetime(2025, 1, d, 10) for d in (1, 1, 2, 2, 3)]
+    for i, d in enumerate(days):
+        store.append(
+            "cdp_events",
+            _payload_df(spark, [(f"k{i}", f"p{i}", d)]),
+            partition_by_day=True,
+        )
+    before = [(r.lsn, r.id, r.payload) for r in store.replay("cdp_events").collect()]
+    store.compact("cdp_events", target_files=2)
+    path = store.topic_path("cdp_events")
+    assert sorted(e for e in os.listdir(path) if e.startswith("dt=")) == [
+        "dt=2025-01-01",
+        "dt=2025-01-02",
+        "dt=2025-01-03",
+    ]
+    after = [(r.lsn, r.id, r.payload) for r in store.replay("cdp_events").collect()]
+    assert after == before
+    day2 = store.read_events("cdp_events", start_day="2025-01-02", end_day="2025-01-02")
+    assert sorted(r.payload for r in day2.collect()) == ["p2", "p3"]
+    cur = store.append(
+        "cdp_events",
+        _payload_df(spark, [("kx", "x", datetime.datetime(2025, 1, 4))]),
+        partition_by_day=True,
+    )
+    assert cur.lsn == 6
+
+
+def test_compaction_size_estimate_walks_day_partitions(store, spark):
+    """Auto target_files must see data inside dt= subdirectories (a flat
+    listing sums 0 bytes and would always compact to one file)."""
+    store.append(
+        "csz_events",
+        _payload_df(spark, [("k", "p", datetime.datetime(2025, 1, 1))]),
+        partition_by_day=True,
+    )
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in EventStore._parquet_files(store.topic_path("csz_events"))
+    )
+    assert total > 0
+    assert store.compact("csz_events") >= 1  # auto-estimate path runs
+
+
 def test_view_bridges_to_sql(store, spark):
     store.append("v_events", _payload_df(spark, [("k", "hello", TS)]))
     name = store.view("v_events")
