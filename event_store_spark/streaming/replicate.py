@@ -20,6 +20,8 @@ order replay via `(lsn, id)` exactly like the reference's consumers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -117,6 +119,7 @@ class Replicator:
     def replicate(self, topic: str, available_now: bool = True) -> StreamingQuery:
         spark = self.store.spark
         path = self.store.topic_path(topic)
+        self.prune_uncommitted(topic)
         schema = spark.read.parquet(path).schema
         reader = spark.readStream.schema(schema)
         if self.max_files_per_trigger:
@@ -126,25 +129,33 @@ class Replicator:
         def sink(df: DataFrame, batch_id: int) -> None:
             cursor = self.progress.last_cursor(topic) or Cursor.zero()
             batch = df.where(keyset_after(cursor))  # F1 eligibility predicate
-            records = to_kafka_records(batch).sortWithinPartitions("lsn", "id")
-            hw = records.agg(F.max(F.struct("lsn", "id"))).first()[0]
-            if hw is None:
-                # nothing past the cursor (redelivery of fully-replicated
-                # data, or an empty trigger) — just record the batch id
-                self.progress.save(topic, cursor, batch_id=batch_id)
-                return
-            new_cursor = Cursor(hw["lsn"], hw["id"])
-            # Idempotence is keyed by the batch's high-water CURSOR, not the
-            # Spark batch id: a crash between this write and the progress
-            # save redelivers the same row range, which OVERWRITES the same
-            # directory (the Spark-file analog of the reference's Kafka
-            # transaction) — and unlike batch ids, cursors stay monotone
-            # even if the streaming checkpoint is lost, so a checkpoint wipe
-            # can never skip new data or duplicate old data (X2).
-            records.write.mode("overwrite").parquet(
-                f"{self.target_path(topic)}/cursor={new_cursor.serialize().replace(':', '_')}"
-            )
-            self.progress.save(topic, new_cursor, batch_id=batch_id)
+            # cache so the high-water agg and the write evaluate the
+            # (maxFilesPerTrigger-bounded) batch once, not twice
+            records = to_kafka_records(batch).sortWithinPartitions("lsn", "id").persist()
+            try:
+                hw = records.agg(F.max(F.struct("lsn", "id"))).first()[0]
+                if hw is None:
+                    # nothing past the cursor (redelivery of fully-replicated
+                    # data, or an empty trigger) — just record the batch id
+                    self.progress.save(topic, cursor, batch_id=batch_id)
+                    return
+                new_cursor = Cursor(hw["lsn"], hw["id"])
+                # Idempotence is keyed by the batch's high-water CURSOR, not
+                # the Spark batch id: a crash between this write and the
+                # progress save redelivers the same row range, which
+                # OVERWRITES the same directory (the Spark-file analog of the
+                # reference's Kafka transaction) — and unlike batch ids,
+                # cursors stay monotone even if the streaming checkpoint is
+                # lost. The residual hole — crash AND checkpoint loss
+                # re-chunks batches so redelivered ranges land in
+                # differently-named directories — is closed by
+                # prune_uncommitted() at query start (X2).
+                records.write.mode("overwrite").parquet(
+                    f"{self.target_path(topic)}/cursor={new_cursor.serialize().replace(':', '_')}"
+                )
+                self.progress.save(topic, new_cursor, batch_id=batch_id)
+            finally:
+                records.unpersist()
 
         writer = (
             stream.writeStream.foreachBatch(sink)
@@ -153,6 +164,33 @@ class Replicator:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def prune_uncommitted(self, topic: str) -> list[str]:
+        """Remove target cursor-directories beyond the saved progress cursor.
+
+        They are uncommitted: a crash between a cursor-directory write and
+        the progress save, followed by checkpoint loss, re-chunks micro-
+        batches — the rerun writes the same rows under differently-named
+        cursor directories while the orphan (rows beyond the saved cursor)
+        would remain as duplicates. Progress is the commit record; anything
+        past it is rolled back here, then rewritten by the new run. Runs
+        under the topic's single writer (X4), so no live query owns these.
+        """
+        import shutil
+
+        saved = self.progress.last_cursor(topic) or Cursor.zero()
+        target = self.target_path(topic)
+        if not os.path.isdir(target):
+            return []
+        pruned = []
+        for entry in sorted(os.listdir(target)):
+            if not entry.startswith("cursor="):
+                continue
+            cur = Cursor.parse(entry[len("cursor="):].replace("_", ":"))
+            if cur > saved:
+                shutil.rmtree(os.path.join(target, entry))
+                pruned.append(entry)
+        return pruned
 
     def replicate_all(self, available_now: bool = True) -> list[StreamingQuery]:
         """One query per discovered `_events` table (S7/F2 + per-topic workers)."""

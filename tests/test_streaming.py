@@ -122,6 +122,64 @@ def test_watermark_declared(spark, tmp_path, sf_smoke):
     assert "watermark" in wm._jdf.queryExecution().analyzed().toString().lower()
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """S-A as SEMANTICS, not config: rows arriving after the watermark has
+    passed their window are dropped from the aggregation. Three runs over
+    one checkpoint: (1) on-time rows advance the watermark past window W1,
+    (2) a late file carries a row inside W1 — it must NOT appear, (3) a
+    future row flushes remaining windows. With the watermark removed or
+    lengthened the late row lands in W1 (cnt 4) and this test fails —
+    behavior-proving in the style of ReactorKafkaEventStoreIT.java:262-317.
+    """
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ck")
+    base = datetime.datetime(2025, 1, 4, 10, 0, 0)
+
+    def mins(m):
+        return base + datetime.timedelta(minutes=m)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "user string, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("user string, ts timestamp").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        collected = []
+        q = (
+            agg.writeStream.foreachBatch(lambda d, b: collected.extend(d.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    # run 1: W1=[10:00,11:00) gets 3 rows; 12:30 pushes the watermark to
+    # 12:20 > 11:00, so W1 is finalized
+    write_file([("u", mins(m)) for m in (5, 20, 40)] + [("u", mins(150))])
+    out = run_once()
+    # run 2: a LATE row inside W1 (10:15 << watermark) plus an on-time row
+    write_file([("late", mins(15)), ("u", mins(210))])
+    out += run_once()
+    # run 3: flush any windows still open
+    write_file([("u", mins(330))])
+    out += run_once()
+
+    by_window = {}
+    for r in out:
+        key = r.w.start
+        assert key not in by_window, "a finalized window was re-emitted"
+        by_window[key] = r.cnt
+    assert by_window[base] == 3  # late row dropped, not 4
+
+
 # ---------------------------------------------------------------- S-C
 
 def test_exactly_once_subscription_restart_storm(spark, tmp_path, store):
@@ -231,6 +289,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path, sf_smoke):
     got = spark.sql("select event_id from dedup_out").collect()
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)) == 200  # one row per event, none lost
+
+
+def test_replication_prunes_uncommitted_cursor_dirs(spark, tmp_path, store):
+    """Crash between a cursor-directory write and the progress save, plus
+    checkpoint loss, re-chunks batches: the rerun writes the same rows under
+    a differently-named cursor directory while the orphan remains. Progress
+    is the commit record — replicate() must roll back anything past it."""
+    from event_store_spark.streaming.replicate import to_kafka_records
+
+    topic = _seed(spark, store, n=4, batches=2)
+    progress = ProgressStore(str(tmp_path / "progress.json"))
+    rep = Replicator(store, str(tmp_path / "kafka"), progress, str(tmp_path / "ck1"))
+    rep.replicate(topic).awaitTermination(120)
+
+    # new events arrive; a crashed run wrote them under an oddly-chunked
+    # cursor dir but died before saving progress
+    store.append(
+        topic,
+        spark.createDataFrame(
+            [("kN", "new", TS)], "key string, payload string, timestamp timestamp"
+        ),
+    )
+    committed = progress.last_cursor(topic)
+    orphan = f"{rep.target_path(topic)}/cursor=3_999"
+    to_kafka_records(
+        store.read_events(topic, after=committed)
+    ).write.parquet(orphan)
+
+    # fresh checkpoint → batch ids restart; rerun must not duplicate
+    rep2 = Replicator(store, str(tmp_path / "kafka"), progress, str(tmp_path / "ck2"))
+    rep2.replicate(topic).awaitTermination(120)
+    import os
+
+    assert not os.path.isdir(orphan)  # rolled back at query start
+    t = spark.read.parquet(rep2.target_path(topic))
+    assert t.count() == 5
+    assert t.select("lsn", "id").distinct().count() == 5
 
 
 def test_replication_survives_checkpoint_loss(spark, tmp_path, store):
