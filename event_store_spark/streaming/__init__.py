@@ -1,7 +1,23 @@
 """Structured Streaming layer: subscribe, replicate, exactly-once sinks."""
 
 from event_store_spark.streaming.eos import exactly_once_batch
+from event_store_spark.streaming.kafka import (
+    kafka_reader_options,
+    kafka_source_to_records,
+    kafka_stream,
+    kafka_writer_options,
+    records_to_kafka_sink,
+)
 from event_store_spark.streaming.replicate import Replicator
 from event_store_spark.streaming.subscribe import Subscription
 
-__all__ = ["Subscription", "Replicator", "exactly_once_batch"]
+__all__ = [
+    "Subscription",
+    "Replicator",
+    "exactly_once_batch",
+    "kafka_reader_options",
+    "kafka_writer_options",
+    "kafka_source_to_records",
+    "records_to_kafka_sink",
+    "kafka_stream",
+]

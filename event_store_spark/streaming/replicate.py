@@ -106,12 +106,20 @@ class Replicator:
         progress: ProgressStore,
         checkpoint_root: str,
         max_files_per_trigger: int | None = None,
+        sink: str = "files",
+        bootstrap_servers: str | None = None,
     ):
+        if sink not in ("files", "kafka"):
+            raise ValueError("sink must be 'files' or 'kafka'")
+        if sink == "kafka" and not bootstrap_servers:
+            raise ValueError("kafka sink requires bootstrap_servers")
         self.store = store
         self.target_root = target_root
         self.progress = progress
         self.checkpoint_root = checkpoint_root
         self.max_files_per_trigger = max_files_per_trigger
+        self.sink = sink
+        self.bootstrap_servers = bootstrap_servers
 
     def target_path(self, topic: str) -> str:
         return f"{self.target_root}/{topic}"
@@ -140,19 +148,41 @@ class Replicator:
                     self.progress.save(topic, cursor, batch_id=batch_id)
                     return
                 new_cursor = Cursor(hw["lsn"], hw["id"])
-                # Idempotence is keyed by the batch's high-water CURSOR, not
-                # the Spark batch id: a crash between this write and the
-                # progress save redelivers the same row range, which
-                # OVERWRITES the same directory (the Spark-file analog of the
-                # reference's Kafka transaction) — and unlike batch ids,
-                # cursors stay monotone even if the streaming checkpoint is
-                # lost. The residual hole — crash AND checkpoint loss
-                # re-chunks batches so redelivered ranges land in
-                # differently-named directories — is closed by
-                # prune_uncommitted() at query start (X2).
-                records.write.mode("overwrite").parquet(
-                    f"{self.target_path(topic)}/cursor={new_cursor.serialize().replace(':', '_')}"
-                )
+                if self.sink == "kafka":
+                    # Broker-native path (S2/S3): produce (key, value,
+                    # headers) records. The reference wraps events + the
+                    # progress record in ONE Kafka transaction
+                    # (`EventReplicatorWorker.java:184-208`); Spark's Kafka
+                    # sink is at-least-once, so exactly-once is restored on
+                    # the consumer side by the (lsn, id) header cursor —
+                    # redelivered records carry an already-seen cursor and
+                    # are dropped by the same keyset predicate consumers
+                    # apply for resume (F1).
+                    from event_store_spark.streaming.kafka import (
+                        kafka_writer_options,
+                        records_to_kafka_sink,
+                    )
+
+                    (
+                        records_to_kafka_sink(records)
+                        .write.format("kafka")
+                        .options(**kafka_writer_options(self.bootstrap_servers, topic))
+                        .save()
+                    )
+                else:
+                    # Idempotence is keyed by the batch's high-water CURSOR,
+                    # not the Spark batch id: a crash between this write and
+                    # the progress save redelivers the same row range, which
+                    # OVERWRITES the same directory (the Spark-file analog of
+                    # the reference's Kafka transaction) — and unlike batch
+                    # ids, cursors stay monotone even if the streaming
+                    # checkpoint is lost. The residual hole — crash AND
+                    # checkpoint loss re-chunks batches so redelivered ranges
+                    # land in differently-named directories — is closed by
+                    # prune_uncommitted() at query start (X2).
+                    records.write.mode("overwrite").parquet(
+                        f"{self.target_path(topic)}/cursor={new_cursor.serialize().replace(':', '_')}"
+                    )
                 self.progress.save(topic, new_cursor, batch_id=batch_id)
             finally:
                 records.unpersist()

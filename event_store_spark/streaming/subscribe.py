@@ -14,9 +14,10 @@ checkpoint gives redelivery-with-same-id; the wrapper gives idempotence.
 
 Scale: the file source scales to object-store event logs (listing cost is
 amortized via maxFilesPerTrigger — the analog of the reference's batched
-pulls, `EventReplicatorWorker.java:71,134`); swapping in a Kafka source
-changes only `_stream()` (format("kafka") + from-offsets from the table),
-none of the EOS composition.
+pulls, `EventReplicatorWorker.java:71,134`); ``source="kafka"`` consumes a
+broker directly through `streaming.kafka` (format("kafka") + offsets-table
+seek + read_committed) with the SAME decoded event shape, so the EOS
+composition in `run()` is source-agnostic.
 """
 
 from __future__ import annotations
@@ -42,17 +43,50 @@ class Subscription:
         offsets: OffsetsTable,
         checkpoint_root: str,
         max_files_per_trigger: int | None = None,
+        source: str = "files",
+        bootstrap_servers: str | None = None,
+        partitions: list[int] | None = None,
     ):
+        if source not in ("files", "kafka"):
+            raise ValueError("source must be 'files' or 'kafka'")
+        if source == "kafka" and not bootstrap_servers:
+            raise ValueError("kafka source requires bootstrap_servers")
         self.store = store
         self.offsets = offsets
         self.checkpoint_root = checkpoint_root
         self.max_files_per_trigger = max_files_per_trigger
+        self.source = source
+        self.bootstrap_servers = bootstrap_servers
+        self.partitions = partitions or [0]
 
     def _spark(self) -> SparkSession:
         return self.store.spark
 
     def stream(self, topic: str) -> DataFrame:
-        """Streaming DataFrame over the event table (decode-on-read, T6)."""
+        """Streaming DataFrame over the event table (decode-on-read, T6).
+
+        ``source="kafka"`` consumes the broker directly: `format("kafka")`
+        with read_committed isolation and `startingOffsets` seeked from the
+        offsets table (S4/S5, `ReactorKafkaEventStore.java:233-291`);
+        ``source="files"`` streams the parquet event table. Both yield the
+        same decoded event shape, so `run()`'s EOS composition is
+        source-agnostic.
+        """
+        if self.source == "kafka":
+            from event_store_spark.streaming.kafka import kafka_stream
+
+            extra = {}
+            if self.max_files_per_trigger:
+                # O2 batching: the offset-count analog of maxFilesPerTrigger
+                extra["maxOffsetsPerTrigger"] = str(self.max_files_per_trigger)
+            return kafka_stream(
+                self._spark(),
+                self.bootstrap_servers,
+                topic,
+                self.offsets,
+                self.partitions,
+                **extra,
+            )
         path = self.store.topic_path(topic)
         schema = self._spark().read.parquet(path).schema
         reader = self._spark().readStream.schema(schema)
