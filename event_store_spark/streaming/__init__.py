@@ -8,12 +8,15 @@ from event_store_spark.streaming.kafka import (
     kafka_writer_options,
     records_to_kafka_sink,
 )
+from event_store_spark.streaming.lock import LockManager, LockMonitor
 from event_store_spark.streaming.replicate import Replicator
 from event_store_spark.streaming.subscribe import Subscription
 
 __all__ = [
     "Subscription",
     "Replicator",
+    "LockManager",
+    "LockMonitor",
     "exactly_once_batch",
     "kafka_reader_options",
     "kafka_writer_options",

@@ -10,7 +10,7 @@ Re-expresses the reference's Postgres→Kafka replicator
 | record shape: key/value/ts + headers incl. `id`,`lsn`, sorted (T7/O4, `:187-230`) | outbound projection with `headers: array<struct<key,value>>` canonically sorted |
 | compacted progress topic, last-write-wins (S9, `EventReplicator.java:215-256`) | :class:`ProgressStore` (atomic JSON; Delta/DB in prod) |
 | per-topic worker threads (`:174-183`) | one streaming query per topic |
-| advisory-lock single writer (X4) | driver-singleton query per topic (checkpoint dir is the lock) |
+| advisory-lock single writer (X4, `LockManager.java:45-84` + `LockMonitor.java:52-58`) | :class:`streaming.lock.LockManager` lease: acquire at query start (second writer refused), heartbeat per micro-batch, query failure on loss |
 
 Scale: replication never globally sorts — micro-batches arrive in append
 (lsn) order from the file source and `sortWithinPartitions` restores the
@@ -30,6 +30,7 @@ from event_store_spark.core.cursor import Cursor, keyset_after
 from event_store_spark.core.envelope import canonical_metadata_entries
 from event_store_spark.core.state import ProgressStore
 from event_store_spark.core.store import EventStore
+from event_store_spark.streaming.lock import LockManager
 
 
 def to_kafka_records(df: DataFrame) -> DataFrame:
@@ -108,6 +109,7 @@ class Replicator:
         max_files_per_trigger: int | None = None,
         sink: str = "files",
         bootstrap_servers: str | None = None,
+        lock: LockManager | None = None,
     ):
         if sink not in ("files", "kafka"):
             raise ValueError("sink must be 'files' or 'kafka'")
@@ -120,6 +122,7 @@ class Replicator:
         self.max_files_per_trigger = max_files_per_trigger
         self.sink = sink
         self.bootstrap_servers = bootstrap_servers
+        self.lock = lock
 
     def target_path(self, topic: str) -> str:
         return f"{self.target_root}/{topic}"
@@ -127,6 +130,13 @@ class Replicator:
     def replicate(self, topic: str, available_now: bool = True) -> StreamingQuery:
         spark = self.store.spark
         path = self.store.topic_path(topic)
+        if self.lock is not None and not self.lock.acquire():
+            # X4: refuse to start a second writer (LockManager.java:45-84 —
+            # pg_try_advisory_lock returning false)
+            raise RuntimeError(
+                "another replicator instance holds the lock; refusing to "
+                "start a second writer (X4)"
+            )
         self.prune_uncommitted(topic)
         schema = spark.read.parquet(path).schema
         reader = spark.readStream.schema(schema)
@@ -135,6 +145,11 @@ class Replicator:
         stream = reader.parquet(path)
 
         def sink(df: DataFrame, batch_id: int) -> None:
+            if self.lock is not None and not self.lock.heartbeat():
+                # lock lost mid-run (lease stolen after an apparent death):
+                # fail the query before writing — the streaming analog of
+                # LockMonitor's exit(1) (`LockMonitor.java:52-58`, X6)
+                raise RuntimeError("replicator lock lost; failing query (X4/X6)")
             cursor = self.progress.last_cursor(topic) or Cursor.zero()
             batch = df.where(keyset_after(cursor))  # F1 eligibility predicate
             # cache so the high-water agg and the write evaluate the
