@@ -14,13 +14,16 @@ import duckdb
 from event_store_spark.tables import TABLE_NAMES, table_path
 
 
-def run_oracle(sql: str, sf_dir: str) -> list[tuple]:
+def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """One execution per oracle query: column names from the same cursor."""
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
         )
-    return con.execute(sql).fetchall()
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
 
 
 def canonicalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
@@ -54,11 +57,7 @@ def canonicalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    o_res = run_oracle(oracle_sql, sf_dir)
-    con = duckdb.connect()
-    for name in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'")
-    o_cols = [d[0] for d in con.execute(oracle_sql).description]
+    o_cols, o_res = run_oracle(oracle_sql, sf_dir)
 
     if sorted(s_cols) != sorted(o_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
