@@ -20,7 +20,7 @@ bucket join an equi-join so AQE can handle skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_store_spark.functions.text import (
@@ -478,6 +478,84 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bucketed.where(F.col("vec_id") != 0)
         .join(F.broadcast(target), F.col("bucket") == F.col("tb"))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("tv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+def _flip_bit(tb: Column, i: int) -> Column:
+    """Flip character ``i`` (0-based) of a 4-char '0'/'1' bucket string."""
+    return F.concat(
+        F.substring(tb, 1, i),
+        F.when(F.substring(tb, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(tb, i + 2, 3 - i),
+    )
+
+
+@register(
+    "ann_multiprobe_topk",
+    oracle="""
+    WITH bucketed AS (SELECT vec_id, embedding,
+        (CASE WHEN embedding[1]  >= embedding[9]  THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[17] >= embedding[25] THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[33] >= embedding[41] THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[49] >= embedding[57] THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+    t AS (SELECT embedding AS tv, bucket AS tb FROM bucketed WHERE vec_id = 0),
+    probes AS (SELECT tv, unnest([tb,
+        (CASE WHEN substr(tb,1,1)='1' THEN '0' ELSE '1' END) || substr(tb,2,3),
+        substr(tb,1,1) || (CASE WHEN substr(tb,2,1)='1' THEN '0' ELSE '1' END)
+            || substr(tb,3,2),
+        substr(tb,1,2) || (CASE WHEN substr(tb,3,1)='1' THEN '0' ELSE '1' END)
+            || substr(tb,4,1),
+        substr(tb,1,3) || (CASE WHEN substr(tb,4,1)='1' THEN '0' ELSE '1' END)
+        ]) AS pb FROM t),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.tv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(p.tv) + 1),
+            i -> CAST(p.tv[i] AS DOUBLE) * CAST(p.tv[i] AS DOUBLE)))))
+        AS sim
+        FROM bucketed e JOIN probes p ON e.bucket = p.pb WHERE e.vec_id <> 0)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: the query bucket PLUS its four Hamming-1
+    neighbors (5 of 16 buckets probed).
+
+    Single-bucket LSH loses neighbors that land just across a hyperplane;
+    multi-probe recovers most of that recall for a bounded extra cost
+    (probes/buckets of the corpus scored instead of 1/buckets) without
+    adding hash tables. The probe set is exploded from the one-row query
+    side and broadcast, so the corpus side still sees a single equi-join on
+    its own bucket — a candidate's bucket matches at most one probe, so no
+    pair dedup is needed. Scale path: probes stay O(bits) while the scored
+    fraction stays sublinear."""
+    emb = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("v"))
+    bucket = F.concat(
+        *[
+            F.when(F.col("v")[p * 16] >= F.col("v")[p * 16 + 8], "1").otherwise("0")
+            for p in range(4)
+        ]
+    )
+    bucketed = emb.withColumn("bucket", bucket)
+    target = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("tv"), F.col("bucket").alias("tb")
+    )
+    probes = target.select(
+        "tv",
+        F.explode(
+            F.array(F.col("tb"), *[_flip_bit(F.col("tb"), i) for i in range(4)])
+        ).alias("pb"),
+    )
+    return (
+        bucketed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("pb"))
         .select("vec_id", F.round(cosine(F.col("v"), F.col("tv")), 4).alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
