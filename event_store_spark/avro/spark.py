@@ -53,24 +53,64 @@ def to_confluent_avro(payload: Column, schema: dict | str, schema_id: int) -> Co
     return ser(payload)
 
 
-def from_confluent_avro(data: Column, schema: dict | str, schema_id: int) -> Column:
+def from_confluent_avro(
+    data: Column,
+    schema: dict | str,
+    schema_id: int,
+    writer_schemas: dict[int, dict | str] | None = None,
+) -> Column:
     """Confluent-framed Avro binary column → struct column.
 
-    The schema id in each frame is checked against ``schema_id`` —
-    mirroring the registry lookup the reference's deserializer performs.
+    Without ``writer_schemas`` the schema id in each frame is checked
+    against ``schema_id`` — mirroring the strict single-version lookup.
+    With ``writer_schemas`` ({id: schema} for every version of the subject,
+    e.g. ``registry.versions(name)``), each frame is decoded with ITS OWN
+    writer codec — resolved by the id in the frame, exactly the per-record
+    registry lookup the reference's deserializer performs — then projected
+    to the reader schema: fields the writer lacked take the reader field's
+    Avro default (or null if nullable); fields the reader dropped are
+    discarded. Topics that span a schema evolution decode in one pass.
     """
     ensure_shipped()
-    codec = RecordCodec(schema)
-    out_type = spark_type_of(codec)
+    reader = RecordCodec(schema)
+    out_type = spark_type_of(reader)
+    codecs = {sid: RecordCodec(s) for sid, s in (writer_schemas or {}).items()}
+    codecs.setdefault(schema_id, reader)
+    reader_fields = list(reader.fields)
+    defaults: dict[str, object] = {}
+    for f in reader.schema["fields"]:
+        if "default" in f:
+            d = f["default"]
+            base = f["type"][1] if isinstance(f["type"], list) else f["type"]
+            if base == "bytes" and isinstance(d, str):
+                d = d.encode("latin-1")  # Avro JSON encodes bytes defaults ISO-8859-1
+            defaults[f["name"]] = d
 
     @F.pandas_udf(out_type)
     def de(col: pd.Series) -> pd.DataFrame:
         rows = []
         for b in col:
             sid, body = unframe(bytes(b))
-            if sid != schema_id:
+            if writer_schemas is None and sid != schema_id:
                 raise ValueError(f"schema id mismatch: frame {sid} != {schema_id}")
-            rows.append(codec.decode(body))
-        return pd.DataFrame(rows, columns=[n for n, _ in codec.fields])
+            codec = codecs.get(sid)
+            if codec is None:
+                raise ValueError(f"frame schema id {sid} not registered for subject")
+            decoded = codec.decode(body)
+            row = {}
+            for name, t in reader_fields:
+                if name in decoded:
+                    row[name] = decoded[name]
+                elif name in defaults:
+                    row[name] = defaults[name]
+                elif isinstance(t, list):  # nullable without explicit default
+                    row[name] = None
+                else:
+                    raise ValueError(
+                        f"field {name!r} absent from writer schema {sid} "
+                        "and has no default"
+                    )
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[n for n, _ in reader_fields])
 
     return de(data)

@@ -112,12 +112,23 @@ class AvroEventStore(EventStore):
         after: Cursor | None = None,
     ) -> DataFrame:
         """Read events, conditionally decrypt (C2), deserialize to a typed
-        ``payload`` struct (T2); envelope columns preserved."""
+        ``payload`` struct (T2); envelope columns preserved.
+
+        Reads with the LATEST schema as the reader but resolves each frame's
+        writer schema by the id it carries, so topics containing rows written
+        before a schema evolution keep decoding (registry contract)."""
         codec = self.registry.codec_by_name(record_name)
         sid = self.registry._by_name[record_name]
+        writer_schemas = {
+            v: self.registry.codec_by_id(v).schema
+            for v in self.registry.versions(record_name)
+        }
         df = self.read_events(topic, after=after)
         if self.encryptor is not None:
             df = self.encryptor.decrypt_df(df)
         return df.withColumn(
-            "payload", from_confluent_avro(F.col("data"), codec.schema, sid)
+            "payload",
+            from_confluent_avro(
+                F.col("data"), codec.schema, sid, writer_schemas=writer_schemas
+            ),
         )

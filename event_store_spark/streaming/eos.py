@@ -12,7 +12,15 @@ canonical Structured-Streaming EOS pattern instead:
 
 Combined with the checkpointed source (which replays the same batch with the
 same id after failure), this yields end-to-end exactly-once for any sink
-whose writes are deterministic per batch.
+whose writes are deterministic AND idempotent per batch (e.g. overwrite
+keyed by batch_id/cursor). The boundary is the commit step: ``process``
+effects and the batch-id commit are two separate steps, so a crash BETWEEN
+them reruns ``process`` once on redelivery — at-least-once for external
+effects that aren't idempotent. The reference closes the same gap by
+composing projection+offset in one DB transaction
+(`ReactorKafkaEventStore.java:214-246`); here the engine's own bookkeeping
+(offset/cursor/batch id) rides one atomic file replace, and user-supplied
+projections must be batch-idempotent to get the same guarantee.
 """
 
 from __future__ import annotations
@@ -30,9 +38,12 @@ def exactly_once_batch(
 ) -> Callable[[DataFrame, int], None]:
     """Wrap ``process`` so redelivered micro-batches are no-ops.
 
-    ``commit(topic, batch_id)`` must persist the batch id atomically with
-    (or after) the effects of ``process`` — with the JSON state stores the
-    id rides in the same atomic file replace as the offset/cursor.
+    ``commit(topic, batch_id)`` must persist the batch id atomically WITH
+    the effects of ``process`` (the JSON state stores do this: the id rides
+    in the same atomic file replace as the offset/cursor). If ``process``
+    also writes to an external system outside that commit, those writes run
+    again when a crash lands between them — make them idempotent per
+    batch id (overwrite, not append) to keep end-to-end exactly-once.
     """
 
     def fn(df: DataFrame, batch_id: int) -> None:

@@ -3,8 +3,12 @@
 Re-expresses `ReactorKafkaEventStore.subscribe` (reference:
 `ReactorKafkaEventStore.java:233-246` + intended-usage doc :214-232): the
 caller gets a stream of events and composes per-batch processing with an
-offset update so that a crash never duplicates or skips work
-(`ReactorKafkaEventStoreIT.java:262-317`).
+offset update so that a crash never skips work and never re-runs a batch
+whose offset committed (`ReactorKafkaEventStoreIT.java:262-317`). The
+residual window — crash after the processor's external effects but before
+the offset commit — re-runs that one batch, so projections into external
+systems must be idempotent per batch id (see `eos.py`); the reference
+avoids the window by putting projection+offset in one DB transaction.
 
 Spark shape: the event table is a file-source streaming DataFrame (new
 parquet files = new events, in append order); processing runs in

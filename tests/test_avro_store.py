@@ -79,3 +79,63 @@ def test_replication_micro_batch_bounding(spark, tmp_path):
     # one micro-batch per file → final batch id ≥ 2 (0-indexed), all rows out
     assert progress.last_batch_id("mb_events") >= 2
     assert spark.read.parquet(rep.target_path("mb_events")).count() == 3
+
+
+SCHEMA_V2 = {
+    "type": "record",
+    "name": "OrderPlaced",
+    "fields": [
+        {"name": "item", "type": "string"},
+        {"name": "qty", "type": "long"},
+        {"name": "discount", "type": ["null", "double"], "default": None},
+        {"name": "channel", "type": "string", "default": "web"},
+    ],
+}
+
+
+def test_load_decodes_mixed_schema_versions(spark, tmp_path):
+    """Rows written before a schema evolution keep decoding: each frame is
+    resolved by ITS writer id; reader-schema fields the writer lacked take
+    their Avro defaults (registry contract, ADVICE r1)."""
+    reg = LocalSchemaRegistry()
+    v1 = reg.register(SCHEMA)
+    store = AvroEventStore(spark, str(tmp_path / "s"), reg)
+    df1 = spark.createDataFrame(
+        [("u1", "widget", 3, TS)],
+        "key string, item string, qty long, timestamp timestamp",
+    )
+    store.save("evo_events", df1, "OrderPlaced")
+
+    v2 = reg.register(SCHEMA_V2)
+    assert v2 != v1  # changed schema under the same subject → new id
+    df2 = spark.createDataFrame(
+        [("u2", "gadget", 1, 0.25, "store", TS)],
+        "key string, item string, qty long, discount double, channel string, "
+        "timestamp timestamp",
+    )
+    store.save("evo_events", df2, "OrderPlaced")
+
+    rows = {
+        r.payload.item: r.payload
+        for r in store.load("evo_events", "OrderPlaced").collect()
+    }
+    assert rows["widget"].qty == 3
+    assert rows["widget"].discount is None  # nullable default
+    assert rows["widget"].channel == "web"  # declared default
+    assert rows["gadget"].discount == 0.25
+    assert rows["gadget"].channel == "store"
+
+
+def test_strict_decode_still_rejects_foreign_frames(spark, tmp_path):
+    """Without writer_schemas the single-version check stays strict."""
+    import pandas as pd
+    import pytest
+    from event_store_spark.avro.codec import RecordCodec, frame
+    from event_store_spark.avro.spark import from_confluent_avro
+    from pyspark.sql import functions as F
+
+    codec = RecordCodec(SCHEMA)
+    body = codec.encode({"item": "x", "qty": 1})
+    df = spark.createDataFrame([(frame(99, body),)], "data binary")
+    with pytest.raises(Exception, match="schema id mismatch"):
+        df.select(from_confluent_avro(F.col("data"), SCHEMA, 1)).collect()
