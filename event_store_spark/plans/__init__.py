@@ -15,5 +15,7 @@ from event_store_spark.plans import llm_ext as _llm_ext  # noqa: F401,E402
 from event_store_spark.plans import sketches as _sketches  # noqa: F401,E402
 from event_store_spark.plans import relational_ext2 as _relational_ext2  # noqa: F401,E402
 from event_store_spark.plans import scale_rank as _scale_rank  # noqa: F401,E402
+from event_store_spark.plans import pipeline as _pipeline  # noqa: F401,E402
+from event_store_spark.plans import ivf as _ivf  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,135 @@
+"""IVF (inverted-file) ANN: k-means cells learned FROM THE DATA, then
+search only the query's cell.
+
+`ann_lsh_topk` prunes with data-independent hyperplanes; real vector stores
+(FAISS-style IVF) instead partition the corpus by learned centroids so cells
+track the data distribution. This is that build, Spark-first and fully
+deterministic so the DuckDB oracle can mirror it step for step:
+
+- init: centroids := embeddings of vec_id 1..k (deterministic seed rows)
+- 2 Lloyd iterations: assign each vector to its nearest centroid
+  (squared L2, ties → lowest cell id), recompute centroids as the
+  per-dimension mean ROUNDED to 6 decimals — rounding pins the floating
+  sum-order difference between engines so both sides see bit-identical
+  centroid literals
+- search: score cosine only inside the query's cell (top-5)
+
+Scale shape: each assignment pass is one map-side expression over a
+broadcast O(k·d) centroid table (k·d doubles live on the driver between
+passes — the standard IVF build state); each update is one hash
+aggregation producing k rows. Nothing iterates per-row on the driver. At
+100 TB you train centroids on a sample with the same two passes, then the
+one assignment+search pass is a single scan; nprobe>1 = union the nearest
+cells, exactly like `ann_multiprobe_topk`'s probe union."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.vectors import as_double, cosine
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+K = 8
+DIM = 64
+ITERS = 2
+
+
+def _sq_dist(v: Column, lits: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in lits])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid cell per vector: argmin over k broadcast literals
+    (array_min over (dist, cell) structs — ties break to the lowest cell)."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_dist(F.col("v"), c).alias("dist"), F.lit(cell).alias("cell"))
+            for cell, c in centroids
+        ]
+    )
+    return emb.withColumn("cell", F.array_min(pairs)["cell"])
+
+
+def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """New centroid = per-dimension mean, rounded to 6 dp (cross-engine
+    float-sum-order pin). One hash agg; k rows to the driver."""
+    rows = (
+        assigned.groupBy("cell")
+        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}") for i in range(DIM)])
+        .collect()
+    )
+    return sorted((r["cell"], [r[f"c{i}"] for i in range(DIM)]) for r in rows)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id - 1 AS cell, v AS c FROM e WHERE vec_id BETWEEN 1 AND 8),
+    a0 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c0 c) WHERE rn = 1),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, t.i, ROUND(AVG(e.v[t.i]), 6) AS m
+        FROM a0 a JOIN e USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, t.i) GROUP BY cell),
+    a1 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c1 c) WHERE rn = 1),
+    c2 AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, t.i, ROUND(AVG(e.v[t.i]), 6) AS m
+        FROM a1 a JOIN e USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, t.i) GROUP BY cell),
+    a2 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    q AS (SELECT e.v AS qv, a.cell FROM e JOIN a2 a USING (vec_id) WHERE e.vec_id = 0),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+         * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+            AS sim
+        FROM e JOIN a2 a USING (vec_id) JOIN q ON a.cell = q.cell
+        WHERE e.vec_id <> 0)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 for vec_id=0: 2 Lloyd iterations → search the query's cell."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    centroids = sorted(
+        (r["vec_id"] - 1, list(r["v"]))
+        for r in emb.where(F.col("vec_id").between(1, K)).collect()
+    )
+    assigned = _assign(emb, centroids)
+    for _ in range(ITERS):
+        centroids = _update(assigned)
+        assigned = _assign(emb, centroids)
+    query = assigned.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        assigned.where(F.col("vec_id") != 0)
+        .join(F.broadcast(query), F.col("cell") == F.col("qcell"))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
