@@ -1,15 +1,17 @@
-"""Training-data pipeline operators: deterministic sampling & quota capping.
+"""Training-data pipeline operators: sampling, quota capping, contamination
+scanning, and composed quality gating.
 
-A 100 TB corpus is never trained on whole — pipelines sample, stratify, and
-cap per-domain contributions before tokenization. These operators make those
-steps engine-native, with the property that matters at scale: **determinism
-without coordination**. Every selection is a pure function of the row's key
-(md5), so it is reproducible across runs/clusters, needs no RNG state, no
-driver-side shuffle, and re-running on a grown corpus keeps prior decisions
-stable (only new rows get new verdicts) — the property curriculum/dataset
-versioning needs.
+A 100 TB corpus is never trained on whole — pipelines sample, stratify, cap
+per-domain contributions, strip benchmark leakage, and gate on quality
+before tokenization. These operators make those steps engine-native. The
+selection ops share the property that matters at scale: **determinism
+without coordination** — every keep/drop is a pure function of the row's
+key (md5), so it is reproducible across runs/clusters, needs no RNG state,
+no driver-side shuffle, and re-running on a grown corpus keeps prior
+decisions stable (only new rows get new verdicts) — the property
+curriculum/dataset versioning needs.
 
-All three are oracle-checked (md5 is bit-identical across engines;
+All five are oracle-checked (md5 is bit-identical across engines;
 hex-string comparison is portable)."""
 
 from __future__ import annotations
@@ -114,4 +116,117 @@ def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 40)
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "contamination_ngram",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    sh AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(w) - 3),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                           || w[i+3] || ' ' || w[i+4])) AS g
+           FROM toks WHERE len(w) >= 5),
+    eval_sh AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+    train_sh AS (SELECT DISTINCT doc_id, g FROM sh WHERE source <> 'src0')
+    SELECT t.doc_id, COUNT(*) AS n_contaminated
+    FROM train_sh t JOIN eval_sh e USING (g)
+    GROUP BY t.doc_id
+    ORDER BY n_contaminated DESC, doc_id LIMIT 50
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing 5-gram shingles
+    with a held-out eval set (source='src0' stands in for the benchmark).
+
+    The standard decontamination pass before training: explode both sides
+    to distinct word 5-grams, equi-join on the shingle, count overlaps per
+    training doc. Scale shape: two hash-dedup aggregations + one equi-join
+    on a high-cardinality key; the eval side is tiny relative to the corpus
+    (broadcast in practice — AQE picks it up from runtime stats), so the
+    training side is never re-shuffled more than once. No pair enumeration
+    outside shared shingles."""
+    from event_store_spark.functions.text import whitespace_tokens, word_ngrams
+
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", whitespace_tokens("text").alias("w"))
+        .select("doc_id", "source", F.explode(word_ngrams("w", 5)).alias("g"))
+    )
+    eval_sh = sh.where(F.col("source") == "src0").select("g").distinct()
+    train_sh = sh.where(F.col("source") != "src0").select("doc_id", "g").distinct()
+    return (
+        train_sh.join(eval_sh, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy(F.col("n_contaminated").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "quality_filter",
+    oracle="""
+    WITH q AS (SELECT lang, n_chars,
+        0.5 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+        + 0.3 * least(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                      t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
+                / greatest(len(string_split_regex(trim(text), '\\s+')), 1) * 5.0,
+                1.0)
+        + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                                  AS DOUBLE)
+                / greatest(length(text), 1) * 10.0, 1.0)) AS score
+        FROM documents)
+    SELECT lang, COUNT(*) AS total,
+           CAST(SUM(CASE WHEN score >= 0.55 AND n_chars BETWEEN 100 AND 20000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           ROUND(AVG(score), 3) AS avg_score
+    FROM q GROUP BY lang ORDER BY lang
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4-style keep/drop gate: quality score ≥ 0.55 AND length in
+    [100, 20000] chars, reported per language.
+
+    Composes `text_quality`'s closed-form score with hard length bounds into
+    the keep decision a cleaning pipeline actually applies — one map-side
+    expression per row, one hash aggregation; the same predicate drops into
+    a `.where()` to materialize the filtered corpus."""
+    from event_store_spark.functions.text import (
+        STOPWORDS,
+        stopword_hits,
+        whitespace_tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = whitespace_tokens("text")
+    len_norm = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    punct_norm = F.least(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), F.lit(0))).cast(
+            "double"
+        )
+        / F.greatest(F.length("text"), F.lit(1))
+        * 10.0,
+        F.lit(1.0),
+    )
+    stop_norm = F.least(
+        stopword_hits(w, STOPWORDS["en"]).cast("double")
+        / F.greatest(F.size(w), F.lit(1))
+        * 5.0,
+        F.lit(1.0),
+    )
+    score = 0.5 * len_norm + 0.3 * stop_norm + 0.2 * (1.0 - punct_norm)
+    keep = (score >= 0.55) & F.col("n_chars").between(100, 20000)
+    return (
+        docs.select("lang", "n_chars", score.alias("score"), keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("kept"),
+            F.round(F.avg("score"), 3).alias("avg_score"),
+        )
+        .orderBy("lang")
     )
