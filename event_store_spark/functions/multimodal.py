@@ -95,6 +95,27 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_plan(features: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize planning: target dimensions capped at ``max_dim`` preserving
+    aspect ratio.
+
+    Dimension arithmetic is pure JVM expression — only re-encoding the
+    pixels would need Python (the stubbed decode stage). Emitting the plan
+    separately from the decode lets the expensive pixel pass be scheduled
+    (or skipped for already-small media) from cheap metadata.
+    """
+    g = F.greatest("width", "height")
+    factor = F.when(g > max_dim, F.lit(float(max_dim)) / g).otherwise(F.lit(1.0))
+    return features.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * factor).cast("int").alias("target_w"),
+        F.floor(F.col("height") * factor).cast("int").alias("target_h"),
+        (g > max_dim).alias("needs_resize"),
+    )
+
+
 def frame_sample(features: DataFrame, every_n: int = 4) -> DataFrame:
     """Video frame sampling: explode sampled frame indices per media row.
 
