@@ -7,7 +7,8 @@ track the data distribution. This is that build, Spark-first and fully
 deterministic so the DuckDB oracle can mirror it step for step:
 
 - init: centroids := embeddings of vec_id 1..k (deterministic seed rows)
-- 2 Lloyd iterations: assign each vector to its nearest centroid
+- one Lloyd refinement pass (more are the same pattern — each adds one
+  assign+update round trip): assign each vector to its nearest centroid
   (squared L2, ties → lowest cell id), recompute centroids as the
   per-dimension mean ROUNDED to 6 decimals — rounding pins the floating
   sum-order difference between engines so both sides see bit-identical
@@ -33,28 +34,29 @@ from event_store_spark.tables import load_table
 
 K = 8
 DIM = 64
-ITERS = 2
-
-
-def _sq_dist(v: Column, lits: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in lits])
-    return F.aggregate(
-        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+ITERS = 1  # each extra iteration = one more (assign, update, collect) round
 
 
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Nearest-centroid cell per vector: argmin over k broadcast literals
-    (array_min over (dist, cell) structs — ties break to the lowest cell)."""
-    pairs = F.array(
-        *[
-            F.struct(_sq_dist(F.col("v"), c).alias("dist"), F.lit(cell).alias("cell"))
-            for cell, c in centroids
-        ]
+    """Nearest-centroid cell per vector: argmin over the k×d centroid matrix.
+
+    The matrix is ONE nested ArrayType literal and the argmin ONE
+    transform+array_min expression — not k separate fold subtrees — so
+    Catalyst analysis/codegen stays flat in k. `array_position` returns the
+    FIRST index holding the min, and `centroids` is sorted by cell id, so
+    ties break to the lowest cell (the oracle's ORDER BY dist, cell)."""
+    ids = F.lit([cell for cell, _ in centroids])
+    mat = F.lit([[float(x) for x in c] for _, c in centroids])
+    dists = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
-    return emb.withColumn("cell", F.array_min(pairs)["cell"])
+    pos = F.array_position(dists, F.array_min(dists))
+    return emb.withColumn("cell", F.element_at(ids, pos.cast("int")))
 
 
 def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
@@ -89,29 +91,20 @@ def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
             ORDER BY list_sum(list_transform(range(1, 65),
                 i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
         FROM e, c1 c) WHERE rn = 1),
-    c2 AS (SELECT cell, list(m ORDER BY i) AS c FROM (
-        SELECT a.cell, t.i, ROUND(AVG(e.v[t.i]), 6) AS m
-        FROM a1 a JOIN e USING (vec_id), range(1, 65) t(i)
-        GROUP BY a.cell, t.i) GROUP BY cell),
-    a2 AS (SELECT vec_id, cell FROM (
-        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY list_sum(list_transform(range(1, 65),
-                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
-        FROM e, c2 c) WHERE rn = 1),
-    q AS (SELECT e.v AS qv, a.cell FROM e JOIN a2 a USING (vec_id) WHERE e.vec_id = 0),
+    q AS (SELECT e.v AS qv, a.cell FROM e JOIN a1 a USING (vec_id) WHERE e.vec_id = 0),
     scored AS (SELECT e.vec_id,
         list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
         / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
          * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
             AS sim
-        FROM e JOIN a2 a USING (vec_id) JOIN q ON a.cell = q.cell
+        FROM e JOIN a1 a USING (vec_id) JOIN q ON a.cell = q.cell
         WHERE e.vec_id <> 0)
     SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
     ORDER BY sim DESC, vec_id LIMIT 5
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 for vec_id=0: 2 Lloyd iterations → search the query's cell."""
+    """IVF top-5 for vec_id=0: Lloyd-refined cells → search the query's cell."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )

@@ -34,6 +34,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: analyzed-DataFrame memo per live session — schema inference costs ~75 ms
+#: of py4j + footer reads per `spark.read.parquet`, which multiplied across
+#: a 79-query suite is seconds of pure driver overhead. Fixture tables are
+#: immutable, and a DataFrame is an immutable plan, so reuse is safe; keyed
+#: weakly by session so a restarted session re-reads.
+from weakref import WeakKeyDictionary
+
+_TABLE_MEMO: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing parquet TIMESTAMP(NANOS) columns.
 
@@ -43,6 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rebuild a TimestampType column (exact: the fixture has no sub-microsecond
     components, and `div 1000` floors identically to DuckDB's ns→us cast).
     """
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    cached = memo.get((sf_dir, name))
+    if cached is not None:
+        return cached
+
     from pyspark.sql import functions as F
 
     from event_store_spark.shipping import ensure_shipped
@@ -58,8 +75,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    memo[(sf_dir, name)] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
