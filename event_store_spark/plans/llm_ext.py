@@ -170,6 +170,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.cache()
 
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster")).cache()
+    # min-label propagation strictly decreases every label it changes, so
+    # sum(cluster) is a monotone fixpoint witness — one scalar agg per round
+    # instead of a new-vs-old join
+    label_sum = labels.agg(F.sum("cluster")).first()[0]
     while True:
         msgs = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -186,17 +190,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("cluster")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.agg(
         F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
