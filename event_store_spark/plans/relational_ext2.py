@@ -267,3 +267,75 @@ def q52_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_name")
     )
+
+
+@register(
+    "q53",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+               AS n_orders,
+           (SELECT CAST(epoch_ms(MAX(o_orderdate)) AS BIGINT) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS last_order_ms
+    FROM customer c ORDER BY c_custkey LIMIT 200
+    """,
+)
+def q53_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in SELECT — expressed as the rewrite
+    Catalyst itself applies: pre-aggregate the subquery side once, LEFT
+    join on the correlation key (one shuffle, no per-row subquery
+    execution), COALESCE the COUNT to 0 for unmatched rows."""
+    customer = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.unix_millis(F.max("o_orderdate").cast("timestamp_ltz")).alias("_last"),
+        )
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("_n", F.lit(0)).alias("n_orders"),
+            F.col("_last").alias("last_order_ms"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q54",
+    oracle="""
+    SELECT o_orderkey, kind, CAST(val AS DOUBLE) AS val FROM (
+        SELECT o_orderkey, 'price' AS kind, ROUND(o_totalprice, 2) AS val
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'twice', ROUND(o_totalprice * 2, 2) FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'cust', CAST(o_custkey AS DOUBLE) FROM orders)
+    WHERE o_orderkey < 64 ORDER BY o_orderkey, kind
+    """,
+)
+def q54_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt via `stack` — wide→long reshaping runs inside the
+    generator (executor-local, no shuffle until the final sort), the same
+    mechanism as posexplode in q44. The oracle spells it as UNION ALL,
+    which is the relational identity stack() compiles away from.
+    (×2, not /2: halving a 2-decimal price lands exactly on 3-decimal
+    rounding halves, where the engines' ROUND directions differ.)"""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 64)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "stack(3, 'price', round(o_totalprice, 2), "
+                "'twice', round(o_totalprice * 2, 2), "
+                "'cust', cast(o_custkey as double)) AS (kind, val)"
+            ),
+        )
+        .orderBy("o_orderkey", "kind")
+    )
