@@ -777,3 +777,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
         F.countDistinct("fp").cast("bigint").alias("distinct_fingerprints"),
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle="""
+    WITH bucketed AS (SELECT vec_id, embedding,
+        (CASE WHEN embedding[1]  >= embedding[9]  THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[17] >= embedding[25] THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[33] >= embedding[41] THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[49] >= embedding[57] THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+    p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        AS sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT v1, v2, ROUND(sim, 4) AS sim FROM p
+    ORDER BY sim DESC, v1, v2 LIMIT 10
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with the REAL LSH blocking key: pairs are
+    enumerated only inside hyperplane-sign buckets (the same 4-plane bucket
+    `ann_lsh_topk` searches with), not inside a given label.
+
+    This is `dedup_embedding` with its stand-in blocking key replaced by a
+    data-derived one — no labels required, which is the situation an
+    unlabeled 100 TB corpus is actually in. The bucket equi-self-join keeps
+    pair enumeration sub-quadratic (n²/2^planes expected per bucket); more
+    planes shrink buckets geometrically, and a Hamming-1 probe union (cf.
+    `ann_multiprobe_topk`) recovers cross-boundary pairs when recall
+    matters more than cost."""
+    emb = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("v"))
+    bucket = F.concat(
+        *[
+            F.when(F.col("v")[p * 16] >= F.col("v")[p * 16 + 8], "1").otherwise("0")
+            for p in range(4)
+        ]
+    )
+    emb = emb.withColumn("bucket", bucket).withColumn("nrm", norm(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "v1", "v2")
+        .limit(10)
+    )
