@@ -230,3 +230,42 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q55_salted_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k
+    FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20
+    """,
+)
+def q55_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter aggregation through the EXPLICIT two-stage salted plan
+    (`functions.skew.salted_agg`) — the hot-key layout AQE can't always fix.
+
+    Stage 1 spreads each user over 16 salt buckets (a 30%-hot key becomes
+    16 evenly-sized reducer inputs), stage 2 merges #users×16 tiny
+    partials. Results are exactly the unsalted groupBy's (the oracle IS the
+    unsalted formulation); only the shuffle layout differs."""
+    from event_store_spark.functions.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.from_json("props", "map<string,int>")["k"].alias("k_val")
+    )
+    agg = salted_agg(
+        events,
+        keys=["user_id"],
+        aggs={"n_events": ("user_id", "count"), "sum_k": ("k_val", "sum")},
+        salt_buckets=16,
+    )
+    return (
+        agg.select(
+            "user_id",
+            F.col("n_events"),
+            F.col("sum_k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )
