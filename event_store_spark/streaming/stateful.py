@@ -58,3 +58,57 @@ def running_user_counters(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUTPUT_SCHEMA = "content_hash string, doc_id bigint"
+DEDUP_STATE_SCHEMA = "winner bigint"
+
+
+def _first_seen(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        for _ in pdfs:  # hash already admitted in an earlier batch: drop all
+            pass
+        yield pd.DataFrame(
+            {
+                "content_hash": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+            }
+        )
+        return
+    winner: int | None = None
+    for pdf in pdfs:
+        batch_min = int(pdf["doc_id"].min())
+        winner = batch_min if winner is None else min(winner, batch_min)
+    state.update((winner,))
+    yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [winner]})
+
+
+def streaming_first_seen_dedup(docs_stream: DataFrame) -> DataFrame:
+    """Cross-batch exact dedup: each content hash is admitted ONCE, ever —
+    the ingest-time dedup a training pipeline runs on an unbounded corpus
+    (q30's batch dedup, as a stream).
+
+    Unlike `dropDuplicatesWithinWatermark`, the admission decision has no
+    horizon: per-hash state (the winning doc_id) lives in the streaming
+    state store, so parallelism is per-key, restarts recover from the
+    checkpoint, and a duplicate arriving months later is still dropped.
+    The unbounded state is the honest cost of unbounded dedup — at 100 TB
+    the state store holds one 16-byte-keyed row per distinct document,
+    sharded across executors (the same ledger any exact dedup must keep);
+    bound it with a TTL timeout when the product semantics allow.
+    """
+    from pyspark.sql import functions as F
+
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped()
+    hashed = docs_stream.select(F.md5("text").alias("content_hash"), "doc_id")
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _first_seen,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

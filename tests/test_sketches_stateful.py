@@ -101,3 +101,40 @@ def test_stateful_running_counters_match_batch(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, sf_smoke, tmp_path):
+    """Cross-batch exact dedup: a duplicate arriving in a LATER micro-batch
+    is dropped; each content hash is admitted exactly once with the winning
+    (min) doc_id of its first batch."""
+    from event_store_spark.streaming.stateful import streaming_first_seen_dedup
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    # file 1: the corpus; file 2: re-keyed duplicates of the same texts —
+    # maxFilesPerTrigger=1 makes them separate micro-batches
+    docs.coalesce(1).write.parquet(src)
+    dupes = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    dupes.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_first_seen_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.sql("select * from dedup_out").collect()
+    emitted = [r for r in out if r.doc_id is not None]
+    # one admission per distinct text, never a re-keyed late duplicate
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert len(emitted) == n_distinct
+    assert len({r.content_hash for r in emitted}) == n_distinct
+    assert all(r.doc_id < 1_000_000 for r in emitted)
