@@ -52,3 +52,18 @@ def test_source_quota_window_partitioned_by_source(spark, sf_correct):
     for line in plan.splitlines():
         if line.strip().startswith("Window ") or "WindowExec" in line:
             assert "source" in line, f"unpartitioned window: {line}"
+
+
+def test_sample_stratified_is_map_side(spark, sf_correct):
+    """The keep predicate is row-local: exactly one exchange in the whole
+    plan (the final per-lang aggregation), none before the filter."""
+    plan = _plan(spark, sf_correct, "sample_stratified")
+    assert plan.count("Exchange") <= 2  # partial→final agg exchange only
+    head = plan.split("Exchange")[-1]  # deepest fragment: scan side
+    assert "Filter" in head or "Scan" in head
+
+
+def test_contamination_join_is_hash_equi(spark, sf_correct):
+    plan = _plan(spark, sf_correct, "contamination_ngram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
