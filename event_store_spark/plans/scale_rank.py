@@ -49,15 +49,24 @@ def global_rank(
         for row in banded.groupBy("_band").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     total = sum(counts.values())
-    offsets: list[Column] = []
+    bands = sorted(counts)
+    offsets: list[int] = []
     acc = 0
-    for b in sorted(counts):
-        offsets.extend((F.lit(b), F.lit(acc)))
+    for b in bands:
+        offsets.append(acc)
         acc += counts[b]
-    offset_of = F.create_map(*offsets)
+    # two ArrayType literals + array_position, NOT create_map of 2·#bands
+    # scalar lits — #bands can be thousands and per-node literal trees
+    # dominate Catalyst analysis (same lesson as plans/ivf.py). Beyond
+    # ~100k bands, swap the literal lookup for a broadcast join against the
+    # (band, offset) table.
+    band_arr = F.lit([int(b) for b in bands])
+    offset_arr = F.lit(offsets)
     w = W.partitionBy("_band").orderBy(*order_cols)
     ranked = banded.withColumn(
-        rank_col, F.row_number().over(w) + offset_of[F.col("_band")]
+        rank_col,
+        F.row_number().over(w)
+        + F.element_at(offset_arr, F.array_position(band_arr, F.col("_band")).cast("int")),
     ).drop("_band")
     return ranked, total
 
