@@ -148,7 +148,9 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a high-cardinality key; the eval side is tiny relative to the corpus
     (broadcast in practice — AQE picks it up from runtime stats), so the
     training side is never re-shuffled more than once. No pair enumeration
-    outside shared shingles."""
+    outside shared shingles. The shingle lineage feeds both join sides, so
+    this plan tokenizes the corpus twice — at 100 TB, materialize the
+    shingle table once (or persist) and join the two filters of it."""
     from event_store_spark.functions.text import whitespace_tokens, word_ngrams
 
     sh = (
