@@ -271,3 +271,37 @@ def q55_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+          FROM documents)
+    GROUP BY t ORDER BY freq DESC, token LIMIT 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by frequency with document
+    frequency — the counting pass tokenizer training (BPE/unigram) starts
+    from, and the stopword-list builder for quality scoring.
+
+    Explode → one hash aggregation (map-side partials carry most of the
+    weight: token frequency is Zipfian, so partial aggs collapse the head
+    before the shuffle) → TakeOrdered top-k. Exact integer counts — no
+    float parity risk."""
+    from event_store_spark.functions.text import whitespace_tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(whitespace_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
