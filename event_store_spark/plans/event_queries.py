@@ -140,3 +140,43 @@ def q37_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(500)
     )
+
+
+@register(
+    "q56",
+    oracle="""
+    WITH h AS (SELECT CAST(epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                           AS BIGINT) AS hr, value
+               FROM events),
+    x AS (SELECT hr AS win_start_ms, value FROM h
+          UNION ALL
+          SELECT hr - 3600000, value FROM h)
+    SELECT win_start_ms, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+)
+def q56_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 2-hour windows advancing every hour —
+    each event contributes to exactly duration/slide = 2 windows.
+
+    Spark's `window(ts, '2 hours', '1 hour')` expands rows to their
+    overlapping windows inside the executor (a generator, like explode)
+    before one hash aggregation; the oracle spells the same expansion as a
+    UNION ALL of the two shifted hourly assignments. The streaming twin is
+    the identical expression under a watermark. Completes the window-family
+    coverage: tumbling (q36), session (q37), hopping (here)."""
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("win_start_ms")
+    )

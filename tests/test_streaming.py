@@ -350,3 +350,39 @@ def test_replication_survives_checkpoint_loss(spark, tmp_path, store):
     t = spark.read.parquet(rep2.target_path(topic))
     assert t.count() == 5  # new row replicated (no skip)
     assert t.select("lsn", "id").distinct().count() == 5  # no duplicates
+
+
+def test_streaming_hopping_window_matches_batch(spark, tmp_path, sf_smoke):
+    """S-B extension: 2h/1h hopping windows over the streamed events table
+    match the q56 batch analog on the same data."""
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_hop_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_millis(F.col("w.start")).alias("win_start_ms"), "cnt", "sum_value")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hop_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hop_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.win_start_ms: (r.cnt, r.sum_value)
+        for r in spark.sql("select * from hop_out").collect()
+    }
+    expected = {
+        r.win_start_ms: (r.cnt, r.sum_value)
+        for r in events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_millis(F.col("w.start")).alias("win_start_ms"), "cnt", "sum_value")
+        .collect()
+    }
+    assert got == expected
