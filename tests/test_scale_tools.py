@@ -85,3 +85,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_global_rank_edge_cases(spark):
+    """Two-pass rank == unpartitioned-window rank on degenerate inputs:
+    single row, constant band (worst-case skew), negative band values."""
+    from pyspark.sql import Window as W
+    from event_store_spark.plans.scale_rank import global_rank
+
+    cases = [
+        [(1.0, 1)],                                   # single row
+        [(5.0, i) for i in range(7)],                 # constant key → one band
+        [(-3.2, 1), (-3.1, 2), (0.0, 3), (2.5, 4)],   # negative bands
+        [(float(i % 3), i) for i in range(20)],       # ties broken by id
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "price double, id int")
+        ranked, total = global_rank(df, F.floor("price"), ["price", "id"])
+        assert total == len(rows)
+        got = {r.id: r._rank for r in ranked.collect()}
+        w = W.orderBy("price", "id")
+        expected = {
+            r.id: r.rk
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()
+        }
+        assert got == expected, rows
