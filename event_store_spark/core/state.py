@@ -105,12 +105,23 @@ class TicketStore(_AtomicJsonState):
     records the batch's high water after computing it from the batch alone,
     so appends never read pre-existing topic files. A crash between the
     reservation and the parquet write leaves an lsn gap (never a duplicate
-    lsn), mirroring a WAL that reserves LSNs ahead of the commit record.
-    Legacy topics without a ticket are recovered by one explicit scan.
+    lsn), mirroring a WAL that reserves LSNs ahead of the commit record;
+    until repaired, the orphaned reservation also makes max_id/total — and
+    the O(1) gauges built on them — overcount by that one batch (data
+    correctness is unaffected; `EventStore.repair_ticket` rebuilds from the
+    parquet source of truth). Legacy topics without a ticket are recovered
+    by one explicit scan.
     """
 
     def get(self, topic: str) -> dict | None:
         return self._read().get(topic)
+
+    def drop(self, topic: str) -> None:
+        """Forget a topic's ticket (it will be rebuilt from parquet)."""
+        data = self._read()
+        if topic in data:
+            del data[topic]
+            self._write(data)
 
     def save(
         self,

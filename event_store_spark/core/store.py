@@ -230,6 +230,18 @@ class EventStore:
         ticketed) — the substrate for lag gauges and resume decisions."""
         return self._ticket(topic)
 
+    def repair_ticket(self, topic: str) -> dict | None:
+        """Rebuild the append ticket from the parquet source of truth.
+
+        Run after a crash that landed between the ticket reservation and the
+        data write: the orphaned reservation makes max_id/total (and the
+        gauges derived from them) overcount by that batch until repaired.
+        One explicit O(topic) scan — the cost the ticket otherwise avoids on
+        every append. Mirrors the reference recovering its counters from the
+        table itself after losing a sequence cache."""
+        self._tickets.drop(topic)
+        return self._ticket(topic)
+
     def _topic_key_type(self, topic: str) -> str | None:
         """The topic's established key type (None for new/empty topics)."""
         ticket = self._ticket(topic)

@@ -73,11 +73,15 @@ def kafka_reader_options(
 
 
 def kafka_writer_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
-    """Sink options for producing one event topic (headers included)."""
+    """Sink options for producing one event topic.
+
+    Headers need no option on the SINK side — Spark's Kafka writer emits
+    them whenever the DataFrame carries a `headers` column
+    (`records_to_kafka_sink` always does); `includeHeaders` is a
+    source-only option."""
     return {
         "kafka.bootstrap.servers": bootstrap_servers,
         "topic": topic,
-        "includeHeaders": "true",
     }
 
 

@@ -365,3 +365,29 @@ def test_view_bridges_to_sql(store, spark):
     name = store.view("v_events")
     got = spark.sql(f"SELECT payload FROM {name} WHERE lsn = 1").first()
     assert got.payload == "hello"
+
+
+def test_repair_ticket_after_orphaned_reservation(store, spark):
+    """Crash window honesty: a ticket reservation whose data write never
+    landed overcounts the gauges; repair_ticket rebuilds from parquet."""
+    store.append("rep_events", _payload_df(spark, [("k", "p", TS)]))
+    store.append("rep_events", _payload_df(spark, [("k", "p", TS)]))
+    true_ticket = dict(store.high_water("rep_events"))
+    # simulate the crash: reservation saved, parquet write lost
+    store._tickets.save(
+        "rep_events",
+        lsn=true_ticket["lsn"] + 1,
+        max_id=true_ticket["max_id"] + 5,
+        total=true_ticket["total"] + 5,
+        key_type=true_ticket["key_type"],
+        day_partitioned=true_ticket["day_partitioned"],
+    )
+    assert store.lag("rep_events", Cursor.zero()) == true_ticket["lsn"] + 1  # inflated
+    repaired = store.repair_ticket("rep_events")
+    assert repaired["lsn"] == true_ticket["lsn"]
+    assert repaired["max_id"] == true_ticket["max_id"]
+    assert repaired["total"] == true_ticket["total"]
+    assert store.lag("rep_events", Cursor.zero()) == true_ticket["lsn"]
+    # appends continue correctly after repair
+    cur = store.append("rep_events", _payload_df(spark, [("k", "p", TS)]))
+    assert cur.lsn == true_ticket["lsn"] + 1

@@ -62,10 +62,11 @@ def test_reader_options_default_earliest():
 
 def test_writer_options():
     opts = kafka_writer_options("broker:9092", "t_events")
+    # no includeHeaders: that's a SOURCE option; the sink emits headers
+    # whenever the DataFrame carries a headers column
     assert opts == {
         "kafka.bootstrap.servers": "broker:9092",
         "topic": "t_events",
-        "includeHeaders": "true",
     }
 
 
