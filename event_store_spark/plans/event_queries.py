@@ -180,3 +180,45 @@ def q56_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start_ms")
     )
+
+
+@register(
+    "q57",
+    oracle="""
+    SELECT user_id, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+           ROUND(SUM(value) OVER w, 2) AS rolling_1h,
+           COUNT(*) OVER w AS n_1h
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                 RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_ms LIMIT 500
+    """,
+)
+def q57_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user aggregates via a time-RANGE window frame —
+    the continuous-rollup shape time-series stores call a hypertable
+    rollup, expressed as a plain range frame over epoch milliseconds.
+
+    The frame bound is integer milliseconds on BOTH engines (no float
+    epoch seconds), so frame membership is bit-identical. The window
+    partitions by user — parallel across users; rows with equal (user, ts)
+    share a frame and produce identical rows, keeping the LIMIT stable."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ts_ms)
+        .rangeBetween(-3_599_999, 0)
+    )
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            ts_ms.alias("ts_ms"),
+            F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+        )
+        .orderBy("user_id", "ts_ms")
+        .limit(500)
+    )
