@@ -27,3 +27,13 @@ def test_all_queries_return_rows_smoke(spark, sf_smoke):
         df = fn(spark, sf_smoke)
         assert df.columns, f"{name} produced no schema"
         df.collect()
+
+
+def test_registry_consistency():
+    """Every oracle belongs to a registered query; entry contract exposes
+    exactly the registry (driver-contract invariant)."""
+    import __spark_entry__ as mod
+
+    assert set(ORACLE) <= set(QUERIES)
+    assert set(mod.queries()) == set(QUERIES)
+    assert mod.oracle_sql() == ORACLE
