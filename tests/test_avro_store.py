@@ -139,3 +139,25 @@ def test_strict_decode_still_rejects_foreign_frames(spark, tmp_path):
     df = spark.createDataFrame([(frame(99, body),)], "data binary")
     with pytest.raises(Exception, match="schema id mismatch"):
         df.select(from_confluent_avro(F.col("data"), SCHEMA, 1)).collect()
+
+
+def test_decode_newer_frames_with_older_reader(spark):
+    """Evolution, reverse direction: frames written with the NEWER schema
+    decode under the older reader — extra writer fields are discarded
+    (reader projection), mirroring Avro reader/writer resolution."""
+    from event_store_spark.avro.codec import RecordCodec, frame
+    from event_store_spark.avro.spark import from_confluent_avro
+    from pyspark.sql import functions as F
+
+    v2 = RecordCodec(SCHEMA_V2)
+    body = v2.encode(
+        {"item": "widget", "qty": 4, "discount": 0.1, "channel": "app"}
+    )
+    df = spark.createDataFrame([(frame(2, body),)], "data binary")
+    out = df.select(
+        from_confluent_avro(
+            F.col("data"), SCHEMA, 1, writer_schemas={1: SCHEMA, 2: SCHEMA_V2}
+        ).alias("p")
+    ).first()
+    assert out.p.item == "widget" and out.p.qty == 4
+    assert list(out.p.asDict()) == ["item", "qty"]  # v2-only fields dropped
