@@ -138,3 +138,47 @@ def test_streaming_first_seen_dedup_across_batches(spark, sf_smoke, tmp_path):
     assert len(emitted) == n_distinct
     assert len({r.content_hash for r in emitted}) == n_distinct
     assert all(r.doc_id < 1_000_000 for r in emitted)
+
+
+def test_streaming_dedup_state_survives_restart(spark, sf_smoke, tmp_path):
+    """The admission ledger lives in the checkpointed state store: a SECOND
+    query run (fresh StreamingQuery, same checkpoint) still drops
+    duplicates admitted by the first run."""
+    from pyspark.sql import functions as F
+    from event_store_spark.streaming.stateful import streaming_first_seen_dedup
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text").limit(50)
+    src = str(tmp_path / "restart_src")
+    ck = str(tmp_path / "restart_ck")
+    emitted: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_first_seen_dedup(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    docs.coalesce(1).write.parquet(src)
+    run_once()
+    first_run = len(emitted)
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert first_run == n_distinct
+
+    # new file of re-keyed duplicates, NEW query instance, same checkpoint
+    docs.select((F.col("doc_id") + 500_000).alias("doc_id"), "text").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    assert len(emitted) == first_run  # every late duplicate dropped via state
