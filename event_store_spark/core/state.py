@@ -27,10 +27,90 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 
 from event_store_spark.core.cursor import Cursor
 
 NOOP_KEY = "noop"  # progress-topic priming record parity (EventReplicator.java:85)
+
+
+class TopicMutex:
+    """O_EXCL-based per-topic append mutex.
+
+    :class:`TicketStore`'s ``save`` is an atomic file replace, but the
+    reserve step in ``EventStore.append`` is a read-modify-write (read
+    ticket → compute next lsn → save) — two concurrent appends to one topic
+    could both read the same ticket and reserve the same lsn, violating the
+    never-a-duplicate-lsn invariant. This mutex serializes that critical
+    section, the file-system analog of the reference's advisory lock
+    (`LockManager.java:45-84` — there one lock guards the whole writer; here
+    one short-lived lock guards each append's reserve+write).
+
+    Acquire blocks up to ``timeout_seconds`` (appends are short); a lock
+    file older than ``stale_seconds`` is an orphan from a crashed append and
+    is broken (os.replace is atomic, so two breakers cannot both win).
+    """
+
+    def __init__(self, lock_dir: str, timeout_seconds: float = 30.0, stale_seconds: float = 120.0):
+        self.lock_dir = lock_dir
+        self.timeout_seconds = timeout_seconds
+        self.stale_seconds = stale_seconds
+        os.makedirs(lock_dir, exist_ok=True)
+
+    def _path(self, topic: str) -> str:
+        return os.path.join(self.lock_dir, f"{topic}.lock")
+
+    def acquire(self, topic: str) -> None:
+        import uuid
+
+        path = self._path(topic)
+        token = uuid.uuid4().hex  # per-acquire identity (pid is shared by threads)
+        deadline = time.monotonic() + self.timeout_seconds
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(token)
+                return
+            except FileExistsError:
+                pass
+            try:
+                if (time.time() - os.path.getmtime(path)) > self.stale_seconds:
+                    # orphaned lock (holder crashed mid-append): steal via
+                    # atomic replace — the LAST replacer owns it, so verify
+                    # the file now carries OUR token before proceeding
+                    os.replace(self._write_tmp(token), path)
+                    if self._holder(path) == token:
+                        return
+                    continue
+            except FileNotFoundError:
+                continue  # released between open and stat — retry now
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"append mutex for topic {topic!r} held beyond "
+                    f"{self.timeout_seconds}s (stale after {self.stale_seconds}s)"
+                )
+            time.sleep(0.02)
+
+    def _write_tmp(self, token: str) -> str:
+        fd, tmp = tempfile.mkstemp(dir=self.lock_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(token)
+        return tmp
+
+    @staticmethod
+    def _holder(path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def release(self, topic: str) -> None:
+        try:
+            os.unlink(self._path(topic))
+        except FileNotFoundError:
+            pass
 
 
 class _AtomicJsonState:

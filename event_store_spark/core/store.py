@@ -40,7 +40,7 @@ from event_store_spark.core.envelope import (
     typed_key_view,
     validate_metadata,
 )
-from event_store_spark.core.state import TicketStore
+from event_store_spark.core.state import TicketStore, TopicMutex
 
 TOPIC_SUFFIX = "_events"
 
@@ -53,6 +53,7 @@ class EventStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._tickets = TicketStore(os.path.join(root, "_meta", "tickets.json"))
+        self._append_mutex = TopicMutex(os.path.join(root, "_meta", "locks"))
 
     # ------------------------------------------------------------- paths
 
@@ -114,6 +115,12 @@ class EventStore:
         implementation paid two O(table) scans per append (MAX(lsn) +
         post-write re-read); at 100 TB that is two million-file listings
         per append.
+
+        Concurrency: the reserve (read ticket → next lsn → save) and the
+        data write run under a per-topic :class:`TopicMutex`, so concurrent
+        appends to one topic serialize instead of both reserving the same
+        lsn — the advisory-lock single-writer invariant the reference holds
+        (`LockManager.java:45-84`), enforced per append rather than assumed.
         """
         if key_type not in KEY_TYPES:
             raise ValueError(f"key_type must be one of {KEY_TYPES}")
@@ -125,6 +132,22 @@ class EventStore:
         if validate:
             validate_metadata(df)
 
+        self._append_mutex.acquire(topic)
+        try:
+            return self._append_locked(
+                topic, df, key_type, partition_by_day, payload_cols
+            )
+        finally:
+            self._append_mutex.release(topic)
+
+    def _append_locked(
+        self,
+        topic: str,
+        df: DataFrame,
+        key_type: str,
+        partition_by_day: bool,
+        payload_cols: list[str],
+    ) -> Cursor:
         ticket = self._ticket(topic)
         if ticket is not None:
             if ticket["day_partitioned"] != partition_by_day:

@@ -130,10 +130,14 @@ def q50_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ranked, n = _part_ranked(spark, sf_dir)
     r = F.col("_rank")
+    # max(n-1, 1): percent_rank of a single-row table is 0 (rank-1 == 0, so
+    # the divisor is irrelevant) — without the guard n==1 divides by zero
+    # (null pr in default mode, an error under ANSI), mirroring q19_scale's
+    # max(q, 1) guard
     return (
         ranked.select(
             "p_partkey",
-            F.round((r - F.lit(1)) / F.lit(n - 1), 4).alias("pr"),
+            F.round((r - F.lit(1)) / F.lit(max(n - 1, 1)), 4).alias("pr"),
             F.round(r / F.lit(n), 5).alias("cd"),
         )
         .orderBy("p_partkey")

@@ -171,8 +171,9 @@ class Replicator:
                     # sink is at-least-once, so exactly-once is restored on
                     # the consumer side by the (lsn, id) header cursor —
                     # redelivered records carry an already-seen cursor and
-                    # are dropped by the same keyset predicate consumers
-                    # apply for resume (F1).
+                    # are dropped by Subscription's per-partition keyset
+                    # filter (`subscribe.Subscription._kafka_process_and_offset`,
+                    # F1) before any projection runs.
                     from event_store_spark.streaming.kafka import (
                         kafka_writer_options,
                         records_to_kafka_sink,

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from event_store_spark.core.cursor import Cursor
+from event_store_spark.core.cursor import Cursor, keyset_after
 from event_store_spark.core.state import OffsetsTable
 from event_store_spark.core.store import EventStore
 from event_store_spark.streaming.eos import exactly_once_batch
@@ -50,6 +50,7 @@ class Subscription:
         source: str = "files",
         bootstrap_servers: str | None = None,
         partitions: list[int] | None = None,
+        kafka_raw_source: Callable[[SparkSession], DataFrame] | None = None,
     ):
         if source not in ("files", "kafka"):
             raise ValueError("source must be 'files' or 'kafka'")
@@ -62,6 +63,13 @@ class Subscription:
         self.source = source
         self.bootstrap_servers = bootstrap_servers
         self.partitions = partitions or [0]
+        #: injection seam for broker-less contract tests / custom connectors:
+        #: a callable producing a STREAMING DataFrame with the exact
+        #: `format("kafka")` source schema (KAFKA_SOURCE_SCHEMA); when set,
+        #: the kafka branch decodes it through the identical
+        #: kafka_source_to_records → from_kafka_records composition, so the
+        #: whole EOS path below .load() is exercised without a broker.
+        self.kafka_raw_source = kafka_raw_source
 
     def _spark(self) -> SparkSession:
         return self.store.spark
@@ -79,6 +87,13 @@ class Subscription:
         if self.source == "kafka":
             from event_store_spark.streaming.kafka import kafka_stream
 
+            if self.kafka_raw_source is not None:
+                from event_store_spark.streaming.kafka import kafka_source_to_records
+                from event_store_spark.streaming.replicate import from_kafka_records
+
+                return from_kafka_records(
+                    kafka_source_to_records(self.kafka_raw_source(self._spark()))
+                )
             extra = {}
             if self.max_files_per_trigger:
                 # O2 batching: the offset-count analog of maxFilesPerTrigger
@@ -110,9 +125,26 @@ class Subscription:
         returns, the offsets table records the batch's high-water (lsn, id)
         cursor and batch id in one atomic update. Redelivered batches are
         skipped before the processor runs.
+
+        Kafka source: Spark's Kafka producer is at-least-once, so individual
+        records can also be duplicated inside otherwise-new batches. The
+        kafka branch therefore (a) filters each batch by the per-partition
+        (lsn, id) keyset cursor BEFORE the processor runs — the consumer-side
+        dedupe the replicator's sink relies on (F1) — and (b) stores REAL
+        broker offsets per partition (max of the batch's offset column, duped
+        records included: they were consumed) so a restart's seek(last+1)
+        addresses actual broker positions, alongside the per-partition
+        high-water (lsn, id) cursor for the next keyset filter. The dedupe
+        cursor is per PARTITION, not global: Kafka only orders within a
+        partition, so a lagging partition's fresh rows may carry smaller
+        (lsn, id) than an advanced partition's cursor — a single topic-level
+        cursor would wrongly drop them.
         """
 
         def process_and_offset(df: DataFrame, batch_id: int) -> None:
+            if self.source == "kafka":
+                self._kafka_process_and_offset(topic, processor, df, batch_id)
+                return
             processor(df, batch_id)
             stats = df.agg(
                 F.max(F.struct("lsn", "id")).alias("hw"),
@@ -153,6 +185,80 @@ class Subscription:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def _kafka_process_and_offset(
+        self,
+        topic: str,
+        processor: Callable[[DataFrame, int], None],
+        df: DataFrame,
+        batch_id: int,
+    ) -> None:
+        """Kafka-branch batch step: keyset-dedupe, project, record offsets.
+
+        partition/offset ride in the decoded event's metadata map (see
+        `from_kafka_records`); they are lifted back to typed columns here.
+        One persist, one pass for the per-partition stats; the offsets table
+        gets one row per partition present in the batch (real broker
+        offset + (lsn, id) high water), and partition 0 always records the
+        batch id (it carries the idempotence bookkeeping
+        `exactly_once_batch` reads).
+        """
+        part = F.decode(F.col("metadata")["partition"], "UTF-8").cast("int")
+        off = F.decode(F.col("metadata")["offset"], "UTF-8").cast("long")
+        cursors = {p: self.offsets.get_cursor(topic, p) for p in self.partitions}
+        keep = F.lit(True)
+        for p, cur in cursors.items():
+            if cur is not None:
+                # strictly past partition p's stored cursor (rows from other
+                # partitions pass this clause vacuously)
+                keep = keep & ((part != p) | keyset_after(cur))
+        marked = (
+            df.withColumn("_part", part)
+            .withColumn("_off", off)
+            .withColumn("_keep", keep)
+            .persist()
+        )
+        try:
+            fresh = (
+                marked.where(F.col("_keep"))
+                # producer-retry duplicates arriving within ONE batch carry
+                # the same (lsn, id) at distinct broker offsets
+                .dropDuplicates(["lsn", "id"])
+                .drop("_part", "_off", "_keep")
+            )
+            processor(fresh, batch_id)
+            stats = (
+                marked.groupBy("_part")
+                .agg(
+                    # consumed broker position includes filtered duplicates —
+                    # they WERE consumed; resume must not refetch them
+                    F.max("_off").alias("off"),
+                    F.max(F.when(F.col("_keep"), F.struct("lsn", "id"))).alias("hw"),
+                )
+                .collect()
+            )
+            seen = set()
+            for row in stats:
+                p = row["_part"]
+                seen.add(p)
+                prev = cursors.get(p) or self.offsets.get_cursor(topic, p)
+                hw = row["hw"]
+                cur = Cursor(hw["lsn"], hw["id"]) if hw is not None else prev
+                self.offsets.upsert(
+                    topic, row["off"], partition=p, batch_id=batch_id, cursor=cur
+                )
+            if 0 not in seen:
+                # no partition-0 rows this batch: preserve its position but
+                # still record the batch id for redelivery skipping
+                self.offsets.upsert(
+                    topic,
+                    self.offsets.get(topic, 0),
+                    partition=0,
+                    batch_id=batch_id,
+                    cursor=self.offsets.get_cursor(topic, 0),
+                )
+        finally:
+            marked.unpersist()
+
     def lag(self, topic: str) -> int:
         """Consumer lag (A2 analog): events appended beyond the last
         processed position, as O(1) arithmetic — appended total (from the
@@ -161,7 +267,16 @@ class Subscription:
         (txn-marker correction, `ReactorKafkaEventStore.java:379-400`);
         without Kafka transaction markers the correction term is zero.
         Round 1 computed this with a full keyset scan-and-count — an
-        O(table) Spark job per gauge read."""
+        O(table) Spark job per gauge read.
+
+        File-source only: against Kafka the stored offsets are REAL broker
+        positions and lag is broker end-offset − consumed, which needs the
+        broker's end offsets (admin API), not the store ticket."""
+        if self.source == "kafka":
+            raise ValueError(
+                "lag gauge applies to the file source; Kafka lag = broker "
+                "end offset - stored offset (query the broker admin API)"
+            )
         ticket = self.store.high_water(topic)
         total = ticket["total"] if ticket else 0
         consumed = self.offsets.get(topic) + 1  # stored as 0-based index

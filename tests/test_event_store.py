@@ -391,3 +391,62 @@ def test_repair_ticket_after_orphaned_reservation(store, spark):
     # appends continue correctly after repair
     cur = store.append("rep_events", _payload_df(spark, [("k", "p", TS)]))
     assert cur.lsn == true_ticket["lsn"] + 1
+
+
+def test_concurrent_appends_serialize_unique_lsns(store, spark):
+    """Two appends racing on one topic must never reserve the same lsn
+    (TicketStore.save alone is a read-modify-write; the per-topic
+    TopicMutex serializes the reserve+write critical section)."""
+    import threading
+
+    cursors, errors = [], []
+
+    def worker(i: int) -> None:
+        try:
+            cursors.append(
+                store.append("race_events", _payload_df(spark, [(f"k{i}", "p", TS)]))
+            )
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    lsns = sorted(c.lsn for c in cursors)
+    assert lsns == [1, 2, 3, 4, 5, 6]  # all distinct, contiguous
+    ticket = store.high_water("race_events")
+    assert ticket["lsn"] == 6 and ticket["total"] == 6
+    # data agrees with bookkeeping: 6 rows, 6 distinct lsns
+    df = store.read_events("race_events")
+    assert df.count() == 6
+    assert df.select("lsn").distinct().count() == 6
+
+
+def test_append_mutex_breaks_stale_lock(store, spark, tmp_path):
+    """An orphaned lock file from a crashed append (older than
+    stale_seconds) is broken instead of deadlocking future appends."""
+    import os
+    import time
+
+    lock_path = store._append_mutex._path("stale_events")
+    store._append_mutex.acquire("stale_events")  # simulate crash: never released
+    old = time.time() - 1000
+    os.utime(lock_path, (old, old))
+    store._append_mutex.stale_seconds = 5.0
+    cur = store.append("stale_events", _payload_df(spark, [("k", "p", TS)]))
+    assert cur.lsn == 1
+
+
+def test_append_mutex_times_out_on_live_contention(store, spark):
+    """A fresh (non-stale) foreign lock makes append fail fast with
+    TimeoutError rather than corrupting the ticket."""
+    store._append_mutex.acquire("held_events")
+    store._append_mutex.timeout_seconds = 0.3
+    with pytest.raises(TimeoutError, match="held_events"):
+        store.append("held_events", _payload_df(spark, [("k", "p", TS)]))
+    store._append_mutex.release("held_events")
+    store._append_mutex.timeout_seconds = 30.0
+    assert store.append("held_events", _payload_df(spark, [("k", "p", TS)])).lsn == 1

@@ -1,0 +1,232 @@
+"""Kafka-path EOS contract: the full foreachBatch pipeline driven end-to-end
+against an injected broker-shaped source (no broker in this environment).
+
+Mirrors the reference's broker integration tests by behavior:
+- `ReactorKafkaEventStoreIT.java:262-317` — crash mid-consumption, restart,
+  every event projected exactly once
+- producer at-least-once semantics: redelivered records (same (lsn, id)
+  cursor at NEW broker offsets) are dropped by the consumer's per-partition
+  keyset filter before the projection runs (replicate.py's documented
+  consumer-side dedupe)
+- offsets table stores REAL per-partition broker offsets, so a restart's
+  seek(last+1) addresses actual broker positions (multi-partition safe)
+
+The injected source is a streaming DataFrame with the exact
+`format("kafka")` source schema, fed through the IDENTICAL decode
+composition (`kafka_source_to_records` → `from_kafka_records`) the broker
+branch uses — only `.load()` is swapped out.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from event_store_spark.core import EventStore
+from event_store_spark.core.state import OffsetsTable
+from event_store_spark.streaming import Subscription
+from event_store_spark.streaming.kafka import KAFKA_SOURCE_SCHEMA
+from event_store_spark.streaming.replicate import to_kafka_records
+
+TS = datetime.datetime(2025, 1, 4, 12, 0, 0)
+TOPIC = "kc_events"
+N_PARTITIONS = 2
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "store"))
+
+
+def _seed(spark, store, n=8, batches=2):
+    per = n // batches
+    for b in range(batches):
+        rows = [
+            (f"k{b * per + i}", f"p{b * per + i}", TS + datetime.timedelta(minutes=i))
+            for i in range(per)
+        ]
+        store.append(
+            TOPIC,
+            spark.createDataFrame(
+                rows, "key string, payload string, timestamp timestamp"
+            ),
+        )
+
+
+class _FakeBroker:
+    """Per-partition append log on parquet: assigns contiguous broker
+    offsets per partition across publishes, like a real broker."""
+
+    def __init__(self, spark, store, broker_dir):
+        self.spark = spark
+        self.store = store
+        self.dir = broker_dir
+        self.next_off = {p: 0 for p in range(N_PARTITIONS)}
+
+    def publish(self, only_lsn=None, force_partition=None):
+        """'Produce' the store's outbound records into the broker log:
+        project `to_kafka_records` output into the exact Kafka SOURCE
+        schema with broker-assigned partition (hash of key, or forced) and
+        per-partition contiguous offsets. One parquet file per call = one
+        micro-batch under maxFilesPerTrigger=1."""
+        recs = to_kafka_records(self.store.read_events(TOPIC))
+        if only_lsn is not None:
+            recs = recs.where(F.col("lsn") == only_lsn)
+        if force_partition is not None:
+            part = F.lit(force_partition).cast("int")
+        else:
+            part = F.pmod(F.xxhash64(F.col("key")), F.lit(N_PARTITIONS)).cast("int")
+        w = W.partitionBy("partition").orderBy("lsn", "id")
+        base_expr = F.when(F.col("partition") == 0, F.lit(self.next_off[0])).otherwise(
+            F.lit(self.next_off[1])
+        )
+        broker = (
+            recs.withColumn("partition", part)
+            .withColumn(
+                "offset", (F.row_number().over(w) - 1 + base_expr).cast("long")
+            )
+            .select(
+                "key",
+                "value",
+                F.lit(TOPIC).alias("topic"),
+                "partition",
+                "offset",
+                F.timestamp_millis(F.col("timestamp_ms")).alias("timestamp"),
+                F.lit(0).alias("timestampType"),
+                "headers",
+            )
+        )
+        assert [f.name for f in broker.schema.fields] == [
+            f.split(" ")[0] for f in KAFKA_SOURCE_SCHEMA.split(", ")
+        ]
+        broker.coalesce(1).write.mode("append").parquet(self.dir)
+        for r in (
+            broker.groupBy("partition").agg(F.max("offset").alias("max_off")).collect()
+        ):
+            self.next_off[r["partition"]] = r["max_off"] + 1
+
+    def end_offset(self, p: int) -> int:
+        """Last assigned offset per partition (-1 when empty)."""
+        return self.next_off[p] - 1
+
+
+def _subscription(spark, store, offsets, broker_dir, ckpt):
+    raw = lambda s: (  # noqa: E731 — injected broker-shaped streaming source
+        s.readStream.schema(KAFKA_SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(broker_dir)
+    )
+    return Subscription(
+        store,
+        offsets,
+        ckpt,
+        source="kafka",
+        bootstrap_servers="injected:9092",
+        partitions=list(range(N_PARTITIONS)),
+        kafka_raw_source=raw,
+    )
+
+
+def test_kafka_eos_crash_resume_and_producer_redelivery(spark, store, tmp_path):
+    _seed(spark, store, n=8, batches=2)
+    broker = _FakeBroker(spark, store, str(tmp_path / "broker"))
+    # two publishes = two files = two micro-batches
+    broker.publish(only_lsn=1)
+    broker.publish(only_lsn=2)
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    seen: list[tuple[int, int]] = []
+    crashed = {"done": False}
+
+    def processor(df, batch_id):
+        rows = df.select("lsn", "id", "data").collect()
+        if rows and not crashed["done"] and batch_id >= 1:
+            # crash BEFORE effects on the second batch's first delivery —
+            # the worst-case consumer death the reference IT simulates
+            crashed["done"] = True
+            raise RuntimeError("simulated consumer crash")
+        seen.extend((r["lsn"], r["id"]) for r in rows)
+
+    sub = _subscription(spark, store, offsets, broker.dir, str(tmp_path / "ck"))
+    q = sub.run(TOPIC, processor)
+    try:
+        q.awaitTermination(120)
+    except Exception as e:
+        assert "simulated consumer crash" in str(e)
+    assert crashed["done"]
+
+    # restart with the same checkpoint: the crashed batch redelivers and
+    # processes; already-committed batches are skipped by batch id
+    q = _subscription(spark, store, offsets, broker.dir, str(tmp_path / "ck")).run(
+        TOPIC, processor
+    )
+    q.awaitTermination(120)
+
+    expected = {
+        (r["lsn"], r["id"])
+        for r in store.read_events(TOPIC).select("lsn", "id").collect()
+    }
+    assert len(seen) == len(expected) == 8  # exactly once, no dup, no skip
+    assert set(seen) == expected
+    # offsets table stores REAL broker offsets per partition (seek target)
+    for p in range(N_PARTITIONS):
+        assert offsets.get(TOPIC, p) == broker.end_offset(p)
+        assert offsets.get_cursor(TOPIC, p) is not None
+
+    # producer redelivery: the SAME events re-produced at NEW broker offsets
+    # (at-least-once Kafka sink retry) — consumer must drop every record via
+    # the per-partition keyset filter yet still advance broker offsets
+    broker.publish()
+    q = _subscription(spark, store, offsets, broker.dir, str(tmp_path / "ck")).run(
+        TOPIC, processor
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 8  # zero duplicate projections
+    for p in range(N_PARTITIONS):
+        assert offsets.get(TOPIC, p) == broker.end_offset(p)  # consumed anyway
+
+
+def test_kafka_lagging_partition_not_dropped_by_other_partitions_cursor(
+    spark, store, tmp_path
+):
+    """Per-partition cursors, not a global one: after partition 0 advances
+    to a high (lsn, id), a LATER batch delivering partition 1's older
+    (lsn, id) rows must still reach the processor (Kafka only orders within
+    a partition — a single topic-level cursor would drop them, the exact
+    multi-partition bug ADVICE r2 flagged)."""
+    _seed(spark, store, n=8, batches=2)
+    broker = _FakeBroker(spark, store, str(tmp_path / "broker"))
+    # partition 0 receives the NEWER lsn=2 rows first; partition 1 receives
+    # the OLDER lsn=1 rows in a later batch (cross-partition lag)
+    broker.publish(only_lsn=2, force_partition=0)
+    broker.publish(only_lsn=1, force_partition=1)
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    seen: list[tuple[int, int]] = []
+
+    def processor(df, batch_id):
+        seen.extend((r["lsn"], r["id"]) for r in df.select("lsn", "id").collect())
+
+    q = _subscription(spark, store, offsets, broker.dir, str(tmp_path / "ck")).run(
+        TOPIC, processor
+    )
+    q.awaitTermination(120)
+    expected = {
+        (r["lsn"], r["id"])
+        for r in store.read_events(TOPIC).select("lsn", "id").collect()
+    }
+    assert set(seen) == expected and len(seen) == 8  # lsn=1 rows NOT dropped
+
+
+def test_kafka_lag_gauge_refuses_file_semantics(spark, store, tmp_path):
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    sub = Subscription(
+        store,
+        offsets,
+        str(tmp_path / "ck"),
+        source="kafka",
+        bootstrap_servers="b:9092",
+    )
+    with pytest.raises(ValueError, match="broker"):
+        sub.lag(TOPIC)
