@@ -54,3 +54,23 @@ def test_multiprobe_recall_at_least_single_bucket(spark, sf_correct):
     # elementwise: the k-th best multiprobe sim dominates the k-th single
     for (_, s_multi), (_, s_single) in zip(multi, single):
         assert s_multi >= s_single
+
+
+def test_embedding_dedup_bucket_guard_trips_on_pathological_bucket(spark):
+    """A bucket larger than max_bucket fails fast inside the executed plan
+    instead of silently enumerating a quadratic pair join."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.llm import embedding_near_dup_pairs
+
+    # 6 identical vectors → one bucket of 6 > max_bucket=5
+    emb = spark.range(6).select(
+        F.col("id").alias("vec_id"),
+        F.lit([1.0] * 64).alias("v"),
+    )
+    with pytest.raises(Exception, match="max_bucket=5"):
+        embedding_near_dup_pairs(emb, max_bucket=5).collect()
+    # under the bound the same frame enumerates pairs normally
+    ok = embedding_near_dup_pairs(emb, max_bucket=6, k=100).collect()
+    assert len(ok) == 15  # C(6,2) pairs, all sim == 1.0

@@ -67,3 +67,14 @@ def test_contamination_join_is_hash_equi(spark, sf_correct):
     plan = _plan(spark, sf_correct, "contamination_ngram")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_embedding_joins_on_lsh_bucket_with_guard(spark, sf_correct):
+    """The registered dedup_embedding blocks on the hyperplane LSH bucket
+    (not the label stand-in) and carries the bucket-size guard join."""
+    plan = _plan(spark, sf_correct, "dedup_embedding")
+    assert "bucket" in plan
+    assert "label" not in plan  # blocking key is data-derived, not the label
+    assert "raise_error" in plan  # the max_bucket guard is in the EXECUTED plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
