@@ -35,6 +35,7 @@ from event_store_spark.tables import load_table
 K = 8
 DIM = 64
 ITERS = 1  # each extra iteration = one more (assign, update, collect) round
+SAMPLE = 32  # ann_ivf_sampled's training-sample size (md5 bottom-k)
 
 
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
@@ -116,6 +117,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(ITERS):
         centroids = _update(assigned)
         assigned = _assign(emb, centroids)
+    query = assigned.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        assigned.where(F.col("vec_id") != 0)
+        .join(F.broadcast(query), F.col("cell") == F.col("qcell"))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "ann_ivf_sampled",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    samp AS (SELECT vec_id, v FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS rn
+        FROM e) WHERE rn <= {SAMPLE}),
+    c0 AS (SELECT rn - 1 AS cell, v AS c FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS rn
+        FROM e) WHERE rn <= {K}),
+    a0 AS (SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i]))), c.cell) AS rn
+        FROM samp s, c0 c) WHERE rn = 1),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, t.i, ROUND(AVG(s.v[t.i]), 6) AS m
+        FROM a0 a JOIN samp s USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, t.i) GROUP BY cell),
+    a1 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c1 c) WHERE rn = 1),
+    q AS (SELECT e.v AS qv, a.cell FROM e JOIN a1 a USING (vec_id) WHERE e.vec_id = 0),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+         * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+            AS sim
+        FROM e JOIN a1 a USING (vec_id) JOIN q ON a.cell = q.cell
+        WHERE e.vec_id <> 0)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with SAMPLE-trained centroids — the 100 TB build path.
+
+    `ann_ivf_topk` runs its Lloyd refinement over the whole corpus (two
+    full assignment passes). Here centroids are trained on a deterministic
+    md5 bottom-k sample (the same coordination-free selection as
+    `plans.pipeline.sample_bottomk`): the hash-ordered top-{SAMPLE} rows
+    are ONE TakeOrdered collect (per-partition top-k heaps, no shuffle);
+    init + the Lloyd refinement then run over the collected sample as a
+    local DataFrame — zero additional corpus scans — and the corpus is
+    touched exactly once more for the final assignment+search pass.
+    Centroid means round to 6 dp (cross-engine float-sum-order pin, same
+    as `ann_ivf_topk`); ties break to the lowest cell everywhere."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    sample_rows = (
+        emb.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(SAMPLE)
+        .drop("_h")
+        .collect()
+    )
+    init = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(sample_rows[:K])]
+    sample_df = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["v"]]) for r in sample_rows],
+        "vec_id bigint, v array<double>",
+    )
+    centroids = _update(_assign(sample_df, init))
+    assigned = _assign(emb, centroids)
     query = assigned.where(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("cell").alias("qcell")
     )

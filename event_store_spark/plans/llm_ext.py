@@ -32,23 +32,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary by TF-IDF: term frequency × ln(N/df), top 20.
 
     One explode + one hash aggregate (tf and df combined in a single
-    groupBy via countDistinct) + broadcast of the scalar doc count — the
-    canonical vocabulary-building job at any scale.
+    groupBy via countDistinct) + the scalar doc count as a broadcast
+    cross-joined one-row aggregate — the whole operator is ONE Spark
+    action (round 2 ran a separate driver-side `docs.count()` job first).
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar, computed once driver-side
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     tok = docs.select("doc_id", F.explode(whitespace_tokens("text")).alias("term"))
     tf = tok.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.countDistinct("doc_id").cast("bigint").alias("df"),
     )
     return (
-        tf.select(
+        tf.crossJoin(F.broadcast(n))
+        .select(
             "term",
             "tf",
             "df",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 2
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 2
             ).alias("tfidf"),
         )
         .orderBy(F.col("tfidf").desc(), "term")

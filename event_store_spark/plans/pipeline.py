@@ -142,15 +142,17 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: training docs sharing 5-gram shingles
     with a held-out eval set (source='src0' stands in for the benchmark).
 
-    The standard decontamination pass before training: explode both sides
-    to distinct word 5-grams, equi-join on the shingle, count overlaps per
-    training doc. Scale shape: two hash-dedup aggregations + one equi-join
-    on a high-cardinality key; the eval side is tiny relative to the corpus
-    (broadcast in practice — AQE picks it up from runtime stats), so the
-    training side is never re-shuffled more than once. No pair enumeration
-    outside shared shingles. The shingle lineage feeds both join sides, so
-    this plan tokenizes the corpus twice — at 100 TB, materialize the
-    shingle table once (or persist) and join the two filters of it."""
+    The standard decontamination pass before training — expressed as ONE
+    tokenization pass (round 2 tokenized the corpus twice because the
+    shingle lineage fed both sides of a self-join): group the exploded
+    shingles by gram, carrying an any-in-eval flag and the distinct train
+    doc set, keep eval-present grams, explode the doc sets back out, count
+    per doc. One corpus scan, one shuffle on the high-cardinality gram key
+    (map-side partials collapse repeated grams first), one tiny doc-id
+    aggregation. The per-gram collect_set is bounded by gram→doc fan-out;
+    a stop-phrase-grade gram shared by millions of docs would need the
+    two-pass distinct-then-join form instead — at that point the gram is
+    noise and belongs on a deny list before this scan."""
     from event_store_spark.functions.text import whitespace_tokens, word_ngrams
 
     sh = (
@@ -158,10 +160,16 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", whitespace_tokens("text").alias("w"))
         .select("doc_id", "source", F.explode(word_ngrams("w", 5)).alias("g"))
     )
-    eval_sh = sh.where(F.col("source") == "src0").select("g").distinct()
-    train_sh = sh.where(F.col("source") != "src0").select("doc_id", "g").distinct()
+    per_gram = sh.groupBy("g").agg(
+        F.max((F.col("source") == "src0").cast("int")).alias("in_eval"),
+        # collect_set ignores nulls, so non-train rows contribute nothing
+        F.collect_set(
+            F.when(F.col("source") != "src0", F.col("doc_id"))
+        ).alias("train_docs"),
+    )
     return (
-        train_sh.join(eval_sh, "g")
+        per_gram.where(F.col("in_eval") == 1)
+        .select(F.explode("train_docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
         .orderBy(F.col("n_contaminated").desc(), "doc_id")

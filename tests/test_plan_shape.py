@@ -69,6 +69,21 @@ def test_contamination_join_is_hash_equi(spark, sf_correct):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_tokenizes_corpus_once(spark, sf_correct):
+    """The single-pass rewrite: exactly one documents scan (round 2's
+    self-join lineage tokenized the corpus twice)."""
+    plan = _plan(spark, sf_correct, "contamination_ngram")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+
+def test_tfidf_is_single_action_with_broadcast_count(spark, sf_correct):
+    """The doc count rides the plan as a broadcast one-row aggregate —
+    no separate driver count() job."""
+    plan = _plan(spark, sf_correct, "tfidf_top_terms")
+    assert "_n_docs" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_dedup_embedding_joins_on_lsh_bucket_with_guard(spark, sf_correct):
     """The registered dedup_embedding blocks on the hyperplane LSH bucket
     (not the label stand-in) and carries the bucket-size guard join."""
