@@ -2,10 +2,20 @@
 """Benchmark harness: run the full query inventory and print ONE JSON line.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default 32).
+     SPARK_GRAFT_CPUS   (default 32),
+     SPARK_GRAFT_REPS   (default 3).
 
-Output: {"metric": "...", "value": <total sec>, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": <float>}
+Engine timings are per-query MEDIANS over SPARK_GRAFT_REPS interleaved
+repetitions (machine variance here is ±2× on single runs — a one-rep bench
+cannot distinguish a regression from a contention spike). The same-round
+DuckDB oracle suite runs once and is embedded in the output, so the
+engine-vs-oracle ratio is auditable from this one JSON line:
+
+{"metric": "...", "value": <engine total sec>, "unit": "sec",
+ "queries": {name: engine_median_sec, ...}, "sf": <float>,
+ "reps": N, "oracle_total": <duckdb total sec>,
+ "oracle_queries": {name: sec, ...}, "engine_vs_oracle": <ratio>,
+ "per_query": {name: {"engine": sec, "oracle": sec|null}, ...}}
 """
 
 from __future__ import annotations
@@ -13,17 +23,24 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from event_store_spark.plans import QUERIES
+    from event_store_spark.plans import ORACLE, QUERIES
     from event_store_spark.session import get_spark
 
     spark = get_spark("event-store-spark-bench", cpus=cpus)
@@ -43,24 +60,52 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, "int")
     spark.range(4).select(_warm(F.col("id").cast("int"))).collect()
 
-    timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        # collect() is the driver's own measurement convention: results are
-        # small by construction (every query aggregates or limits)
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
+    # engine: interleaved reps (rep-major) so a transient contention spike
+    # lands on ONE rep of many queries, not all reps of one query
+    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(reps):
+        for name in sorted(QUERIES):
+            t0 = time.perf_counter()
+            # collect() is the driver's own measurement convention: results
+            # are small by construction (every query aggregates or limits)
+            QUERIES[name](spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
+
+    # same-round DuckDB oracle baseline (single pass; DuckDB run-to-run
+    # variance is small compared to the JVM's)
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle_timings: dict[str, float] = {}
+    for name in sorted(ORACLE):
+        t0 = time.perf_counter()
+        con.execute(ORACLE[name]).fetchall()
+        oracle_timings[name] = round(time.perf_counter() - t0, 3)
+    oracle_total = round(sum(oracle_timings.values()), 3)
+
     print(
         json.dumps(
             {
                 "metric": "suite wall-clock, full query inventory "
-                f"({len(timings)} queries)",
+                f"({len(timings)} queries, median of {reps} reps)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "oracle_total": oracle_total,
+                "oracle_queries": oracle_timings,
+                "engine_vs_oracle": round(total / oracle_total, 3)
+                if oracle_total
+                else None,
+                "per_query": {
+                    n: {"engine": timings[n], "oracle": oracle_timings.get(n)}
+                    for n in timings
+                },
             }
         )
     )
