@@ -36,6 +36,8 @@ _DRIVER_PRIORITY = [
     "dedup_survivors", "dedup_clusters", "dedup_embedding_label",
     "ann_ivf_topk", "ann_ivf_sampled",
     "multimodal_frame_sample", "multimodal_resize",
+    # (a') new in round 3 — no driver row yet
+    "dedup_minhash_verified", "ann_batch_topk", "corpus_curation",
     # (b) round-1-only rows
     "q38", "q39", "q40", "multimodal_features",
     # (c) changed in round 3

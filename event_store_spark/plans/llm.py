@@ -883,3 +883,183 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_embedding_lsh (round 2) was folded INTO dedup_embedding above: the
 # LSH bucketing it introduced is now the registered default, with the
 # bucket-size guard added (VERDICT r2 item 3).
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM tok),
+    mh AS (SELECT doc_id, seed,
+                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+           FROM sh, (SELECT UNNEST(range({N_MINHASH})) AS seed) seeds
+           GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, seed // {LSH_BAND} AS band,
+                   string_agg(mh, ',' ORDER BY seed) AS bandkey
+            FROM mh GROUP BY doc_id, seed // {LSH_BAND}),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM sig a JOIN sig b
+               ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+    g AS (SELECT doc_id, list_distinct(list_transform(
+              range(1, greatest(len(w) - 2, 0) + 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+          FROM tok),
+    v AS (SELECT c.d1, c.d2,
+                 len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+                     AS inter,
+                 len(ga.grams) + len(gb.grams)
+                   - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+                     AS uni
+          FROM cand c JOIN g ga ON c.d1 = ga.doc_id
+                      JOIN g gb ON c.d2 = gb.doc_id),
+    j AS (SELECT CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+                      ELSE 0.0 END AS jac FROM v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+           CAST(COUNT(*) FILTER (jac >= 0.3) AS BIGINT) AS verified_pairs,
+           ROUND(MAX(jac), 4) AS max_jaccard
+    FROM j
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION two-stage near-dup shape: MinHash-LSH recall stage →
+    exact Jaccard verify stage (threshold 0.3) on the surviving candidates.
+
+    `dedup_minhash_lsh` stops at candidate counting; real dedup pipelines
+    verify every LSH candidate exactly before dropping documents, because
+    banding admits false positives by construction. The verify stage joins
+    the candidate pairs (tiny relative to the corpus) back to the distinct
+    3-gram sets — two broadcast-friendly joins keyed by doc_id — so the
+    expensive exact comparison runs ONLY on LSH survivors, never all pairs.
+    This candidates→verify shape is exactly how a 100 TB dedup run spends
+    its budget: signature build O(corpus), verification O(candidates)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", whitespace_tokens("text").alias("w"))
+    shingles = toks.select("doc_id", F.explode(word_ngrams("w", 3)).alias("sh"))
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh"))).alias(f"h{seed}")
+        for seed in range(N_MINHASH)
+    ]
+    minhashes = shingles.select("doc_id", *hash_cols).groupBy("doc_id").agg(
+        *[F.min(f"h{seed}").alias(f"mh{seed}") for seed in range(N_MINHASH)]
+    )
+    n_bands = N_MINHASH // LSH_BAND
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{band * LSH_BAND + j}") for j in range(LSH_BAND)]
+                ).alias("bandkey"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    sig = minhashes.select("doc_id", F.explode(band_entries).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bandkey").alias("bandkey")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    grams = toks.select("doc_id", F.array_distinct(word_ngrams("w", 3)).alias("grams"))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    verified = (
+        cand.join(ga, F.col("d1") == F.col("ga.doc_id"))
+        .join(gb, F.col("d2") == F.col("gb.doc_id"))
+        .select(
+            F.size(F.array_intersect("ga.grams", "gb.grams")).alias("inter"),
+            (
+                F.size("ga.grams")
+                + F.size("gb.grams")
+                - F.size(F.array_intersect("ga.grams", "gb.grams"))
+            ).alias("uni"),
+        )
+        .select(
+            F.when(F.col("uni") > 0, F.col("inter").cast("double") / F.col("uni"))
+            .otherwise(F.lit(0.0))
+            .alias("jac")
+        )
+    )
+    return verified.agg(
+        F.count(F.lit(1)).cast("bigint").alias("candidate_pairs"),
+        F.count(F.when(F.col("jac") >= 0.3, 1)).cast("bigint").alias("verified_pairs"),
+        F.round(F.max("jac"), 4).alias("max_jaccard"),
+    )
+
+
+@register(
+    "ann_batch_topk",
+    oracle="""
+    WITH bucketed AS (SELECT vec_id, embedding,
+        (CASE WHEN embedding[1]  >= embedding[9]  THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[17] >= embedding[25] THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[33] >= embedding[41] THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[49] >= embedding[57] THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+          FROM bucketed WHERE vec_id < 10),
+    scored AS (SELECT q.qid, e.vec_id,
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+            i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        AS sim
+        FROM bucketed e JOIN q ON e.bucket = q.qb AND e.vec_id <> q.qid),
+    ranked AS (SELECT qid, vec_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY sim DESC, vec_id) AS rk
+               FROM scored)
+    SELECT qid, vec_id, ROUND(sim, 4) AS sim, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY qid, rk
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-3 bucket-pruned neighbors for EACH of a set of
+    query vectors (vec_id < 10) — the actual similarity-search workload
+    (embedding a query batch, joining a corpus), not the single-probe case.
+
+    The whole query set rides ONE broadcast; the corpus side sees a single
+    equi-join on its own bucket, and the per-query top-k is a window
+    PARTITIONED BY query id — parallel across queries, never a global sort.
+    At 100 TB the query side stays a broadcast until millions of queries,
+    at which point both sides hash-partition on the bucket — the same plan
+    with the broadcast hint removed."""
+    emb = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("v"))
+    bucketed = emb.withColumn("bucket", hyperplane_bucket(F.col("v")))
+    queries = bucketed.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("sim", 4).alias("sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )

@@ -313,3 +313,89 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(50)
     )
+
+
+@register(
+    "corpus_curation",
+    oracle="""
+    WITH scored AS (SELECT doc_id, lang, source, n_chars, text,
+        0.5 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+        + 0.3 * least(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                      t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
+                / greatest(len(string_split_regex(trim(text), '\\s+')), 1) * 5.0,
+                1.0)
+        + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                                  AS DOUBLE)
+                / greatest(length(text), 1) * 10.0, 1.0)) AS score
+        FROM documents),
+    q AS (SELECT * FROM scored
+          WHERE score >= 0.55 AND n_chars BETWEEN 100 AND 20000),
+    s AS (SELECT q.* FROM q
+          JOIN (SELECT MIN(doc_id) AS keep_id FROM q GROUP BY md5(text)) k
+            ON q.doc_id = k.keep_id),
+    quo AS (SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM s)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM quo WHERE rn <= 40 GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation pipeline a training run actually
+    executes, as ONE declarative plan: quality gate (C4-style score +
+    length bounds) → exact dedup (keep MIN doc_id per content hash among
+    the quality-passing) → per-source quota (40, hash-ordered) → per-lang
+    kept counts.
+
+    Stage order matters and is pinned by the oracle: dedup runs AFTER the
+    quality gate (so a high-quality duplicate of a rejected doc survives),
+    quota runs last (so dedup can't resurrect an over-quota source). Scale
+    shape: the gate is map-side; dedup is one hash aggregation + a
+    broadcast-or-shuffle join on the kept ids; the quota window partitions
+    by source. Composing in one plan lets Catalyst pipeline the stages —
+    no intermediate materialization, columns pruned to what each stage
+    needs."""
+    from event_store_spark.functions.text import (
+        STOPWORDS,
+        stopword_hits,
+        whitespace_tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = whitespace_tokens("text")
+    len_norm = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    punct_norm = F.least(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), F.lit(0))).cast(
+            "double"
+        )
+        / F.greatest(F.length("text"), F.lit(1))
+        * 10.0,
+        F.lit(1.0),
+    )
+    stop_norm = F.least(
+        stopword_hits(w, STOPWORDS["en"]).cast("double")
+        / F.greatest(F.size(w), F.lit(1))
+        * 5.0,
+        F.lit(1.0),
+    )
+    score = 0.5 * len_norm + 0.3 * stop_norm + 0.2 * (1.0 - punct_norm)
+    q = docs.where(
+        (score >= 0.55) & F.col("n_chars").between(100, 20000)
+    ).select("doc_id", "lang", "source", "n_chars", "text")
+    keep = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    s = q.join(keep, q.doc_id == keep.keep_id).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    quota_w = W.partitionBy("source").orderBy(_hash_key(), "doc_id")
+    return (
+        s.withColumn("rn", F.row_number().over(quota_w))
+        .where(F.col("rn") <= 40)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -93,3 +93,22 @@ def test_dedup_embedding_joins_on_lsh_bucket_with_guard(spark, sf_correct):
     assert "raise_error" in plan  # the max_bucket guard is in the EXECUTED plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch_topk_broadcasts_queries_and_partitions_window(spark, sf_correct):
+    """Batch k-NN join: the query set is one broadcast, the per-query top-k
+    window partitions by qid (parallel across queries, no global sort)."""
+    plan = _plan(spark, sf_correct, "ann_batch_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "WindowExec" in line:
+            assert "qid" in line, f"unpartitioned window: {line}"
+
+
+def test_minhash_verified_never_degenerates(spark, sf_correct):
+    """Two-stage dedup: LSH candidates via equi-join, exact verify joined
+    back by doc_id — no cartesian/nested-loop anywhere."""
+    plan = _plan(spark, sf_correct, "dedup_minhash_verified")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
