@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = [
     "multimodal_frame_sample", "multimodal_resize",
     # (a') new in round 3 — no driver row yet
     "dedup_minhash_verified", "ann_batch_topk", "corpus_curation",
+    "ann_ivf_nprobe",
     # (b) round-1-only rows
     "q38", "q39", "q40", "multimodal_features",
     # (c) changed in round 3

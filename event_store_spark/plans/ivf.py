@@ -211,3 +211,102 @@ def ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
     )
+
+
+NPROBE = 2  # ann_ivf_nprobe: search the query's 2 nearest cells
+
+
+@register(
+    "ann_ivf_nprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id - 1 AS cell, v AS c FROM e WHERE vec_id BETWEEN 1 AND 8),
+    a0 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c0 c) WHERE rn = 1),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, t.i, ROUND(AVG(e.v[t.i]), 6) AS m
+        FROM a0 a JOIN e USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, t.i) GROUP BY cell),
+    a1 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c1 c) WHERE rn = 1),
+    qv AS (SELECT v FROM e WHERE vec_id = 0),
+    qc AS (SELECT cell FROM (
+        SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+            list_sum(list_transform(range(1, 65),
+                i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))), c.cell) AS rn
+        FROM c1 c, qv q) WHERE rn <= {NPROBE}),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, 65), i -> e.v[i] * q.v[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+         * sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))))
+            AS sim
+        FROM e JOIN a1 a USING (vec_id) JOIN qc ON a.cell = qc.cell, qv q
+        WHERE e.vec_id <> 0)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 searching the query's {NPROBE} nearest cells (nprobe>1) —
+    the recall knob real IVF deployments turn, the cell analog of
+    `ann_multiprobe_topk`'s Hamming-1 bucket union.
+
+    Single-cell IVF loses neighbors that sit just across a Voronoi
+    boundary; probing the p nearest cells recovers most of that recall for
+    p/k of the corpus scanned. The probe-cell choice happens INSIDE the
+    plan: the query row ranks the broadcast k×d centroid matrix by squared
+    L2 (one zip_with fold per cell, array_sort of (dist, cell) structs —
+    ties to the lowest cell), slices the top {NPROBE}, and explodes; the
+    corpus side still sees one equi-join on its own cell, so cost scales
+    with probed-cells/k, never with k."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    centroids = sorted(
+        (r["vec_id"] - 1, list(r["v"]))
+        for r in emb.where(F.col("vec_id").between(1, K)).collect()
+    )
+    assigned = _assign(emb, centroids)
+    centroids = _update(assigned)
+    assigned = _assign(emb, centroids)
+    ids = F.lit([cell for cell, _ in centroids])
+    mat = F.lit([[float(x) for x in c] for _, c in centroids])
+    dists = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            ids,
+            lambda d, c: F.struct(d.alias("dist"), c.alias("cell")),
+        )
+    )
+    probes = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.col("v").alias("qv"),
+            F.explode(
+                F.transform(F.slice(ranked, 1, NPROBE), lambda s: s["cell"])
+            ).alias("pcell"),
+        )
+    )
+    return (
+        assigned.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("cell") == F.col("pcell"))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )

@@ -41,7 +41,7 @@ def test_ngram_jaccard_joins_on_composite_bucket_key(spark, sf_correct):
 def test_ann_plans_broadcast_the_query_side(spark, sf_correct):
     """LSH/multi-probe/IVF: the one-row (or k-row) query/probe side is
     broadcast; the corpus side is never shuffled for the join."""
-    for name in ("ann_lsh_topk", "ann_multiprobe_topk", "ann_ivf_topk"):
+    for name in ("ann_lsh_topk", "ann_multiprobe_topk", "ann_ivf_topk", "ann_ivf_nprobe"):
         plan = _plan(spark, sf_correct, name)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
