@@ -212,6 +212,7 @@ class TicketStore(_AtomicJsonState):
         total: int,
         key_type: str,
         day_partitioned: bool,
+        clock: int = 0,
     ) -> None:
         data = self._read()
         data[topic] = {
@@ -220,6 +221,12 @@ class TicketStore(_AtomicJsonState):
             "total": total,
             "key_type": key_type,
             "day_partitioned": day_partitioned,
+            # publication clock high water (ms): every published data file
+            # carries a strictly greater mtime/name sequence than any file
+            # of any earlier append, so stream sources that order file
+            # pickup by (modTime, path) observe commit order — the property
+            # the Replicator's keyset cursor depends on
+            "clock": clock,
         }
         self._write(data)
 

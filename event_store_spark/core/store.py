@@ -28,6 +28,10 @@ lsn ticket into a lock service or table MERGE.
 from __future__ import annotations
 
 import os
+import re
+import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -173,15 +177,30 @@ class EventStore:
             if "metadata" in df.columns
             else F.lit(None).cast("map<string,binary>")
         )
-        out = df.select(
-            F.monotonically_increasing_id().alias("id"),
+        body = [
             canonical_key(F.col("key"), key_type).alias("key"),
             F.lit(key_type).alias("key_type"),
             truncate_millis(ts).alias("timestamp"),
             metadata.alias("metadata"),
             F.lit(lsn).cast("long").alias("lsn"),
             *[F.col(c) for c in payload_cols],
-        )
+        ]
+        if partition_by_day:
+            # Assign ids AFTER an in-partition day sort: each (task, dt)
+            # output file then holds one disjoint ascending id range, so the
+            # ordered publication below yields a total (lsn, id) visibility
+            # order even across dt= subdirectories. The sort is partition-
+            # local — appends stay shuffle-free.
+            src = df.withColumn(
+                "__dt", F.to_date(truncate_millis(ts))
+            ).sortWithinPartitions("__dt")
+            out = src.select(
+                F.monotonically_increasing_id().alias("id"),
+                *body,
+                F.col("__dt").alias("dt"),
+            )
+        else:
+            out = df.select(F.monotonically_increasing_id().alias("id"), *body)
         # Persist so the high-water agg and the write see the SAME partition
         # evaluations (monotonically_increasing_id is deterministic per
         # partition layout; the cache removes even recompute-order risk).
@@ -199,7 +218,12 @@ class EventStore:
                 )
             # Reserve the ticket BEFORE the data write: a crash in between
             # leaves an lsn gap (harmless), while write-then-save could
-            # reissue the same lsn to two appends (cursor corruption).
+            # reissue the same lsn to two appends (cursor corruption). The
+            # reservation also claims this append's publication-clock range
+            # [clock_start+1, clock_start+n] (one tick per data file; files
+            # ≤ rows), so concurrent-topic appends never collide on clocks.
+            prev_clock = ticket.get("clock", 0) if ticket else 0
+            clock_start = max(prev_clock, int(time.time() * 1000))
             self._tickets.save(
                 topic,
                 lsn=lsn,
@@ -207,20 +231,85 @@ class EventStore:
                 total=(ticket["total"] if ticket else 0) + stats.n,
                 key_type=key_type,
                 day_partitioned=partition_by_day,
+                clock=clock_start + stats.n,
             )
-            writer = out.sortWithinPartitions("id").write.mode("append")
+            # Stage-then-publish: write the batch OUTSIDE the topic dir,
+            # then move each data file into place in (lsn, id) order with a
+            # strictly increasing mtime/name sequence. Stream sources order
+            # file pickup by (modTime, path); without this, two appends
+            # committed within one mtime tick interleave alphabetically
+            # (part-00000-<uuidA> < part-00000-<uuidB> < part-00001-<uuidA>)
+            # and the Replicator/Subscription keyset cursor silently drops
+            # the out-of-order rows. Publication order IS commit order —
+            # the role the reference's WAL ordering plays
+            # (EventReplicatorWorker.java:66-72 keyset scan). Local-FS
+            # semantics; on object stores back the topic with a
+            # transactional table format instead.
+            staging_root = os.path.join(self.root, "_staging")
+            if os.path.isdir(staging_root):
+                # orphans from a crashed append to THIS topic (we hold its
+                # mutex, so no live writer owns them): unpublished staging is
+                # simply a lost batch — its lsn stays a gap, as documented
+                for entry in os.listdir(staging_root):
+                    if entry.startswith(f"{topic}-"):
+                        shutil.rmtree(
+                            os.path.join(staging_root, entry), ignore_errors=True
+                        )
+            staging = os.path.join(staging_root, f"{topic}-{lsn}-{uuid.uuid4().hex}")
+            writer = out.sortWithinPartitions("id").write
             if partition_by_day:
                 # hive-style dt= layout: time-range replay prunes whole
                 # partitions statically (the 100 TB event-table layout);
                 # (lsn, id) file stats still prune within each day
-                day = out.withColumn("dt", F.to_date("timestamp"))
-                writer = (
-                    day.sortWithinPartitions("id").write.mode("append").partitionBy("dt")
-                )
-            writer.parquet(self.topic_path(topic))
+                writer = writer.partitionBy("dt")
+            try:
+                writer.parquet(staging)
+                self._publish_ordered(staging, self.topic_path(topic), clock_start)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         finally:
             out.unpersist()
         return Cursor(lsn, stats.max_id)
+
+    @staticmethod
+    def _publish_ordered(staging: str, final: str, clock_start: int) -> None:
+        """Move staged data files into the topic dir in id order, each with
+        the next publication-clock tick as both its mtime and its sortable
+        file-name sequence — so modTime order AND path order agree with
+        commit order, whichever a stream source sorts by. Files land one
+        rename at a time, oldest id range first: a concurrent listing sees a
+        commit-order prefix, never an out-of-order subset."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for dirpath, _dirs, names in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                m = re.search(r"part-(\d+)", n)
+                files.append(
+                    (
+                        int(m.group(1)) if m else 0,
+                        "" if rel == "." else rel,
+                        os.path.join(dirpath, n),
+                    )
+                )
+        # (task index, dt): ascending id ranges by construction — ids are
+        # partition-local blocks, day-sorted within each task before
+        # assignment, and ISO dt= names sort chronologically
+        files.sort()
+        seq = 0
+        for _part, rel, src in files:
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue  # empty task output carries no ids to order
+            seq += 1
+            clk = clock_start + seq
+            dest_dir = os.path.join(final, rel) if rel else final
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"part-{clk:020d}-{uuid.uuid4().hex}.parquet")
+            os.rename(src, dest)
+            os.utime(dest, ns=(clk * 1_000_000, clk * 1_000_000))
 
     def _ticket(self, topic: str) -> dict | None:
         """The topic's append ticket; recovered by one explicit scan for
@@ -244,6 +333,15 @@ class EventStore:
             "total": row.n,
             "key_type": row.kt,
             "day_partitioned": self._is_day_partitioned(topic),
+            # resume the publication clock past every existing file's mtime
+            # so recovered topics keep publishing in commit order
+            "clock": int(
+                max(
+                    (os.path.getmtime(f) for f in self._parquet_files(path)),
+                    default=0.0,
+                )
+                * 1000
+            ),
         }
         self._tickets.save(topic, **ticket)
         return ticket
@@ -382,8 +480,6 @@ class EventStore:
             # partition_by_day appends and start_day/end_day pruning)
             writer = writer.partitionBy("dt")
         writer.parquet(tmp)
-        import shutil
-
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

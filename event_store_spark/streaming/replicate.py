@@ -110,6 +110,7 @@ class Replicator:
         sink: str = "files",
         bootstrap_servers: str | None = None,
         lock: LockManager | None = None,
+        kafka_record_sink=None,
     ):
         if sink not in ("files", "kafka"):
             raise ValueError("sink must be 'files' or 'kafka'")
@@ -123,6 +124,12 @@ class Replicator:
         self.sink = sink
         self.bootstrap_servers = bootstrap_servers
         self.lock = lock
+        #: injection seam for broker-less contract tests / custom producers:
+        #: a callable receiving each batch's (key, value, headers) sink
+        #: frame; when set, the kafka branch calls it instead of
+        #: `.write.format("kafka").save()` — everything upstream (keyset
+        #: filter, record projection, cursor save) runs unchanged.
+        self.kafka_record_sink = kafka_record_sink
 
     def target_path(self, topic: str) -> str:
         return f"{self.target_root}/{topic}"
@@ -179,12 +186,17 @@ class Replicator:
                         records_to_kafka_sink,
                     )
 
-                    (
-                        records_to_kafka_sink(records)
-                        .write.format("kafka")
-                        .options(**kafka_writer_options(self.bootstrap_servers, topic))
-                        .save()
-                    )
+                    out = records_to_kafka_sink(records)
+                    if self.kafka_record_sink is not None:
+                        self.kafka_record_sink(out)
+                    else:
+                        (
+                            out.write.format("kafka")
+                            .options(
+                                **kafka_writer_options(self.bootstrap_servers, topic)
+                            )
+                            .save()
+                        )
                 else:
                     # Idempotence is keyed by the batch's high-water CURSOR,
                     # not the Spark batch id: a crash between this write and

@@ -12,6 +12,7 @@ Reference tests mirrored (by behavior, not code):
 from __future__ import annotations
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -450,3 +451,79 @@ def test_append_mutex_times_out_on_live_contention(store, spark):
     store._append_mutex.release("held_events")
     store._append_mutex.timeout_seconds = 30.0
     assert store.append("held_events", _payload_df(spark, [("k", "p", TS)])).lsn == 1
+
+
+def _published_ranges(files):
+    """(mtime, name)-ordered per-file (lsn, id) min/max from parquet footers."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(files, key=lambda f: (os.path.getmtime(f), os.path.basename(f))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = (float("inf"), float("inf"))
+        hi = (float("-inf"), float("-inf"))
+        for rg in range(md.num_row_groups):
+            s_lsn = md.row_group(rg).column(idx["lsn"]).statistics
+            s_id = md.row_group(rg).column(idx["id"]).statistics
+            lo = min(lo, (s_lsn.min, s_id.min))
+            hi = max(hi, (s_lsn.max, s_id.max))
+        out.append((lo, hi))
+    return out
+
+
+def test_publication_order_matches_commit_order(store, spark):
+    """Interleaved multi-file appends must become visible in (lsn, id)
+    order: stream sources pick files up by (modTime, path), and the
+    Replicator/Subscription keyset cursor silently DROPS rows that arrive
+    below the cursor. Round-3 regression: two appends within one mtime tick
+    interleaved alphabetically (part-00000-<uuidA> < part-00000-<uuidB> <
+    part-00001-<uuidA>) and lost half the events. Pins both orderings the
+    ordered publication provides — mtime sequence and sortable file names —
+    with disjoint, ascending per-file (lsn, id) ranges."""
+    for b in range(3):  # appends land within the same millisecond
+        rows = [(f"k{b}-{i}", f"p{b}-{i}", TS) for i in range(4)]
+        store.append("ord_events", _payload_df(spark, rows).repartition(4))
+    files = [
+        os.path.join(store.topic_path("ord_events"), f)
+        for f in os.listdir(store.topic_path("ord_events"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 3  # the regression needs multi-file appends
+    # mtime order, name order, and footer-stat order must all agree
+    by_mtime = sorted(files, key=os.path.getmtime)
+    by_name = sorted(files, key=os.path.basename)
+    assert [os.path.basename(f) for f in by_mtime] == [
+        os.path.basename(f) for f in by_name
+    ]
+    assert len({os.path.getmtime(f) for f in files}) == len(files)  # no ties
+    ranges = _published_ranges(files)
+    for (prev_lo, prev_hi), (lo, hi) in zip(ranges, ranges[1:]):
+        assert prev_hi < lo, f"file ranges overlap or regress: {prev_hi} !< {lo}"
+
+
+def test_publication_order_day_partitioned(store, spark):
+    """Same invariant across dt= subdirectories: ids are assigned after an
+    in-partition day sort, so each (task, day) file covers a disjoint
+    ascending id range and cross-day publication stays in commit order."""
+    for b in range(2):
+        rows = [
+            (f"k{b}-{i}", f"p{b}-{i}", TS + datetime.timedelta(days=i % 2))
+            for i in range(4)
+        ]
+        store.append(
+            "ordday_events",
+            _payload_df(spark, rows).repartition(2),
+            partition_by_day=True,
+        )
+    files = store._parquet_files(store.topic_path("ordday_events"))
+    assert len(files) > 2
+    assert len({os.path.getmtime(f) for f in files}) == len(files)
+    ranges = _published_ranges(files)
+    for (prev_lo, prev_hi), (lo, hi) in zip(ranges, ranges[1:]):
+        assert prev_hi < lo, f"file ranges overlap or regress: {prev_hi} !< {lo}"
+    # day pruning still works on the re-ordered layout
+    one_day = store.read_events(
+        "ordday_events", start_day="2025-01-04", end_day="2025-01-04"
+    )
+    assert one_day.count() == 4

@@ -26,10 +26,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from event_store_spark.core import EventStore
-from event_store_spark.core.state import OffsetsTable
+from event_store_spark.core.cursor import Cursor
+from event_store_spark.core.state import OffsetsTable, ProgressStore
 from event_store_spark.streaming import Subscription
 from event_store_spark.streaming.kafka import KAFKA_SOURCE_SCHEMA
-from event_store_spark.streaming.replicate import to_kafka_records
+from event_store_spark.streaming.replicate import Replicator, to_kafka_records
 
 TS = datetime.datetime(2025, 1, 4, 12, 0, 0)
 TOPIC = "kc_events"
@@ -112,6 +113,47 @@ class _FakeBroker:
         """Last assigned offset per partition (-1 when empty)."""
         return self.next_off[p] - 1
 
+    def accept(self, out):
+        """Producer-side entry: receive the exact (key, value, headers)
+        frame `Replicator(sink="kafka")` hands Spark's Kafka sink and append
+        it to the broker log like a real broker — partition by key hash,
+        contiguous per-partition offsets, broker-stamped LogAppendTime
+        (Spark's sink cannot forward event time; the documented gap)."""
+        hdr = lambda n: F.expr(  # noqa: E731
+            f"decode(filter(headers, h -> h.key = '{n}')[0].value, 'UTF-8')"
+        ).cast("long")
+        part = F.pmod(F.xxhash64(F.col("key")), F.lit(N_PARTITIONS)).cast("int")
+        recs = out.withColumn("partition", part).withColumn("_lsn", hdr("lsn")).withColumn("_id", hdr("id"))
+        w = W.partitionBy("partition").orderBy("_lsn", "_id")
+        base_expr = F.when(F.col("partition") == 0, F.lit(self.next_off[0])).otherwise(
+            F.lit(self.next_off[1])
+        )
+        broker = (
+            recs.withColumn(
+                "offset", (F.row_number().over(w) - 1 + base_expr).cast("long")
+            )
+            .select(
+                "key",
+                "value",
+                F.lit(TOPIC).alias("topic"),
+                "partition",
+                "offset",
+                F.lit(TS).cast("timestamp").alias("timestamp"),
+                F.lit(1).alias("timestampType"),  # LogAppendTime
+                "headers",
+            )
+        )
+        broker.coalesce(1).write.mode("append").parquet(self.dir)
+        for r in (
+            broker.groupBy("partition").agg(F.max("offset").alias("max_off")).collect()
+        ):
+            self.next_off[r["partition"]] = max(
+                self.next_off[r["partition"]], r["max_off"] + 1
+            )
+
+    def log_rows(self) -> int:
+        return self.spark.read.schema(KAFKA_SOURCE_SCHEMA).parquet(self.dir).count()
+
 
 def _subscription(spark, store, offsets, broker_dir, ckpt):
     raw = lambda s: (  # noqa: E731 — injected broker-shaped streaming source
@@ -186,6 +228,76 @@ def test_kafka_eos_crash_resume_and_producer_redelivery(spark, store, tmp_path):
     assert len(seen) == 8  # zero duplicate projections
     for p in range(N_PARTITIONS):
         assert offsets.get(TOPIC, p) == broker.end_offset(p)  # consumed anyway
+
+
+def test_kafka_producer_crash_resume_duplicates_dropped_end_to_end(
+    spark, store, tmp_path
+):
+    """Full produce→broker→consume loop on the kafka branch, with the
+    producer crash the reference IT simulates on the replicator side
+    (`EventReplicatorWorker` dies AFTER the Kafka send, BEFORE the progress
+    commit): the redelivered micro-batch re-produces the same events at new
+    broker offsets (at-least-once sink), and the consumer's per-partition
+    keyset filter projects each event exactly once anyway."""
+    _seed(spark, store, n=8, batches=2)
+    broker = _FakeBroker(spark, store, str(tmp_path / "broker"))
+    progress = ProgressStore(str(tmp_path / "progress.json"))
+    calls = {"n": 0}
+
+    def crashing_sink(out):
+        broker.accept(out)  # the send reached the broker...
+        calls["n"] += 1
+        if calls["n"] == 1:  # ...then the worker dies before progress.save
+            raise RuntimeError("simulated producer crash after produce")
+
+    def replicator(ckpt):
+        return Replicator(
+            store,
+            str(tmp_path / "target"),
+            progress,
+            ckpt,
+            max_files_per_trigger=1,
+            sink="kafka",
+            bootstrap_servers="injected:9092",
+            kafka_record_sink=crashing_sink,
+        )
+
+    q = replicator(str(tmp_path / "rck")).replicate(TOPIC)
+    with pytest.raises(Exception, match="simulated producer crash"):
+        q.awaitTermination(120)
+    # crash committed nothing: the cursor never advanced past zero (an
+    # empty part-file batch may have legitimately recorded a zero cursor)
+    assert calls["n"] == 1
+    assert (progress.last_cursor(TOPIC) or Cursor.zero()) == Cursor.zero()
+
+    # restart, same checkpoint: the uncommitted batch re-runs — its keyset
+    # filter still passes (cursor never advanced) so the SAME events are
+    # produced AGAIN at new broker offsets, then replication completes
+    q = replicator(str(tmp_path / "rck")).replicate(TOPIC)
+    q.awaitTermination(120)
+    assert progress.last_cursor(TOPIC) is not None
+    n_events = store.read_events(TOPIC).count()
+    assert n_events == 8
+    assert broker.log_rows() > n_events  # duplicates really reached the log
+
+    # consume the duplicate-bearing broker log: exactly-once projection
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    seen: list[tuple[int, int]] = []
+
+    def processor(df, batch_id):
+        seen.extend((r["lsn"], r["id"]) for r in df.select("lsn", "id").collect())
+
+    q = _subscription(spark, store, offsets, broker.dir, str(tmp_path / "ck")).run(
+        TOPIC, processor
+    )
+    q.awaitTermination(120)
+    expected = {
+        (r["lsn"], r["id"])
+        for r in store.read_events(TOPIC).select("lsn", "id").collect()
+    }
+    assert len(seen) == 8 and set(seen) == expected
+    for p in range(N_PARTITIONS):
+        assert offsets.get(TOPIC, p) == broker.end_offset(p)
 
 
 def test_kafka_lagging_partition_not_dropped_by_other_partitions_cursor(
