@@ -452,8 +452,19 @@ class EventStore:
         rewrite uses ``repartitionByRange(lsn, id)`` so each output file
         covers a contiguous cursor range (maximum min/max-stat pruning for
         keyset predicates) and is sorted within, keeping replay merges
-        cheap. Runs under the topic's single writer (X4), swapping
-        directories atomically at the end; readers re-list on next query.
+        cheap. Takes the topic's append mutex (X4) for the swap, which is
+        atomic via directory renames; readers re-list on next query.
+
+        Flat topics keep the ordered-visibility invariant through the
+        rewrite: the range-partitioned output files hold disjoint ascending
+        (lsn, id) ranges, and they are republished with fresh clock
+        mtimes/names, so a NEW replication stream over the compacted topic
+        still observes commit order (an EXISTING stream's checkpoint refers
+        to replaced files — restart it after compacting, as with any file
+        rewrite). Day-partitioned topics trade that away by construction:
+        dt= is event-time while (lsn, id) is commit-time, so their files
+        cannot be both day-partitioned and cursor-range-disjoint — day
+        layout is the analytics path, flat the replication path.
         """
         path = self.topic_path(topic)
         if not self._has_data(path):
@@ -467,6 +478,7 @@ class EventStore:
             total = sum(os.path.getsize(f) for f in self._parquet_files(path))
             target_files = max(1, total // (128 * 1024 * 1024))  # ~128 MB files
         tmp = f"{path}.compacting"
+        ordered = f"{path}.compacted"
         old = f"{path}.old"
         writer = (
             df.repartitionByRange(target_files, "lsn", "id")
@@ -480,10 +492,28 @@ class EventStore:
             # partition_by_day appends and start_day/end_day pruning)
             writer = writer.partitionBy("dt")
         writer.parquet(tmp)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
-        return sum(1 for _ in self._parquet_files(path))
+        self._append_mutex.acquire(topic)
+        try:
+            ticket = self._ticket(topic)
+            prev_clock = ticket.get("clock", 0) if ticket else 0
+            clock_start = max(prev_clock, int(time.time() * 1000))
+            for stale in (ordered, old):
+                shutil.rmtree(stale, ignore_errors=True)
+            os.makedirs(ordered)
+            # part index of repartitionByRange output = ascending range
+            self._publish_ordered(tmp, ordered, clock_start)
+            n_files = sum(1 for _ in self._parquet_files(ordered))
+            if ticket:
+                self._tickets.save(
+                    topic, **{**ticket, "clock": clock_start + n_files}
+                )
+            os.rename(path, old)
+            os.rename(ordered, path)
+            shutil.rmtree(old)
+            shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            self._append_mutex.release(topic)
+        return n_files
 
     @staticmethod
     def _parquet_files(path: str) -> list[str]:

@@ -527,3 +527,28 @@ def test_publication_order_day_partitioned(store, spark):
         "ordday_events", start_day="2025-01-04", end_day="2025-01-04"
     )
     assert one_day.count() == 4
+
+
+def test_compaction_republishes_in_commit_order(store, spark):
+    """Flat-topic compaction must keep the ordered-visibility invariant:
+    the rewritten files carry fresh, strictly increasing clock mtimes/names
+    and disjoint ascending (lsn, id) ranges, so a NEW replication stream
+    over the compacted topic still observes commit order."""
+    for b in range(3):
+        rows = [(f"k{b}-{i}", f"p{b}-{i}", TS) for i in range(4)]
+        store.append("cord_events", _payload_df(spark, rows).repartition(4))
+    n = store.compact("cord_events", target_files=3)
+    assert n == 3
+    files = store._parquet_files(store.topic_path("cord_events"))
+    assert len({os.path.getmtime(f) for f in files}) == len(files)
+    assert sorted(files, key=os.path.getmtime) == sorted(
+        files, key=lambda f: os.path.basename(f)
+    )
+    ranges = _published_ranges(files)
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi < lo
+    # a later append keeps publishing past the compacted files' clocks
+    store.append("cord_events", _payload_df(spark, [("kz", "pz", TS)]))
+    files = store._parquet_files(store.topic_path("cord_events"))
+    ranges = _published_ranges(files)
+    assert ranges[-1][0][0] == 4  # newest lsn is last in pickup order
