@@ -245,9 +245,27 @@ class ProgressStore(_AtomicJsonState):
         v = self._read().get(topic)
         return v.get("batch_id") if isinstance(v, dict) else None
 
-    def save(self, topic: str, cursor: Cursor, batch_id: int | None = None) -> None:
+    def last_ckpt_id(self, topic: str) -> str | None:
+        """Checkpoint-lineage marker recorded with the last save: batch ids
+        are only comparable within one streaming checkpoint's lifetime, so
+        the replicator stores WHICH checkpoint produced the bookkeeping and
+        switches to order-independent recovery when the lineage changes."""
+        v = self._read().get(topic)
+        return v.get("ckpt_id") if isinstance(v, dict) else None
+
+    def save(
+        self,
+        topic: str,
+        cursor: Cursor,
+        batch_id: int | None = None,
+        ckpt_id: str | None = None,
+    ) -> None:
         data = self._read()
-        data[topic] = {"cursor": cursor.serialize(), "batch_id": batch_id}
+        data[topic] = {
+            "cursor": cursor.serialize(),
+            "batch_id": batch_id,
+            "ckpt_id": ckpt_id,
+        }
         self._write(data)
 
     def topics(self) -> list[str]:

@@ -5,17 +5,53 @@ Re-expresses the reference's Postgres→Kafka replicator
 
 | reference | here |
 |---|---|
-| keyset scan `WHERE lsn IS NOT NULL AND (lsn,id) > cursor ORDER BY lsn,id LIMIT n` (`EventReplicatorWorker.java:66-72`) | streaming micro-batches + in-batch keyset filter; `maxFilesPerTrigger` bounds batch size (O2) |
-| Kafka txn {events + cursor} (`:184-208`) | cursor-keyed idempotent `foreachBatch`: each batch's row range overwrites a directory named by its high-water cursor, then the cursor is saved atomically — redelivery overwrites, checkpoint loss cannot skip or duplicate |
+| keyset scan `WHERE lsn IS NOT NULL AND (lsn,id) > cursor ORDER BY lsn,id LIMIT n` (`EventReplicatorWorker.java:66-72`) | streaming micro-batches; `maxFilesPerTrigger` bounds batch size (O2) |
+| Kafka txn {events + cursor} (`:184-208`) | lineage-aware idempotent `foreachBatch` — see Exactness below |
 | record shape: key/value/ts + headers incl. `id`,`lsn`, sorted (T7/O4, `:187-230`) | outbound projection with `headers: array<struct<key,value>>` canonically sorted |
 | compacted progress topic, last-write-wins (S9, `EventReplicator.java:215-256`) | :class:`ProgressStore` (atomic JSON; Delta/DB in prod) |
 | per-topic worker threads (`:174-183`) | one streaming query per topic |
 | advisory-lock single writer (X4, `LockManager.java:45-84` + `LockMonitor.java:52-58`) | :class:`streaming.lock.LockManager` lease: acquire at query start (second writer refused), heartbeat per micro-batch, query failure on loss |
 
+Exactness (X2) without ordered arrival. The reference's DB keyset scan gets
+a consistent ordered snapshot per poll for free; a file stream does not — a
+directory listing racing a multi-file append can catch a LATER file and miss
+an EARLIER one of the same lsn (listings are not atomic snapshots), so any
+filter of the form "(lsn, id) > advancing cursor" can silently drop the
+late-arriving row. Exactly-once is therefore anchored on mechanisms that do
+not depend on arrival order:
+
+- **Live lineage** (the streaming checkpoint that produced the stored
+  bookkeeping is still in use): the file source's seen-files map already
+  delivers every file exactly once, batches replayed after a crash are
+  skipped by batch id, and the files sink overwrites a directory keyed by
+  the batch's own high water — no row filter at all. The progress cursor is
+  monotone (`max` over batch high waters) bookkeeping for lag/resume, not a
+  correctness gate.
+- **Recovery lineage** (fresh or lost checkpoint; batch ids restart and the
+  source relists every file): the files sink anti-joins each batch against
+  the target's existing (lsn, id) pairs (scan bounded by the batch's lsn
+  range, pushed to footer stats) — already-replicated rows and orphan
+  directories from a crashed run are ABSORBED, never pruned, so a crash
+  between a directory write and the progress save cannot lose or duplicate
+  regardless of how the rerun re-chunks batches. The kafka sink filters by
+  the cursor FROZEN at query start (at-least-once re-production past it;
+  the consumer's keyset dedupe drops what the broker already has).
+
 Scale: replication never globally sorts — micro-batches arrive in append
-(lsn) order from the file source and `sortWithinPartitions` restores the
-within-batch (lsn, id) order cheaply. Downstream consumers that need total
-order replay via `(lsn, id)` exactly like the reference's consumers.
+(lsn) order from the file source (`EventStore` publishes files in commit
+order) and `sortWithinPartitions` restores the within-batch (lsn, id) order
+cheaply. Downstream consumers that need total order replay via `(lsn, id)`
+exactly like the reference's consumers. The live path does no per-batch
+filtering or target reads; the recovery anti-join is the only extra cost
+and only while a lost checkpoint is being re-established.
+
+Residual (kafka sink only): if a listing race reorders two files of one
+append across micro-batches, records reach the broker out of (lsn, id)
+order within that window; a consumer deduping by per-partition max cursor
+would drop the late rows. Consumers needing strict exactness under
+concurrent appends should use the order-independent stateful first-seen
+dedup (`streaming/stateful.py`) — the files sink is unaffected (anti-join
+absorption is order-free).
 """
 
 from __future__ import annotations
@@ -144,7 +180,10 @@ class Replicator:
                 "another replicator instance holds the lock; refusing to "
                 "start a second writer (X4)"
             )
-        self.prune_uncommitted(topic)
+        ckpt_id, recovery = self._adopt_lineage(topic)
+        # frozen at query start: an ADVANCING cursor filter can outrun a
+        # file the listing missed; the frozen one cannot (module docstring)
+        start_cursor = self.progress.last_cursor(topic) or Cursor.zero()
         schema = spark.read.parquet(path).schema
         reader = spark.readStream.schema(schema)
         if self.max_files_per_trigger:
@@ -157,17 +196,45 @@ class Replicator:
                 # fail the query before writing — the streaming analog of
                 # LockMonitor's exit(1) (`LockMonitor.java:52-58`, X6)
                 raise RuntimeError("replicator lock lost; failing query (X4/X6)")
-            cursor = self.progress.last_cursor(topic) or Cursor.zero()
-            batch = df.where(keyset_after(cursor))  # F1 eligibility predicate
+            saved_batch = self.progress.last_batch_id(topic)
+            if (
+                self.progress.last_ckpt_id(topic) == ckpt_id
+                and saved_batch is not None
+                and batch_id <= saved_batch
+            ):
+                return  # redelivered batch whose commit record already landed
+            saved_cursor = self.progress.last_cursor(topic) or Cursor.zero()
+            batch = df
+            if recovery and self.sink == "kafka":
+                # bulk-exclude what the broker already has; anything past
+                # the frozen cursor re-produces at-least-once (F1)
+                batch = df.where(keyset_after(start_cursor))
             # cache so the high-water agg and the write evaluate the
             # (maxFilesPerTrigger-bounded) batch once, not twice
-            records = to_kafka_records(batch).sortWithinPartitions("lsn", "id").persist()
+            staged = to_kafka_records(batch).sortWithinPartitions("lsn", "id").persist()
+            records = staged
             try:
+                if recovery and self.sink == "files":
+                    records = self._absorb_existing(topic, staged)
                 hw = records.agg(F.max(F.struct("lsn", "id"))).first()[0]
+                if records is staged:
+                    hw_all = hw
+                else:
+                    # absorbed rows are replicated too (they're in the
+                    # target) — the bookkeeping cursor must cover them or
+                    # the lag gauge never clears after a recovery
+                    hw_all = staged.agg(F.max(F.struct("lsn", "id"))).first()[0]
+                advance = (
+                    max(saved_cursor, Cursor(hw_all["lsn"], hw_all["id"]))
+                    if hw_all is not None
+                    else saved_cursor
+                )
                 if hw is None:
-                    # nothing past the cursor (redelivery of fully-replicated
-                    # data, or an empty trigger) — just record the batch id
-                    self.progress.save(topic, cursor, batch_id=batch_id)
+                    # nothing new to write (redelivery of fully-replicated
+                    # data, or an empty trigger) — record the bookkeeping
+                    self.progress.save(
+                        topic, advance, batch_id=batch_id, ckpt_id=ckpt_id
+                    )
                     return
                 new_cursor = Cursor(hw["lsn"], hw["id"])
                 if self.sink == "kafka":
@@ -198,22 +265,23 @@ class Replicator:
                             .save()
                         )
                 else:
-                    # Idempotence is keyed by the batch's high-water CURSOR,
-                    # not the Spark batch id: a crash between this write and
-                    # the progress save redelivers the same row range, which
-                    # OVERWRITES the same directory (the Spark-file analog of
-                    # the reference's Kafka transaction) — and unlike batch
-                    # ids, cursors stay monotone even if the streaming
-                    # checkpoint is lost. The residual hole — crash AND
-                    # checkpoint loss re-chunks batches so redelivered ranges
-                    # land in differently-named directories — is closed by
-                    # prune_uncommitted() at query start (X2).
+                    # The directory is keyed by the batch's OWN high water —
+                    # a crash between this write and the progress save
+                    # redelivers the same row range, which OVERWRITES the
+                    # same directory (the Spark-file analog of the
+                    # reference's Kafka transaction). An orphan left by a
+                    # run whose checkpoint was then lost is ABSORBED by the
+                    # recovery anti-join, never duplicated: a surviving
+                    # batch can't share an orphan's name, because sharing
+                    # the max row means the anti-join already removed it.
                     records.write.mode("overwrite").parquet(
                         f"{self.target_path(topic)}/cursor={new_cursor.serialize().replace(':', '_')}"
                     )
-                self.progress.save(topic, new_cursor, batch_id=batch_id)
+                self.progress.save(
+                    topic, advance, batch_id=batch_id, ckpt_id=ckpt_id
+                )
             finally:
-                records.unpersist()
+                staged.unpersist()
 
         writer = (
             stream.writeStream.foreachBatch(sink)
@@ -223,32 +291,63 @@ class Replicator:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def prune_uncommitted(self, topic: str) -> list[str]:
-        """Remove target cursor-directories beyond the saved progress cursor.
+    def _adopt_lineage(self, topic: str) -> tuple[str, bool]:
+        """Identify the streaming checkpoint's lifetime and decide the run
+        mode. A marker INSIDE the checkpoint dir (so it dies with it) names
+        the lineage; progress records which lineage produced its bookkeeping.
+        Mismatch ⇒ batch ids are incomparable and the source will relist
+        every file ⇒ the run stays in recovery mode (anti-join absorption /
+        frozen-cursor filter) for its whole lifetime — flipping modes
+        mid-run would re-replicate the relisted backlog. A brand-new
+        pipeline (no progress, no target data) adopts the lineage
+        immediately and runs live."""
+        ckpt_dir = f"{self.checkpoint_root}/{topic}"
+        os.makedirs(ckpt_dir, exist_ok=True)
+        marker = os.path.join(ckpt_dir, "_esp_lineage")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                ckpt_id = f.read().strip()
+        else:
+            import uuid
 
-        They are uncommitted: a crash between a cursor-directory write and
-        the progress save, followed by checkpoint loss, re-chunks micro-
-        batches — the rerun writes the same rows under differently-named
-        cursor directories while the orphan (rows beyond the saved cursor)
-        would remain as duplicates. Progress is the commit record; anything
-        past it is rolled back here, then rewritten by the new run. Runs
-        under the topic's single writer (X4), so no live query owns these.
-        """
-        import shutil
+            ckpt_id = uuid.uuid4().hex
+            with open(marker, "w") as f:
+                f.write(ckpt_id)
+        recovery = self.progress.last_ckpt_id(topic) != ckpt_id
+        if (
+            recovery
+            and self.progress.last_cursor(topic) is None
+            and not self._target_has_data(topic)
+        ):
+            self.progress.save(topic, Cursor.zero(), batch_id=None, ckpt_id=ckpt_id)
+            recovery = False
+        return ckpt_id, recovery
 
-        saved = self.progress.last_cursor(topic) or Cursor.zero()
+    def _target_has_data(self, topic: str) -> bool:
         target = self.target_path(topic)
-        if not os.path.isdir(target):
-            return []
-        pruned = []
-        for entry in sorted(os.listdir(target)):
-            if not entry.startswith("cursor="):
-                continue
-            cur = Cursor.parse(entry[len("cursor="):].replace("_", ":"))
-            if cur > saved:
-                shutil.rmtree(os.path.join(target, entry))
-                pruned.append(entry)
-        return pruned
+        return os.path.isdir(target) and any(EventStore._parquet_files(target))
+
+    def _absorb_existing(self, topic: str, records: DataFrame) -> DataFrame:
+        """Recovery-mode exactness for the files sink: drop batch rows whose
+        (lsn, id) already exists in the target — order-independent, so it is
+        immune to the listing races an advancing-cursor filter is not, and
+        it absorbs orphan directories from crashed runs as committed data.
+        The target scan is bounded by the batch's lsn range (pushed to
+        parquet footer stats, which the cursor-range-named directories keep
+        tight), and reads only the two join columns."""
+        if not self._target_has_data(topic):
+            return records
+        bounds = records.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).first()
+        if bounds.lo is None:
+            return records
+        existing = (
+            self.store.spark.read.parquet(self.target_path(topic))
+            .where((F.col("lsn") >= bounds.lo) & (F.col("lsn") <= bounds.hi))
+            .select("lsn", "id")
+        )
+        return records.join(existing, ["lsn", "id"], "left_anti")
 
     def replicate_all(self, available_now: bool = True) -> list[StreamingQuery]:
         """One query per discovered `_events` table (S7/F2 + per-topic workers)."""

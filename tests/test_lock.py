@@ -124,15 +124,15 @@ def test_lock_loss_fails_streaming_query(spark, tmp_path, monkeypatch):
         store, str(tmp_path / "t"), progress, str(tmp_path / "ck"), lock=mine
     )
 
-    orig_prune = rep.prune_uncommitted
+    orig_adopt = rep._adopt_lineage
 
-    def prune_then_takeover(topic):
-        out = orig_prune(topic)
+    def adopt_then_takeover(topic):
+        out = orig_adopt(topic)
         with open(mine.path, "w") as f:  # another instance took the lease
             f.write("thief")
         return out
 
-    monkeypatch.setattr(rep, "prune_uncommitted", prune_then_takeover)
+    monkeypatch.setattr(rep, "_adopt_lineage", adopt_then_takeover)
     q = rep.replicate("y_events")
     with pytest.raises(Exception, match="lock lost"):
         q.awaitTermination(120)

@@ -291,11 +291,14 @@ def test_streaming_dedup_within_watermark(spark, tmp_path, sf_smoke):
     assert len(ids) == len(set(ids)) == 200  # one row per event, none lost
 
 
-def test_replication_prunes_uncommitted_cursor_dirs(spark, tmp_path, store):
+def test_replication_absorbs_uncommitted_cursor_dirs(spark, tmp_path, store):
     """Crash between a cursor-directory write and the progress save, plus
-    checkpoint loss, re-chunks batches: the rerun writes the same rows under
-    a differently-named cursor directory while the orphan remains. Progress
-    is the commit record — replicate() must roll back anything past it."""
+    checkpoint loss, re-chunks batches: the rerun relists every file while
+    the orphan directory holds rows past the committed cursor. Recovery
+    anti-joins each batch against the target, so the orphan is ABSORBED as
+    committed data (its rows are not rewritten) and nothing duplicates —
+    order-independent, unlike the cursor-prune it replaces, which silently
+    lost rows whenever a listing race had reordered arrival."""
     from event_store_spark.streaming.replicate import to_kafka_records
 
     topic = _seed(spark, store, n=4, batches=2)
@@ -322,10 +325,12 @@ def test_replication_prunes_uncommitted_cursor_dirs(spark, tmp_path, store):
     rep2.replicate(topic).awaitTermination(120)
     import os
 
-    assert not os.path.isdir(orphan)  # rolled back at query start
+    assert os.path.isdir(orphan)  # absorbed as committed data, not pruned
     t = spark.read.parquet(rep2.target_path(topic))
-    assert t.count() == 5
+    assert t.count() == 5  # orphan's row counted once, nothing rewritten
     assert t.select("lsn", "id").distinct().count() == 5
+    # bookkeeping caught up past the orphan so the lag gauge reads clean
+    assert rep2.lag(topic) == 0
 
 
 def test_replication_survives_checkpoint_loss(spark, tmp_path, store):
@@ -386,3 +391,62 @@ def test_streaming_hopping_window_matches_batch(spark, tmp_path, sf_smoke):
         .collect()
     }
     assert got == expected
+
+
+def test_live_replication_races_concurrent_appends(spark, tmp_path, store):
+    """Appends racing a RUNNING replication stream lose nothing: ordered
+    publication lands each append's files one rename at a time, oldest
+    (lsn, id) range first, so any trigger's directory listing catches a
+    commit-order PREFIX — the keyset cursor can never advance past a row
+    that hasn't become visible yet. Multi-file appends (repartition(4))
+    against a free-running micro-batch trigger; exactly-once at the end."""
+    import time as _time
+
+    topic = "live_events"
+    store.append(
+        topic,
+        spark.createDataFrame(
+            [("k0", "0", TS)], "key string, payload string, timestamp timestamp"
+        ),
+    )
+    progress = ProgressStore(str(tmp_path / "progress.json"))
+    rep = Replicator(
+        store,
+        str(tmp_path / "kafka"),
+        progress,
+        str(tmp_path / "rckpt"),
+        max_files_per_trigger=3,  # force mid-append batch boundaries
+    )
+    q = rep.replicate(topic, available_now=False)
+    try:
+        for b in range(1, 10):
+            rows = [(f"k{b}-{i}", f"{b}-{i}", TS) for i in range(4)]
+            store.append(
+                topic,
+                spark.createDataFrame(
+                    rows, "key string, payload string, timestamp timestamp"
+                ).repartition(4),
+            )
+        total = 1 + 9 * 4
+
+        def replicated() -> int:
+            # lag() is lsn-granular: it reads 0 as soon as ANY row of the
+            # newest lsn lands, while sibling files may still be in flight —
+            # wait on the actual replicated row count before stopping
+            try:
+                return spark.read.parquet(rep.target_path(topic)).count()
+            except Exception:
+                return 0  # target not created yet
+
+        deadline = _time.monotonic() + 120
+        while replicated() < total and _time.monotonic() < deadline:
+            _time.sleep(0.25)
+        assert rep.lag(topic) == 0, "replication never caught up"
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = spark.read.parquet(rep.target_path(topic)).select("lsn", "id")
+    assert got.count() == total  # nothing lost ...
+    assert got.distinct().count() == total  # ... nothing duplicated
+    expected = {(r.lsn, r.id) for r in store.read_events(topic).select("lsn", "id").collect()}
+    assert {(r.lsn, r.id) for r in got.collect()} == expected
