@@ -16,6 +16,7 @@ from event_store_spark.plans import sketches as _sketches  # noqa: F401,E402
 from event_store_spark.plans import relational_ext2 as _relational_ext2  # noqa: F401,E402
 from event_store_spark.plans import scale_rank as _scale_rank  # noqa: F401,E402
 from event_store_spark.plans import pipeline as _pipeline  # noqa: F401,E402
+from event_store_spark.plans import pipeline2 as _pipeline2  # noqa: F401,E402
 from event_store_spark.plans import ivf as _ivf  # noqa: F401,E402
 
 #: Driver-sampling priority: the external driver's correctness pass checks a
@@ -38,7 +39,7 @@ _DRIVER_PRIORITY = [
     "multimodal_frame_sample", "multimodal_resize",
     # (a') new in round 3 — no driver row yet
     "dedup_minhash_verified", "ann_batch_topk", "corpus_curation",
-    "ann_ivf_nprobe",
+    "ann_ivf_nprobe", "text_repetition", "dataset_split", "mixture_weights",
     # (b) round-1-only rows
     "q38", "q39", "q40", "multimodal_features",
     # (c) changed in round 3

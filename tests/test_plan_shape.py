@@ -112,3 +112,36 @@ def test_minhash_verified_never_degenerates(spark, sf_correct):
     plan = _plan(spark, sf_correct, "dedup_minhash_verified")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_repetition_is_map_side_no_explode(spark, sf_correct):
+    """The 5-gram scoring stays inside the row: no Generate (explode) node,
+    no UDF, exactly the one partial→final agg exchange, and the scan is
+    column-pruned to (text, lang)."""
+    plan = _plan(spark, sf_correct, "text_repetition")
+    assert "Generate" not in plan  # grams never explode into rows
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+    scan = plan[plan.rfind("ReadSchema"):][:200]
+    assert "text" in scan and "doc_id" not in scan
+
+
+def test_dataset_split_is_map_side(spark, sf_correct):
+    """Split assignment is row-local md5 thresholding: one agg exchange,
+    no join, no window."""
+    plan = _plan(spark, sf_correct, "dataset_split")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_mixture_weights_window_is_post_aggregation(spark, sf_correct):
+    """The unpartitioned window runs AFTER the per-source aggregation — on
+    O(#sources) rows, never on documents: the agg's exchange must appear
+    deeper in the plan (closer to the scan) than the window node."""
+    plan = _plan(spark, sf_correct, "mixture_weights")
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    agg_below = [
+        i for i, l in enumerate(lines) if "HashAggregate" in l and i > win
+    ]
+    assert agg_below, "window must sit above the per-source aggregation"
