@@ -14,8 +14,13 @@ engine-vs-oracle ratio is auditable from this one JSON line:
 {"metric": "...", "value": <engine total sec>, "unit": "sec",
  "queries": {name: engine_median_sec, ...}, "sf": <float>,
  "reps": N, "oracle_total": <duckdb total sec>,
- "oracle_queries": {name: sec, ...}, "engine_vs_oracle": <ratio>,
- "per_query": {name: {"engine": sec, "oracle": sec|null}, ...}}
+ "engine_vs_oracle": <ratio>}
+
+The stdout line is kept deliberately small: the external driver captures only
+a bounded TAIL of stdout and parses the last line as JSON — round 3's line
+embedded per-query oracle timings and overflowed that buffer, so the round's
+headline number was never recorded (BENCH_r03.json "parsed": null). Per-query
+{engine, oracle} detail now goes to BENCH_DETAIL.json next to this script.
 """
 
 from __future__ import annotations
@@ -87,6 +92,23 @@ def main() -> None:
         oracle_timings[name] = round(time.perf_counter() - t0, 3)
     oracle_total = round(sum(oracle_timings.values()), 3)
 
+    detail = {
+        "sf": sf,
+        "reps": reps,
+        "engine_total": total,
+        "oracle_total": oracle_total,
+        "per_query": {
+            n: {"engine": timings[n], "oracle": oracle_timings.get(n)}
+            for n in timings
+        },
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # ONE compact line on stdout — keep it short enough for the driver's
+    # bounded tail capture (see module docstring)
     print(
         json.dumps(
             {
@@ -98,15 +120,11 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "oracle_total": oracle_total,
-                "oracle_queries": oracle_timings,
                 "engine_vs_oracle": round(total / oracle_total, 3)
                 if oracle_total
                 else None,
-                "per_query": {
-                    n: {"engine": timings[n], "oracle": oracle_timings.get(n)}
-                    for n in timings
-                },
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -19,39 +19,39 @@ from event_store_spark.plans import pipeline as _pipeline  # noqa: F401,E402
 from event_store_spark.plans import pipeline2 as _pipeline2  # noqa: F401,E402
 from event_store_spark.plans import ivf as _ivf  # noqa: F401,E402
 
-#: Driver-sampling priority: the external driver's correctness pass checks a
-#: PREFIX of this registry (50 queries/round in rounds 1–2), so iteration
-#: order is part of the verification surface. Least-recently-driver-checked
-#: queries go first: (a) the set with no driver row in any round, (b) the
-#: round-1-only set, (c) dedup_embedding, whose blocking semantics changed in
-#: round 3, (d) the rows-only sketches, then everything round-2-green. Local
-#: parity (tests/test_oracle_parity.py) stays exhaustive regardless.
-_DRIVER_PRIORITY = [
-    # (a) never driver-checked through round 2
+#: Least-recently-driver-checked ROTATION. The external correctness driver
+#: samples a prefix of this registry each round; a fixed order would leave
+#: the same tail queries perpetually unchecked, and the round-2 static
+#: priority list had the dual flaw (previously-green queries pushed to the
+#: tail are the least likely to be re-checked for regressions — ADVICE r3).
+#: The fair policy is rotation: queries that did NOT get a green row in the
+#: most recent driver pass come first (in registration order), queries that
+#: did come last. Over two consecutive rounds every query gets a driver row;
+#: regressions in green queries surface at most one round late. Local parity
+#: (tests/test_oracle_parity.py) stays exhaustive every run regardless.
+_CHECKED_LAST_ROUND = {
+    # green rows in CORRECTNESS_r03.json (q51 errored there — comparator
+    # could not hash its array column, fixed in relational_ext2 — so it
+    # rotates to the FRONT, not here)
+    "q1", "q2", "q3", "q4", "q38", "q39", "q40",
     "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49", "q50",
-    "q51", "q52", "q53", "q54", "q55_salted_heavy_hitters",
+    "q52", "q53", "q54", "q55_salted_heavy_hitters",
     "q19_scale", "q50_scale",
     "sample_stratified", "sample_bottomk", "source_quota",
     "contamination_ngram", "quality_filter", "vocab_topk",
     "tfidf_top_terms", "text_pii_scrub",
-    "dedup_survivors", "dedup_clusters", "dedup_embedding_label",
-    "ann_ivf_topk", "ann_ivf_sampled",
-    "multimodal_frame_sample", "multimodal_resize",
-    # (a') new in round 3 — no driver row yet
-    "dedup_minhash_verified", "ann_batch_topk", "corpus_curation",
-    "ann_ivf_nprobe", "text_repetition", "dataset_split", "mixture_weights",
-    # (b) round-1-only rows
-    "q38", "q39", "q40", "multimodal_features",
-    # (c) changed in round 3
-    "dedup_embedding",
-    # (d) rows-only sketch checks
+    "dedup_survivors", "dedup_clusters",
+    "dedup_embedding", "dedup_embedding_label", "dedup_minhash_verified",
+    "ann_ivf_topk", "ann_ivf_sampled", "ann_ivf_nprobe", "ann_batch_topk",
+    "multimodal_features", "multimodal_frame_sample", "multimodal_resize",
+    "corpus_curation", "text_repetition", "dataset_split", "mixture_weights",
     "approx_distinct_users", "approx_price_quantiles",
-]
+}
 
 
-def _apply_driver_priority() -> None:
-    order = [n for n in _DRIVER_PRIORITY if n in QUERIES] + [
-        n for n in QUERIES if n not in _DRIVER_PRIORITY
+def _apply_rotation() -> None:
+    order = [n for n in QUERIES if n not in _CHECKED_LAST_ROUND] + [
+        n for n in QUERIES if n in _CHECKED_LAST_ROUND
     ]
     for d in (QUERIES, ORACLE):
         items = [(n, d[n]) for n in order if n in d]
@@ -59,6 +59,6 @@ def _apply_driver_priority() -> None:
         d.update(items)
 
 
-_apply_driver_priority()
+_apply_rotation()
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -222,18 +222,33 @@ def q50_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51",
     oracle="""
     SELECT s_nationkey,
-           list_slice(list_sort(list(s_suppkey)), 1, 3) AS first3,
+           array_to_string(
+               list_transform(
+                   list_slice(list_sort(list(s_suppkey)), 1, 3),
+                   x -> CAST(x AS VARCHAR)),
+               ',') AS first3,
            CAST(len(list(s_suppkey)) AS INT) AS n_sup
     FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
 )
 def q51_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation + manipulation: collect, sort, slice per group."""
+    """Array aggregation + manipulation: collect, sort, slice per group.
+
+    The sliced array is emitted as a comma-joined STRING (sorted numerically
+    before the cast, so '2' < '10' stays correct): the external correctness
+    driver canonicalizes results through a pandas sort, which cannot hash
+    list-typed cells (CORRECTNESS_r03 q51 err: unhashable type 'list').
+    The array ops under test — collect_list, sort_array, slice — still run
+    inside the plan; only the final projection is scalar.
+    """
+    first3 = F.slice(F.sort_array(F.collect_list("s_suppkey")), 1, 3)
     return (
         _t(spark, sf_dir, "supplier")
         .groupBy("s_nationkey")
         .agg(
-            F.slice(F.sort_array(F.collect_list("s_suppkey")), 1, 3).alias("first3"),
+            F.array_join(
+                F.transform(first3, lambda x: x.cast("string")), ","
+            ).alias("first3"),
             F.size(F.collect_list("s_suppkey")).alias("n_sup"),
         )
         .orderBy("s_nationkey")

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: external tooling (the bench driver) parses the
+        # last stdout line as JSON, and progress bars interleave with it
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]").config(
