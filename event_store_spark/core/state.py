@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 import time
 
 from event_store_spark.core.cursor import Cursor
@@ -47,8 +48,23 @@ class TopicMutex:
     one short-lived lock guards each append's reserve+write).
 
     Acquire blocks up to ``timeout_seconds`` (appends are short); a lock
-    file older than ``stale_seconds`` is an orphan from a crashed append and
-    is broken (os.replace is atomic, so two breakers cannot both win).
+    file older than ``stale_seconds`` is an orphan from a crashed append.
+
+    Two properties the first-cut replace-and-verify steal did NOT have
+    (ADVICE r3):
+
+    - **Single steal winner.** A stale lock is broken by *renaming* it to a
+      steal-private name: ``os.rename`` of one source path can succeed for
+      exactly one caller, so concurrent breakers cannot both conclude they
+      removed the stale lock (replace-then-read-back let breaker B replace
+      again after A's verify, leaving both inside the critical section).
+      The winner merely *removes* the orphan; ownership is then decided by
+      the same ``O_EXCL`` create every acquirer races on.
+    - **Holder heartbeat.** A legitimately long append (a large parquet
+      write can exceed ``stale_seconds``) must not look like an orphan: the
+      holder refreshes the lock file's mtime from a daemon thread every
+      ``stale_seconds / 4``, so only a crashed (or SIGSTOPped longer than
+      ``stale_seconds``) holder ever goes stale.
     """
 
     def __init__(self, lock_dir: str, timeout_seconds: float = 30.0, stale_seconds: float = 120.0):
@@ -56,6 +72,9 @@ class TopicMutex:
         self.timeout_seconds = timeout_seconds
         self.stale_seconds = stale_seconds
         os.makedirs(lock_dir, exist_ok=True)
+        # per-topic (token, stop-event, thread) for locks THIS instance holds
+        self._held: dict[str, tuple[str, threading.Event, threading.Thread]] = {}
+        self._held_guard = threading.Lock()
 
     def _path(self, topic: str) -> str:
         return os.path.join(self.lock_dir, f"{topic}.lock")
@@ -71,18 +90,24 @@ class TopicMutex:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "w") as f:
                     f.write(token)
+                self._start_heartbeat(topic, path, token)
                 return
             except FileExistsError:
                 pass
             try:
                 if (time.time() - os.path.getmtime(path)) > self.stale_seconds:
-                    # orphaned lock (holder crashed mid-append): steal via
-                    # atomic replace — the LAST replacer owns it, so verify
-                    # the file now carries OUR token before proceeding
-                    os.replace(self._write_tmp(token), path)
-                    if self._holder(path) == token:
-                        return
-                    continue
+                    # orphaned lock (holder crashed mid-append, heartbeat
+                    # dead): move it aside under a steal-private name —
+                    # exactly one renamer can win because the source path
+                    # exists only once. Losers see FileNotFoundError and
+                    # rejoin the O_EXCL race.
+                    grave = f"{path}.stale.{token}"
+                    try:
+                        os.rename(path, grave)
+                    except FileNotFoundError:
+                        continue  # another breaker (or a release) beat us
+                    os.unlink(grave)
+                    continue  # compete for the fresh lock via O_EXCL
             except FileNotFoundError:
                 continue  # released between open and stat — retry now
             if time.monotonic() > deadline:
@@ -92,21 +117,50 @@ class TopicMutex:
                 )
             time.sleep(0.02)
 
-    def _write_tmp(self, token: str) -> str:
-        fd, tmp = tempfile.mkstemp(dir=self.lock_dir)
-        with os.fdopen(fd, "w") as f:
-            f.write(token)
-        return tmp
+    def _start_heartbeat(self, topic: str, path: str, token: str) -> None:
+        stop = threading.Event()
+
+        def beat() -> None:
+            while not stop.wait(self.stale_seconds / 4.0):
+                try:
+                    # refresh only if the file is still OUR lock (a thief's
+                    # lock must not be kept alive by a stale holder's beat)
+                    if self._holder(path) == token:
+                        os.utime(path)
+                    else:
+                        return
+                except OSError:
+                    return
+
+        t = threading.Thread(target=beat, name=f"mutex-heartbeat-{topic}", daemon=True)
+        with self._held_guard:
+            self._held[topic] = (token, stop, t)
+        t.start()
 
     @staticmethod
     def _holder(path: str) -> str | None:
         try:
             with open(path) as f:
                 return f.read().strip()
-        except FileNotFoundError:
+        except (FileNotFoundError, OSError):
             return None
 
     def release(self, topic: str) -> None:
+        with self._held_guard:
+            held = self._held.pop(topic, None)
+        if held is not None:
+            token, stop, thread = held
+            stop.set()
+            path = self._path(topic)
+            # unlink only our own lock: if we were SIGSTOPped past
+            # stale_seconds and stolen from, the thief's lock must survive
+            if self._holder(path) == token:
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+            return
+        # release() without a tracked acquire (legacy/test path): best-effort
         try:
             os.unlink(self._path(topic))
         except FileNotFoundError:

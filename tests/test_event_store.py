@@ -441,6 +441,78 @@ def test_append_mutex_breaks_stale_lock(store, spark, tmp_path):
     assert cur.lsn == 1
 
 
+def test_stale_lock_steal_elects_single_winner(tmp_path):
+    """Concurrent breakers of ONE stale lock must not both enter the
+    critical section: the steal is a rename (one winner) followed by the
+    ordinary O_EXCL race, so mutual exclusion holds through the break
+    (ADVICE r3: replace-then-verify let every breaker 'win')."""
+    import os
+    import threading
+    import time
+
+    from event_store_spark.core.state import TopicMutex
+
+    mutex = TopicMutex(str(tmp_path / "locks"), timeout_seconds=10.0, stale_seconds=2.0)
+    # orphan lock from a "crashed" holder: foreign token, ancient mtime
+    path = mutex._path("t")
+    with open(path, "w") as f:
+        f.write("dead-holder-token")
+    os.utime(path, (time.time() - 1000, time.time() - 1000))
+
+    in_cs = 0
+    max_in_cs = 0
+    guard = threading.Lock()
+    errors: list[Exception] = []
+
+    def worker() -> None:
+        nonlocal in_cs, max_in_cs
+        try:
+            mutex.acquire("t")
+            with guard:
+                in_cs += 1
+                max_in_cs = max(max_in_cs, in_cs)
+            time.sleep(0.05)
+            with guard:
+                in_cs -= 1
+            mutex.release("t")
+        except Exception as e:  # pragma: no cover - diagnostics
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert max_in_cs == 1  # never two holders, even while breaking the orphan
+
+
+def test_heartbeat_protects_long_held_lock_from_steal(tmp_path):
+    """A live holder whose append outlasts stale_seconds is NOT stolen
+    from: the holder's heartbeat refreshes the lock mtime, so a contender
+    times out instead of breaking a live lock (ADVICE r3: silent duplicate
+    lsn reservation)."""
+    import threading
+    import time
+
+    from event_store_spark.core.state import TopicMutex
+
+    mutex = TopicMutex(str(tmp_path / "locks"), timeout_seconds=1.5, stale_seconds=1.0)
+    mutex.acquire("t")  # heartbeat now refreshes mtime every 0.25s
+    try:
+        t0 = time.monotonic()
+        contender = TopicMutex(str(tmp_path / "locks"), timeout_seconds=1.5, stale_seconds=1.0)
+        with pytest.raises(TimeoutError, match="'t'"):
+            contender.acquire("t")
+        # held well past stale_seconds without being stolen
+        assert time.monotonic() - t0 >= 1.4
+    finally:
+        mutex.release("t")
+    # once released, a fresh acquire succeeds immediately
+    contender.acquire("t")
+    contender.release("t")
+
+
 def test_append_mutex_times_out_on_live_contention(store, spark):
     """A fresh (non-stale) foreign lock makes append fail fast with
     TimeoutError rather than corrupting the ticket."""
