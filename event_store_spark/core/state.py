@@ -211,6 +211,27 @@ class OffsetsTable(_AtomicJsonState):
     def last_batch_id(self, topic: str, partition: int = 0) -> int | None:
         return self._read().get(f"{topic}/{partition}", {}).get("batch_id")
 
+    def last_ckpt_id(self, topic: str, partition: int = 0) -> str | None:
+        """Checkpoint-lineage marker recorded with the last upsert (see
+        `streaming.lineage`): batch ids are only comparable within one
+        checkpoint's lifetime, so consumers record WHICH checkpoint produced
+        the bookkeeping and disable batch-id skipping when it changes."""
+        return self._read().get(f"{topic}/{partition}", {}).get("ckpt_id")
+
+    @staticmethod
+    def _entry(
+        offset: int,
+        batch_id: int | None,
+        cursor: Cursor | None,
+        ckpt_id: str | None,
+    ) -> dict:
+        entry = {"offset": offset, "batch_id": batch_id}
+        if cursor is not None:
+            entry["cursor"] = cursor.serialize()
+        if ckpt_id is not None:
+            entry["ckpt_id"] = ckpt_id
+        return entry
+
     def upsert(
         self,
         topic: str,
@@ -218,12 +239,29 @@ class OffsetsTable(_AtomicJsonState):
         partition: int = 0,
         batch_id: int | None = None,
         cursor: Cursor | None = None,
+        ckpt_id: str | None = None,
     ) -> None:
         data = self._read()
-        entry = {"offset": offset, "batch_id": batch_id}
-        if cursor is not None:
-            entry["cursor"] = cursor.serialize()
-        data[f"{topic}/{partition}"] = entry
+        data[f"{topic}/{partition}"] = self._entry(offset, batch_id, cursor, ckpt_id)
+        self._write(data)
+
+    def upsert_many(
+        self,
+        topic: str,
+        rows: list[tuple[int, int, int | None, Cursor | None, str | None]],
+    ) -> None:
+        """Upsert several partitions' positions in ONE atomic file replace.
+
+        ``rows`` = [(partition, offset, batch_id, cursor, ckpt_id), ...].
+        A multi-partition Kafka batch commit must be all-or-nothing: N
+        separate writes in arbitrary order let a crash land the partition-0
+        batch-id (so the redelivered batch is skipped) while other
+        partitions' cursors are stale — widening the at-least-once window
+        beyond the documented one batch (ADVICE r3).
+        """
+        data = self._read()
+        for partition, offset, batch_id, cursor, ckpt_id in rows:
+            data[f"{topic}/{partition}"] = self._entry(offset, batch_id, cursor, ckpt_id)
         self._write(data)
 
 

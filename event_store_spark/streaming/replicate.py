@@ -301,18 +301,9 @@ class Replicator:
         mid-run would re-replicate the relisted backlog. A brand-new
         pipeline (no progress, no target data) adopts the lineage
         immediately and runs live."""
-        ckpt_dir = f"{self.checkpoint_root}/{topic}"
-        os.makedirs(ckpt_dir, exist_ok=True)
-        marker = os.path.join(ckpt_dir, "_esp_lineage")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                ckpt_id = f.read().strip()
-        else:
-            import uuid
+        from event_store_spark.streaming.lineage import checkpoint_lineage_id
 
-            ckpt_id = uuid.uuid4().hex
-            with open(marker, "w") as f:
-                f.write(ckpt_id)
+        ckpt_id = checkpoint_lineage_id(f"{self.checkpoint_root}/{topic}")
         recovery = self.progress.last_ckpt_id(topic) != ckpt_id
         if (
             recovery

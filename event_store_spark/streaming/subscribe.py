@@ -126,6 +126,17 @@ class Subscription:
         cursor and batch id in one atomic update. Redelivered batches are
         skipped before the processor runs.
 
+        Checkpoint loss is survived, not silently mis-skipped: batch-id
+        idempotence is gated on the checkpoint LINEAGE that produced the
+        stored id (`streaming.lineage`, same mechanism as
+        `Replicator._adopt_lineage`). When the lineage changes — checkpoint
+        dir deleted, ids restart at 0, the file source relists everything —
+        stored batch ids are ignored for the whole recovery run and the
+        relisted backlog is instead filtered by the (lsn, id) cursor FROZEN
+        at query start: already-processed rows are dropped, never-processed
+        ones flow through. Without the guard, the entire backlog could land
+        in a "stale" batch 0 and be skipped (ADVICE r3 — silent event loss).
+
         Kafka source: Spark's Kafka producer is at-least-once, so individual
         records can also be duplicated inside otherwise-new batches. The
         kafka branch therefore (a) filters each batch by the per-partition
@@ -141,15 +152,36 @@ class Subscription:
         cursor would wrongly drop them.
         """
 
-        def process_and_offset(df: DataFrame, batch_id: int) -> None:
-            if self.source == "kafka":
-                self._kafka_process_and_offset(topic, processor, df, batch_id)
-                return
-            processor(df, batch_id)
-            stats = df.agg(
+        ckpt_id, recovery = self._adopt_lineage(topic)
+        # frozen at query start (recovery only): filters the relisted
+        # backlog down to never-processed rows; frozen rather than advancing
+        # for the same listing-race reason as the Replicator
+        start_cursor = self.offsets.get_cursor(topic) or Cursor.zero()
+
+        def batch_stats(df: DataFrame):
+            return df.agg(
                 F.max(F.struct("lsn", "id")).alias("hw"),
                 F.count(F.lit(1)).alias("n"),
             ).first()
+
+        def process_and_offset(df: DataFrame, batch_id: int) -> None:
+            if self.source == "kafka":
+                self._kafka_process_and_offset(topic, processor, df, batch_id, ckpt_id)
+                return
+            if recovery:
+                # relisted backlog: keep only rows past the frozen cursor,
+                # and invoke the processor ONLY if anything new remains —
+                # a recovery lineage restarts batch ids at 0, so calling a
+                # batch-id-keyed projection with already-applied data would
+                # collide with the old lineage's keys
+                df = df.where(keyset_after(start_cursor)).persist()
+                stats = batch_stats(df)
+                if stats.n:
+                    processor(df, batch_id)
+                df.unpersist()
+            else:
+                processor(df, batch_id)
+                stats = batch_stats(df)
             prev_offset = self.offsets.get(topic)
             if stats.n:
                 # the stored offset is a 0-based running consumed-row index
@@ -157,7 +189,11 @@ class Subscription:
                 # making the lag gauge pure arithmetic (A2)
                 cursor = Cursor(stats.hw["lsn"], stats.hw["id"])
                 self.offsets.upsert(
-                    topic, prev_offset + stats.n, batch_id=batch_id, cursor=cursor
+                    topic,
+                    prev_offset + stats.n,
+                    batch_id=batch_id,
+                    cursor=cursor,
+                    ckpt_id=ckpt_id,
                 )
             else:
                 # empty redelivery: record the batch id but PRESERVE the
@@ -168,12 +204,20 @@ class Subscription:
                     prev_offset,
                     batch_id=batch_id,
                     cursor=self.offsets.get_cursor(topic),
+                    ckpt_id=ckpt_id,
                 )
+
+        def last_batch_id_in_lineage(t: str) -> int | None:
+            # stored batch ids from a DIFFERENT checkpoint lineage are
+            # incomparable with this run's ids — never skip on their account
+            if self.offsets.last_ckpt_id(t) != ckpt_id:
+                return None
+            return self.offsets.last_batch_id(t)
 
         fn = exactly_once_batch(
             topic,
             process_and_offset,
-            get_last_batch_id=self.offsets.last_batch_id,
+            get_last_batch_id=last_batch_id_in_lineage,
             commit=lambda t, b: None,  # committed atomically inside upsert
         )
         writer = (
@@ -185,22 +229,45 @@ class Subscription:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def _adopt_lineage(self, topic: str) -> tuple[str, bool]:
+        """Identify the streaming checkpoint's lifetime and decide the run
+        mode (mirror of `Replicator._adopt_lineage`): lineage mismatch ⇒
+        batch ids are incomparable and the source relists every file ⇒ the
+        run stays in recovery mode (frozen-cursor keyset filter) for its
+        whole lifetime. A brand-new subscription (no bookkeeping at all)
+        adopts the lineage immediately and runs live."""
+        from event_store_spark.streaming.lineage import checkpoint_lineage_id
+
+        ckpt_id = checkpoint_lineage_id(f"{self.checkpoint_root}/{topic}")
+        recovery = self.offsets.last_ckpt_id(topic) != ckpt_id
+        if (
+            recovery
+            and self.offsets.last_batch_id(topic) is None
+            and self.offsets.get_cursor(topic) is None
+        ):
+            self.offsets.upsert(
+                topic, self.offsets.get(topic), batch_id=None, ckpt_id=ckpt_id
+            )
+            recovery = False
+        return ckpt_id, recovery
+
     def _kafka_process_and_offset(
         self,
         topic: str,
         processor: Callable[[DataFrame, int], None],
         df: DataFrame,
         batch_id: int,
+        ckpt_id: str | None = None,
     ) -> None:
         """Kafka-branch batch step: keyset-dedupe, project, record offsets.
 
         partition/offset ride in the decoded event's metadata map (see
         `from_kafka_records`); they are lifted back to typed columns here.
         One persist, one pass for the per-partition stats; the offsets table
-        gets one row per partition present in the batch (real broker
-        offset + (lsn, id) high water), and partition 0 always records the
-        batch id (it carries the idempotence bookkeeping
-        `exactly_once_batch` reads).
+        commits every partition's position (real broker offset + (lsn, id)
+        high water) plus the partition-0 batch id in ONE atomic write —
+        a partial multi-write commit could skip the redelivered batch while
+        leaving other partitions' cursors stale (ADVICE r3).
         """
         part = F.decode(F.col("metadata")["partition"], "UTF-8").cast("int")
         off = F.decode(F.col("metadata")["offset"], "UTF-8").cast("long")
@@ -236,6 +303,7 @@ class Subscription:
                 )
                 .collect()
             )
+            rows = []
             seen = set()
             for row in stats:
                 p = row["_part"]
@@ -243,19 +311,23 @@ class Subscription:
                 prev = cursors.get(p) or self.offsets.get_cursor(topic, p)
                 hw = row["hw"]
                 cur = Cursor(hw["lsn"], hw["id"]) if hw is not None else prev
-                self.offsets.upsert(
-                    topic, row["off"], partition=p, batch_id=batch_id, cursor=cur
-                )
+                rows.append((p, row["off"], batch_id, cur, ckpt_id))
             if 0 not in seen:
                 # no partition-0 rows this batch: preserve its position but
                 # still record the batch id for redelivery skipping
-                self.offsets.upsert(
-                    topic,
-                    self.offsets.get(topic, 0),
-                    partition=0,
-                    batch_id=batch_id,
-                    cursor=self.offsets.get_cursor(topic, 0),
+                rows.append(
+                    (
+                        0,
+                        self.offsets.get(topic, 0),
+                        batch_id,
+                        self.offsets.get_cursor(topic, 0),
+                        ckpt_id,
+                    )
                 )
+            # all partitions + the batch id land in one atomic replace:
+            # a crash either commits the whole batch (redelivery skipped)
+            # or none of it (full redelivery, keyset filter dedupes)
+            self.offsets.upsert_many(topic, rows)
         finally:
             marked.unpersist()
 

@@ -217,6 +217,45 @@ def test_exactly_once_subscription_restart_storm(spark, tmp_path, store):
     assert spark.read.parquet(sink_path).count() == 6  # no dup, no skip
 
 
+def test_subscription_checkpoint_loss_does_not_skip_new_events(spark, tmp_path, store):
+    """Checkpoint loss with UNPROCESSED new events: the relisted backlog
+    restarts batch ids at 0, so a bare batch-id gate would classify the
+    whole backlog — including the never-processed events — as a stale
+    redelivery and silently drop it (ADVICE r3). The lineage guard must
+    instead reprocess exactly the new rows (old rows keyset-filtered)."""
+    topic = _seed(spark, store, n=4, batches=2)
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    processed: list[tuple[int, int]] = []
+
+    def processor(df, batch_id):
+        processed.extend((r["lsn"], int(r["payload"])) for r in df.collect())
+
+    sub = Subscription(store, offsets, str(tmp_path / "ckpt1"))
+    sub.run(topic, processor).awaitTermination(120)
+    assert sorted(p for _, p in processed) == [0, 1, 2, 3]
+
+    # new events arrive AFTER the checkpoint is lost
+    store.append(
+        topic,
+        spark.createDataFrame(
+            [("k4", "4", TS), ("k5", "5", TS)],
+            "key string, payload string, timestamp timestamp",
+        ),
+    )
+    before = list(processed)
+    sub2 = Subscription(store, offsets, str(tmp_path / "ckpt2"))  # fresh ckpt
+    sub2.run(topic, processor).awaitTermination(120)
+    new = processed[len(before):]
+    # exactly the two new events, once each; nothing old re-applied
+    assert sorted(p for _, p in new) == [4, 5]
+
+    # and a THIRD run on the adopted lineage is a clean no-op
+    sub2.run(topic, processor).awaitTermination(120)
+    assert len(processed) == len(before) + 2
+    # bookkeeping advanced over the new events
+    assert sub2.lag(topic) == 0
+
+
 # ---------------------------------------------------------------- S-D
 
 def test_replication_cursor_resume_no_duplicates(spark, tmp_path, store):
