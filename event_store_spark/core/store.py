@@ -264,7 +264,26 @@ class EventStore:
                 writer = writer.partitionBy("dt")
             try:
                 writer.parquet(staging)
-                self._publish_ordered(staging, self.topic_path(topic), clock_start)
+                published = self._publish_ordered(
+                    staging, self.topic_path(topic), clock_start
+                )
+                # Reconcile the clock to ticks actually CONSUMED: the
+                # reservation above is one tick per ROW (files ≤ rows, and
+                # the file count isn't known until the write finishes), but
+                # publication spends one per FILE — without this re-save the
+                # clock (and published mtimes) would drift unboundedly ahead
+                # of wall-clock under sustained row throughput. A crash
+                # before this line leaves the over-reservation in place:
+                # bounded (one batch's rows) and safe, merely sparse.
+                self._tickets.save(
+                    topic,
+                    lsn=lsn,
+                    max_id=stats.max_id,
+                    total=(ticket["total"] if ticket else 0) + stats.n,
+                    key_type=key_type,
+                    day_partitioned=partition_by_day,
+                    clock=clock_start + published,
+                )
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         finally:
@@ -308,8 +327,12 @@ class EventStore:
             dest_dir = os.path.join(final, rel) if rel else final
             os.makedirs(dest_dir, exist_ok=True)
             dest = os.path.join(dest_dir, f"part-{clk:020d}-{uuid.uuid4().hex}.parquet")
+            # stamp the clock mtime on the STAGED file: rename preserves it,
+            # so the published file never transiently exposes its wall-clock
+            # write mtime to a concurrent listing
+            os.utime(src, ns=(clk * 1_000_000, clk * 1_000_000))
             os.rename(src, dest)
-            os.utime(dest, ns=(clk * 1_000_000, clk * 1_000_000))
+        return seq
 
     def _ticket(self, topic: str) -> dict | None:
         """The topic's append ticket; recovered by one explicit scan for

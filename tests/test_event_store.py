@@ -441,6 +441,29 @@ def test_append_mutex_breaks_stale_lock(store, spark, tmp_path):
     assert cur.lsn == 1
 
 
+def test_publication_clock_consumes_ticks_per_file_not_row(store, spark):
+    """The append reserves one clock tick per ROW (file count unknown until
+    the write lands) but must reconcile to ticks actually consumed — one per
+    FILE — or sustained high-row appends push published mtimes unboundedly
+    into the future (ADVICE r3)."""
+    import time
+
+    rows = [(f"k{i}", "p", TS) for i in range(500)]
+    t0_ms = int(time.time() * 1000)
+    store.append("clk_events", _payload_df(spark, rows))
+    ticket = store.high_water("clk_events")
+    files = list(EventStore._parquet_files(store.topic_path("clk_events")))
+    # clock advanced by the file count (≤ partitions), not by 500 rows:
+    # it stays within real elapsed time + #files of wall-clock
+    assert ticket["clock"] <= int(time.time() * 1000) + len(files)
+    assert ticket["clock"] >= t0_ms  # still monotone past append start
+    # a second append keeps file-name sequence strictly increasing
+    store.append("clk_events", _payload_df(spark, [("kx", "p", TS)]))
+    names = sorted(os.path.basename(f) for f in
+                   EventStore._parquet_files(store.topic_path("clk_events")))
+    assert len(names) == len(set(names)) == len(files) + 1
+
+
 def test_stale_lock_steal_elects_single_winner(tmp_path):
     """Concurrent breakers of ONE stale lock must not both enter the
     critical section: the steal is a rename (one winner) followed by the
