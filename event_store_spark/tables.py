@@ -77,6 +77,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
+    # Fixture generations vary: timestamp[ns] (handled above), timestamp[us, UTC]
+    # (read as TIMESTAMP), and timestamp[us] naive (read as TIMESTAMP_NTZ, which
+    # epoch functions like unix_millis reject). Event time is UTC by contract
+    # and the session tz is pinned UTC above, so NTZ→LTZ is a numeric identity;
+    # normalizing here keeps every downstream plan on one timestamp type.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     memo[(sf_dir, name)] = df
     return df
 
