@@ -1,0 +1,175 @@
+"""Temporal joins: as-of (attribution) join and banded range join.
+
+Two operators every event-analytics engine needs that Spark has no built-in
+for, each expressed as a composition of shuffle-friendly DataFrame ops (no
+Pandas UDF, no cartesian product):
+
+- **as-of join** (`asof_join`): for each purchase event, the most recent
+  view event by the same user at-or-before it — the classic attribution
+  lookup. Implemented with the union trick: tag both sides, union, and carry
+  the right side's payload forward with ``last(..., ignorenulls=True)`` over
+  a ``(key ORDER BY time)`` window. ONE shuffle on the join key, no range
+  explosion, no per-left-row probe — at 100 TB this is a single hash
+  repartition + sorted window scan per key, the same cost as any windowed
+  aggregate. (The naive alternative — inequality join + row_number — builds
+  |L|×avg-matches intermediate rows; the union form never materializes a
+  match candidate at all.)
+
+- **banded range join** (`range_join_banded`): for each error event, the
+  number of click events within ±5 minutes, with NO equi key — the pure
+  interval join that naively is a cartesian product. Implemented by
+  quantizing time into buckets the width of the search radius: each right
+  row lands in exactly one bucket, each left row probes its 3 covering
+  buckets (explode), and the range predicate rides INSIDE an equi-join on
+  the bucket. Catalyst executes a plain shuffled hash/sort-merge join on
+  `bucket`; per-bucket fan-in is bounded by event rate × radius, so the
+  plan survives any corpus size by tuning the bucket width — the standard
+  distributed interval-join strategy (cf. Flink's interval join, which
+  buckets state the same way).
+
+Both have exact DuckDB oracles (integer-microsecond arithmetic on both
+sides, deterministic tie-breaks), so the driver hash-checks them like any
+relational query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+#: bucket width == search radius (5 min in µs) — a left row's ±radius
+#: interval can only intersect its own bucket and the two adjacent ones.
+_RADIUS_US = 300_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "asof_join",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+    j AS (
+        SELECT p.event_id, p.user_id, v.view_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP))
+                 - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.view_id DESC) AS rn
+        FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT event_id, user_id, view_id, gap_us
+    FROM j WHERE rn = 1 ORDER BY event_id LIMIT 500
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase ← latest view by the same user
+    at-or-before it (ties on view time broken by max view_id).
+
+    Union-and-carry form: rights sort before lefts at equal time
+    (inclusive `<=`), ascending view_id within a tie so ``last`` keeps the
+    max. One shuffle on user_id; left rows with no prior view keep NULLs
+    (left-outer semantics), matching the oracle's LEFT JOIN.
+    """
+    ev = _events(spark, sf_dir)
+    t_us = F.unix_micros(F.col("ts"))
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        t_us.alias("t_us"),
+        F.lit(1).alias("is_r"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        t_us.alias("t_us"),
+        F.lit(0).alias("is_r"),
+        F.lit(None).cast("bigint").alias("view_id"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("is_r").desc(), F.col("view_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        right.unionByName(left)
+        .select(
+            "event_id",
+            "user_id",
+            "is_r",
+            "t_us",
+            F.last("view_id", ignorenulls=True).over(w).alias("m_view_id"),
+            F.last(F.when(F.col("is_r") == 1, F.col("t_us")), ignorenulls=True)
+            .over(w)
+            .alias("m_t_us"),
+        )
+        .where(F.col("is_r") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("m_view_id").alias("view_id"),
+            (F.col("t_us") - F.col("m_t_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@register(
+    "range_join_banded",
+    oracle="""
+    SELECT e.event_id, COUNT(c.event_id) AS n_nearby
+    FROM events e LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 5 MINUTE
+     AND c.ts <= e.ts + INTERVAL 5 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id ORDER BY e.event_id LIMIT 500
+    """,
+)
+def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join via time-bucket banding: per error event, the
+    count of click events within ±5 minutes (any user).
+
+    Each click hashes to exactly one radius-width bucket; each error
+    explodes to its 3 covering buckets, so a qualifying pair meets in
+    exactly one bucket (no double count) and the join is a plain equi-join
+    on `bucket` with the range predicate as a residual filter inside the
+    join condition (left-outer, so zero-match errors survive with count 0).
+    """
+    ev = _events(spark, sf_dir)
+    t_us = F.unix_micros(F.col("ts"))
+    b = _RADIUS_US
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .select("event_id", t_us.alias("t_us"))
+        .withColumn(
+            "bucket",
+            F.explode(F.expr(f"sequence(t_us div {b} - 1, t_us div {b} + 1)")),
+        )
+    )
+    clk = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), t_us.alias("c_us"))
+        .withColumn("bucket", F.expr(f"c_us div {b}"))
+    )
+    joined = err.join(
+        clk,
+        (err["bucket"] == clk["bucket"])
+        & (F.abs(clk["c_us"] - err["t_us"]) <= F.lit(b)),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("click_id").alias("n_nearby"))
+        .orderBy("event_id")
+        .limit(500)
+    )

@@ -145,3 +145,27 @@ def test_mixture_weights_window_is_post_aggregation(spark, sf_correct):
         i for i, l in enumerate(lines) if "HashAggregate" in l and i > win
     ]
     assert agg_below, "window must sit above the per-source aggregation"
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_correct):
+    """The as-of join must stay in union+carry form: one hash exchange on
+    the join key feeding a key-partitioned window — never an inequality
+    join (nested-loop) or a per-left-row probe."""
+    plan = _plan(spark, sf_correct, "asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "WindowExec" in line:
+            assert "user_id" in line, f"unpartitioned asof window: {line}"
+
+
+def test_range_join_banded_is_equi_on_bucket(spark, sf_correct):
+    """The keyless interval join must meet on the time-bucket equi key with
+    the range predicate as a residual — a residual-only join would be a
+    nested-loop cartesian over all pairs."""
+    plan = _plan(spark, sf_correct, "range_join_banded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+    assert "partial_count" in plan  # map-side combine before the final agg
