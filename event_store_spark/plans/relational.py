@@ -215,24 +215,44 @@ def q9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     date ranges make that join empty — orders end 2001, events start 2024 —
     so the as-of direction is flipped to keep the operator non-vacuous.)
 
-    Scale: the equi key (user/custkey) bounds the shuffle; the window
-    partitions by event_id (high cardinality — no skew). For a production
-    as-of over 100 TB, pre-bucket both sides on the user key so the join and
-    the window share one exchange.
+    Scale: union+carry form (see `plans/temporal.py`) — tag both sides,
+    union, and carry the latest order forward with ``last(ignorenulls)``
+    over a user-partitioned time window. ONE shuffle over |events|+|orders|
+    rows; the join+row_number alternative materializes every (event, prior
+    order) candidate pair first — |events| × avg-history, ~10× slower at
+    sf0.1 and unboundedly worse as history grows. Inner-join semantics =
+    drop events whose carried order is NULL.
     """
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    joined = events.join(
-        orders,
-        (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
+    right = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz")).alias("t_us"),
+        F.lit(1).alias("is_r"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
     )
-    w = W.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    left = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(0).alias("is_r"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("is_r").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+        right.unionByName(left)
+        .select(
+            "event_id",
+            "is_r",
+            F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        )
+        .where((F.col("is_r") == 0) & F.col("asof_orderkey").isNotNull())
+        .select("event_id", "asof_orderkey")
         .orderBy("event_id")
         .limit(500)
     )
