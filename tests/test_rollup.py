@@ -1,0 +1,132 @@
+"""ContinuousRollup: incrementally-maintained windowed aggregate.
+
+Pins the continuous-aggregate contract:
+- after each incremental run, the rollup table equals the q36-shaped BATCH
+  aggregation over everything ingested so far (same windows, counts, sums);
+- a second run touches only the windows the new files hit (update mode),
+  yet the merged table stays complete;
+- a replayed merge (same batch id) is idempotent — the version pointer
+  swap makes re-running a crashed batch safe;
+- rows later than the watermark delay are dropped once the watermark has
+  advanced past them (late-data bound), and the drop survives a restart
+  because the watermark lives in the checkpoint.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from event_store_spark.streaming.rollup import ContinuousRollup
+
+T0 = datetime.datetime(2025, 3, 1, 0, 0, 0)
+
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def _write_batch(spark, src, spec, start_id=0):
+    rows = [
+        (start_id + i, T0 + datetime.timedelta(minutes=m), 1, t, float(v), "{}")
+        for i, (m, t, v) in enumerate(spec)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _expected(spark, src, window="1 hour"):
+    df = spark.read.parquet(src)
+    return {
+        (r.win_start, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt", "sum_value")
+        .collect()
+    }
+
+
+def _got(rollup):
+    return {
+        (r.win_start, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in rollup.table().collect()
+    }
+
+
+def test_rollup_matches_batch_and_updates_incrementally(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rollup = ContinuousRollup(
+        spark,
+        src,
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ck"),
+        watermark_delay="2 hours",
+    )
+    _write_batch(
+        spark,
+        src,
+        [(0, "click", 1.5), (10, "click", 2.0), (70, "view", 3.0), (130, "click", 4.0)],
+    )
+    rollup.run_available()
+    assert _got(rollup) == _expected(spark, src)
+
+    # batch 2: touches hour 0 again (same window updated), adds hour 3
+    _write_batch(
+        spark,
+        src,
+        [(20, "click", 10.0), (200, "view", 7.0)],
+        start_id=100,
+    )
+    rollup.run_available()
+    assert _got(rollup) == _expected(spark, src)
+    # hour-0 click window now folds all three rows
+    hour0 = _got(rollup)[(T0, "click")]
+    assert hour0 == (3, 13.5)
+
+
+def test_rollup_merge_is_idempotent_on_replay(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rollup = ContinuousRollup(
+        spark, src, str(tmp_path / "rollup"), str(tmp_path / "ck")
+    )
+    _write_batch(spark, src, [(0, "click", 1.0), (65, "view", 2.0)])
+    rollup.run_available()
+    before = _got(rollup)
+
+    # simulate a crashed-then-replayed merge: re-run the same cumulative
+    # batch the stream produced (update-mode rows are cumulative, so the
+    # upsert must converge to the same table)
+    updates = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+    )
+    rollup._merge(updates, batch_id=0)
+    assert _got(rollup) == before
+
+    # version GC keeps the table readable and bounded
+    versions = [d for d in os.listdir(str(tmp_path / "rollup")) if d.startswith("_v")]
+    assert len(versions) <= 2
+
+
+def test_rollup_drops_rows_beyond_watermark_across_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rollup = ContinuousRollup(
+        spark,
+        src,
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ck"),
+        watermark_delay="1 hour",
+    )
+    # run 1 advances the event-time watermark to (max ts - 1h) = T0+9h
+    _write_batch(spark, src, [(0, "click", 1.0), (600, "view", 2.0)])
+    rollup.run_available()
+
+    # run 2 (a restart: new query, same checkpoint): one row far older than
+    # the persisted watermark (dropped) and one fresh row (kept)
+    _write_batch(spark, src, [(30, "click", 99.0), (610, "view", 5.0)], start_id=50)
+    rollup.run_available()
+
+    got = _got(rollup)
+    assert got[(T0, "click")] == (1, 1.0)  # late row NOT folded in
+    assert got[(T0 + datetime.timedelta(hours=10), "view")] == (2, 7.0)
