@@ -36,8 +36,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
+from event_store_spark.operators.temporal import asof_join as generic_asof_join
+from event_store_spark.operators.temporal import interval_join as generic_interval_join
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -79,44 +80,24 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (left-outer semantics), matching the oracle's LEFT JOIN.
     """
     ev = _events(spark, sf_dir)
-    t_us = F.unix_micros(F.col("ts"))
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
     right = ev.where(F.col("event_type") == "view").select(
         "user_id",
-        t_us.alias("t_us"),
-        F.lit(1).alias("is_r"),
         F.col("event_id").alias("view_id"),
-        F.lit(None).cast("bigint").alias("event_id"),
+        F.unix_micros(F.col("ts")).alias("v_us"),
     )
-    left = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        t_us.alias("t_us"),
-        F.lit(0).alias("is_r"),
-        F.lit(None).cast("bigint").alias("view_id"),
-        "event_id",
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("t_us").asc(), F.col("is_r").desc(), F.col("view_id").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    joined = generic_asof_join(
+        left, right, keys=["user_id"], left_time="ts", right_time="v_us",
+        payload=["view_id", "v_us"], how="left",
     )
     return (
-        right.unionByName(left)
-        .select(
+        joined.select(
             "event_id",
             "user_id",
-            "is_r",
-            "t_us",
-            F.last("view_id", ignorenulls=True).over(w).alias("m_view_id"),
-            F.last(F.when(F.col("is_r") == 1, F.col("t_us")), ignorenulls=True)
-            .over(w)
-            .alias("m_t_us"),
-        )
-        .where(F.col("is_r") == 0)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("m_view_id").alias("view_id"),
-            (F.col("t_us") - F.col("m_t_us")).alias("gap_us"),
+            "view_id",
+            (F.unix_micros(F.col("ts")) - F.col("v_us")).alias("gap_us"),
         )
         .orderBy("event_id")
         .limit(500)
@@ -146,26 +127,13 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     join condition (left-outer, so zero-match errors survive with count 0).
     """
     ev = _events(spark, sf_dir)
-    t_us = F.unix_micros(F.col("ts"))
-    b = _RADIUS_US
-    err = (
-        ev.where(F.col("event_type") == "error")
-        .select("event_id", t_us.alias("t_us"))
-        .withColumn(
-            "bucket",
-            F.explode(F.expr(f"sequence(t_us div {b} - 1, t_us div {b} + 1)")),
-        )
+    err = ev.where(F.col("event_type") == "error").select("event_id", "ts")
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
     )
-    clk = (
-        ev.where(F.col("event_type") == "click")
-        .select(F.col("event_id").alias("click_id"), t_us.alias("c_us"))
-        .withColumn("bucket", F.expr(f"c_us div {b}"))
-    )
-    joined = err.join(
-        clk,
-        (err["bucket"] == clk["bucket"])
-        & (F.abs(clk["c_us"] - err["t_us"]) <= F.lit(b)),
-        "left",
+    joined = generic_interval_join(
+        err, clk, left_time="ts", right_time="c_ts",
+        lower_us=-_RADIUS_US, upper_us=_RADIUS_US, how="left",
     )
     return (
         joined.groupBy("event_id")

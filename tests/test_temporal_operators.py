@@ -1,0 +1,186 @@
+"""Brute-force equivalence tests for the generic temporal operators.
+
+`asof_join` / `interval_join` are compared against straightforward Python
+references on seeded random datasets plus hand-built adversarial edges:
+time ties (several right rows at one timestamp), exact boundary hits,
+NULL payload values, empty sides, keys with rows on only one side, and
+negative epoch times (floor-division bucket math).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.operators.temporal import asof_join, interval_join
+
+LEFT_SCHEMA = "k bigint, lid bigint, t bigint"
+RIGHT_SCHEMA = "k bigint, rid bigint, t bigint, val string"
+
+
+def _brute_asof(lrows, rrows, how):
+    out = []
+    for k, lid, lt in lrows:
+        cands = [r for r in rrows if r[0] == k and r[2] <= lt]
+        if cands:
+            # latest time, ties -> greatest payload tuple (rid, val) with
+            # None sorting lowest (matches NULLS FIRST asc -> last wins)
+            best = max(
+                cands,
+                key=lambda r: (
+                    r[2],
+                    (r[1] is not None, r[1]),
+                    (r[3] is not None, r[3]),
+                ),
+            )
+            out.append((k, lid, lt, best[1], best[3]))
+        elif how == "left":
+            out.append((k, lid, lt, None, None))
+    return sorted(out, key=lambda x: (x[0], x[1]))
+
+
+def _brute_interval(lrows, rrows, lower, upper, how):
+    out = []
+    for k, lid, lt in lrows:
+        matched = [
+            r for r in rrows if lt + lower <= r[2] <= lt + upper
+        ]
+        if matched:
+            out.extend((k, lid, lt, r[0], r[1], r[2], r[3]) for r in matched)
+        elif how == "left":
+            out.append((k, lid, lt, None, None, None, None))
+    return sorted(out, key=lambda x: (x[1], x[4] if x[4] is not None else -1))
+
+
+def _run_asof(spark, lrows, rrows, how):
+    left = spark.createDataFrame(lrows, LEFT_SCHEMA)
+    right = spark.createDataFrame(
+        rrows, RIGHT_SCHEMA
+    ).withColumnRenamed("t", "rt")
+    got = asof_join(
+        left, right, keys=["k"], left_time="t", right_time="rt",
+        payload=["rid", "val"], how=how,
+    )
+    return sorted(
+        ((r.k, r.lid, r.t, r.rid, r.val) for r in got.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+
+
+CASES = [
+    # ties: three right rows at one timestamp, NULL payload values among them
+    (
+        [(1, 10, 100), (1, 11, 99), (1, 12, 50)],
+        [(1, 7, 100, "a"), (1, 9, 100, None), (1, None, 100, "z"), (1, 1, 60, "b")],
+    ),
+    # exact time equality is inclusive; key only on one side
+    (
+        [(1, 10, 100), (2, 20, 100)],
+        [(1, 5, 100, "x"), (3, 6, 90, "y")],
+    ),
+    # empty right side
+    ([(1, 10, 100)], []),
+    # empty left side
+    ([], [(1, 5, 100, "x")]),
+    # negative times
+    ([(1, 10, -100), (1, 11, -50)], [(1, 5, -100, "n"), (1, 6, -49, "m")]),
+]
+
+
+@pytest.mark.parametrize("how", ["left", "inner"])
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_asof_join_edges(spark, case, how):
+    lrows, rrows = CASES[case]
+    assert _run_asof(spark, lrows, rrows, how) == _brute_asof(lrows, rrows, how)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_join_random(spark, seed):
+    rng = random.Random(seed)
+    # clustered times force plenty of ties and shared keys
+    lrows = [
+        (rng.randint(0, 4), i, rng.randint(-20, 20) * 10) for i in range(60)
+    ]
+    rrows = [
+        (
+            rng.randint(0, 4),
+            rng.choice([None, rng.randint(0, 30)]),
+            rng.randint(-20, 20) * 10,
+            rng.choice([None, "a", "b", "c"]),
+        )
+        for _ in range(60)
+    ]
+    for how in ("left", "inner"):
+        assert _run_asof(spark, lrows, rrows, how) == _brute_asof(lrows, rrows, how)
+
+
+def _run_interval(spark, lrows, rrows, lower, upper, how):
+    left = spark.createDataFrame(lrows, "k bigint, lid bigint, t bigint")
+    right = spark.createDataFrame(
+        rrows, "rk bigint, rid bigint, rt bigint, val string"
+    )
+    got = interval_join(
+        left, right, left_time="t", right_time="rt",
+        lower_us=lower, upper_us=upper, how=how,
+    )
+    return sorted(
+        (
+            (r.k, r.lid, r.t, r.rk, r.rid, r.rt, r.val)
+            for r in got.collect()
+        ),
+        key=lambda x: (x[1], x[4] if x[4] is not None else -1),
+    )
+
+
+@pytest.mark.parametrize("lower,upper", [(-30, 30), (0, 25), (-25, 0), (7, 7)])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_interval_join_random(spark, seed, lower, upper):
+    rng = random.Random(seed)
+    lrows = [(rng.randint(0, 3), i, rng.randint(-100, 100)) for i in range(50)]
+    rrows = [
+        (rng.randint(0, 3), i, rng.randint(-100, 100), rng.choice(["x", "y"]))
+        for i in range(50)
+    ]
+    for how in ("inner", "left"):
+        assert _run_interval(spark, lrows, rrows, lower, upper, how) == _brute_interval(
+            lrows, rrows, lower, upper, how
+        )
+
+
+def test_interval_join_exact_boundaries(spark):
+    """Rows landing exactly on t+lower and t+upper are both included, and
+    bucket-edge alignment (right row at a bucket boundary) never drops or
+    doubles a match."""
+    lrows = [(1, 1, 0)]
+    rrows = [
+        (9, 1, -30, "low"), (9, 2, 30, "high"),
+        (9, 3, -31, "out_low"), (9, 4, 31, "out_high"),
+        (9, 5, 0, "mid"), (9, 6, 60, "far"),
+    ]
+    got = _run_interval(spark, lrows, rrows, -30, 30, "inner")
+    assert [g[6] for g in got] == ["low", "high", "mid"]
+
+
+def test_interval_join_with_keys(spark):
+    """Optional equi keys restrict matches to same-key pairs."""
+    left = spark.createDataFrame([(1, 1, 0), (2, 2, 0)], "k bigint, lid bigint, t bigint")
+    right = spark.createDataFrame(
+        [(1, 10, 5, "k1"), (2, 20, 5, "k2"), (3, 30, 5, "k3")],
+        "k bigint, rid bigint, rt bigint, val string",
+    )
+    got = interval_join(
+        left, right, left_time="t", right_time="rt",
+        lower_us=-10, upper_us=10, keys=["k"], how="left",
+    )
+    rows = {(r.lid, r.rid) for r in got.collect()}
+    assert rows == {(1, 10), (2, 20)}
+
+
+def test_asof_join_validates_how(spark):
+    left = spark.createDataFrame([(1, 1, 0)], LEFT_SCHEMA)
+    with pytest.raises(ValueError):
+        asof_join(left, left, ["k"], "t", "t", ["lid"], how="outer")
+    with pytest.raises(ValueError):
+        interval_join(left, left, "t", "t", 5, -5)
