@@ -46,7 +46,9 @@ _CHECKED_LAST_ROUND = {
     "ann_ivf_topk", "ann_ivf_sampled", "ann_ivf_nprobe", "ann_batch_topk",
     "multimodal_features", "multimodal_frame_sample", "multimodal_resize",
     "corpus_curation", "text_repetition", "dataset_split", "mixture_weights",
-    "approx_distinct_users", "approx_price_quantiles",
+    # approx_* deliberately NOT listed: r03 recorded them as rows-only
+    # (no_oracle); they now carry audit oracles and should be driver-checked
+    # early in the rotation
 }
 
 

@@ -1,11 +1,18 @@
 """Sketch/approximate operators — the 100 TB fast path for distinct counts
-and quantiles.
+and quantiles — in ORACLE-AUDITABLE form.
 
-These intentionally have NO DuckDB oracle: both engines implement different
-approximation algorithms (Spark: HyperLogLog++ and Greenwald-Khanna; DuckDB:
-its own HLL/t-digest), so cross-engine value equality is undefined. The
-driver records a rows-only check; the *accuracy* contract (within stated
-error of the exact answer) is pinned by tests/test_sketches.py instead.
+Raw sketch values cannot be oracle-compared: Spark (HyperLogLog++,
+Greenwald-Khanna) and DuckDB (its own HLL / t-digest) implement different
+approximation algorithms, so cross-engine value equality is undefined. What
+IS cross-engine checkable is the accuracy CONTRACT: each query computes the
+sketch AND its exact reference in one plan and returns the exact value plus
+a within-bound verdict; the oracle recomputes the exact value and asserts
+the verdict literally TRUE. A sketch drifting out of its stated error bound
+now fails the driver's hash check, not just a local test.
+
+(At 100 TB you run only the sketch half — the exact column here is the
+audit harness, not the production path; `tests/test_sketches.py` pins the
+numeric error separately.)
 """
 
 from __future__ import annotations
@@ -16,38 +23,92 @@ from pyspark.sql import functions as F
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
+#: HLL++ relative standard deviation target; the audit accepts 5×rsd —
+#: generous against the ~3σ tail while still catching real drift
+HLL_RSD = 0.02
+HLL_TOLERANCE = 5 * HLL_RSD
 
-@register("approx_distinct_users")  # no oracle: algorithm-specific values
+#: Greenwald-Khanna accuracy parameter: rank error ≤ n/GK_ACCURACY
+GK_ACCURACY = 10_000
+
+
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts over events (2% target error).
+    """HyperLogLog++ distinct users per event type, audited in-plan: the
+    sketch estimate must land within 5×rsd of the exact COUNT(DISTINCT)
+    computed in the same aggregation. The oracle re-derives the exact
+    column and pins `approx_ok` to TRUE, so the sketch's accuracy contract
+    is hash-checked by the driver.
 
-    At 100 TB this replaces q11's exact COUNT(DISTINCT) — one pass, fixed
-    memory per group, partial-mergeable sketches (no distinct expansion)."""
+    Scale: the HLL half is one pass with fixed memory per group and
+    partial-mergeable state; the exact half exists only as the audit."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "cnt",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(HLL_TOLERANCE)
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )
 
 
-@register("approx_price_quantiles")  # no oracle: algorithm-specific values
+@register(
+    "approx_price_quantiles",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+    FROM orders
+    """,
+)
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate order-price quartiles (accuracy 1/10000).
+    """Greenwald-Khanna order-price quartiles, audited by RANK error: GK
+    guarantees the returned element's rank is within n/accuracy of the
+    target rank, so the plan counts rows ≤ each estimate and checks that
+    count against the target rank ± (n/accuracy + 1) (the +1 absorbs the
+    discrete rank floor). The oracle pins all three verdicts TRUE.
 
-    The scale alternative to q40's exact median: mergeable quantile summaries
-    instead of a global sort."""
-    return load_table(spark, sf_dir, "orders").agg(
-        F.round(
-            F.percentile_approx("o_totalprice", F.lit(0.25), F.lit(10000)), 2
-        ).alias("p25"),
-        F.round(
-            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)), 2
-        ).alias("p50"),
-        F.round(
-            F.percentile_approx("o_totalprice", F.lit(0.75), F.lit(10000)), 2
-        ).alias("p75"),
+    The audit is two aggregations composed in ONE plan (no driver loop):
+    the 1-row quantile estimate broadcast-joins back onto the scan for the
+    rank counts. A value-space bound would be wrong — GK's guarantee is in
+    rank space, so that's what the audit measures."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    est = orders.agg(
+        F.percentile_approx("o_totalprice", F.lit(0.25), F.lit(GK_ACCURACY)).alias("_p25"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(GK_ACCURACY)).alias("_p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.75), F.lit(GK_ACCURACY)).alias("_p75"),
     )
+    audited = orders.crossJoin(F.broadcast(est)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") <= F.col("_p25")).cast("long")).alias("_le25"),
+        F.sum((F.col("o_totalprice") <= F.col("_p50")).cast("long")).alias("_le50"),
+        F.sum((F.col("o_totalprice") <= F.col("_p75")).cast("long")).alias("_le75"),
+    )
+    slack = F.col("n") / F.lit(GK_ACCURACY) + F.lit(1)
+
+    def ok(le_col: str, q: float):
+        target = F.col("n") * F.lit(q)
+        return (F.abs(F.col(le_col) - target) <= slack).alias(
+            f"ok{int(q * 100)}"
+        )
+
+    return audited.select("n", ok("_le25", 0.25), ok("_le50", 0.5), ok("_le75", 0.75))

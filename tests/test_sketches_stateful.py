@@ -11,38 +11,54 @@ from event_store_spark.tables import load_table
 
 
 def test_approx_distinct_within_error(spark, sf_correct):
-    approx = {
-        r.event_type: r.approx_users
-        for r in QUERIES["approx_distinct_users"](spark, sf_correct).collect()
-    }
-    exact = {
-        r.event_type: r.exact
-        for r in load_table(spark, sf_correct, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact"))
+    """Audit flags hold, exact column is right, and the raw HLL estimate
+    (recomputed here) lands within the tighter 5% envelope."""
+    rows = QUERIES["approx_distinct_users"](spark, sf_correct).collect()
+    assert rows and all(r.approx_ok for r in rows)
+    events = load_table(spark, sf_correct, "events")
+    raw = {
+        r.event_type: (r.approx, r.exact)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for et, e in exact.items():
-        assert abs(approx[et] - e) <= max(0.05 * e, 2), (et, approx[et], e)
+    assert {r.event_type: r.exact_users for r in rows} == {
+        et: e for et, (_, e) in raw.items()
+    }
+    for et, (a, e) in raw.items():
+        assert abs(a - e) <= max(0.05 * e, 2), (et, a, e)
 
 
 def test_approx_quantiles_within_tolerance(spark, sf_correct):
+    """Rank-space audit flags hold, and the raw GK estimates (recomputed)
+    stay within 1% of the exact interpolated percentiles in value space."""
     row = QUERIES["approx_price_quantiles"](spark, sf_correct).first()
+    assert row.ok25 and row.ok50 and row.ok75
     orders = load_table(spark, sf_correct, "orders")
-    exact = orders.agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+    both = orders.agg(
+        *[
+            F.percentile_approx("o_totalprice", F.lit(q), F.lit(10_000)).alias(f"a{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ],
+        *[
+            F.percentile("o_totalprice", F.lit(q)).alias(f"e{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ],
     ).first()
-    for q in ("p25", "p50", "p75"):
-        assert abs(row[q] - exact[q]) / exact[q] < 0.01
+    for i in range(3):
+        assert abs(both[f"a{i}"] - both[f"e{i}"]) / both[f"e{i}"] < 0.01
 
 
-def test_sketches_declared_without_oracle():
-    """Approx operators are rows-only by design (algorithm-specific values)."""
-    assert "approx_distinct_users" in QUERIES and "approx_distinct_users" not in ORACLE
-    assert "approx_price_quantiles" in QUERIES and "approx_price_quantiles" not in ORACLE
+def test_sketches_declared_with_audit_oracle():
+    """Approx operators are oracle-checked via their accuracy contract: the
+    oracle recomputes the exact columns and pins the verdicts TRUE (raw
+    sketch values stay out of the compared columns — algorithm-specific)."""
+    for name in ("approx_distinct_users", "approx_price_quantiles"):
+        assert name in QUERIES and name in ORACLE
+        assert "TRUE" in ORACLE[name]
 
 
 def test_schema_evolution_old_frames_still_decode(tmp_path):
