@@ -90,7 +90,7 @@ class EventEncryptor:
 
     # -------------------------------------------------------- dataframe API
 
-    def _udf(self, mode: str):
+    def _udf(self, mode: str, missing_key: str = "error"):
         from event_store_spark.shipping import ensure_shipped
 
         ensure_shipped()
@@ -141,6 +141,11 @@ class EventEncryptor:
                 if ki is None:  # no kid → passthrough (C2)
                     out.append(d)
                     continue
+                if ki not in keys:
+                    if missing_key == "null":  # shredded key → unreadable
+                        out.append(None)
+                        continue
+                    raise KeyError(f"unknown encryption key id {ki!r}")
                 meta = {e["key"]: bytes(e["value"]) for e in (m or [])}
                 aad = _aad(bytes(k), int(t), meta)
                 cipher = _AESGCM(keys[ki])
@@ -180,11 +185,34 @@ class EventEncryptor:
         )
         return df.withColumn("data", encrypted).withColumn("metadata", with_kid)
 
-    def decrypt_df(self, df: DataFrame) -> DataFrame:
-        """Decrypt rows that carry a ``kid``; pass others through (C2)."""
+    def decrypt_df(self, df: DataFrame, missing_key: str = "error") -> DataFrame:
+        """Decrypt rows that carry a ``kid``; pass others through (C2).
+
+        ``missing_key`` controls rows whose key id is absent from the key
+        set: ``"error"`` (default) fails fast; ``"null"`` yields NULL data —
+        the read-side contract of crypto-shredding (see :meth:`shred`).
+        """
+        if missing_key not in ("error", "null"):
+            raise ValueError(f"missing_key must be 'error' or 'null', got {missing_key!r}")
         kid = F.when(
             F.map_contains_key(F.coalesce(F.col("metadata"), F.expr("map()")), ENCRYPTION_KEY_ID),
             F.decode(F.col("metadata")[ENCRYPTION_KEY_ID], "UTF-8"),
         )
-        decrypted = self._udf("decrypt")(F.col("data"), *self._args(df, kid))
+        decrypted = self._udf("decrypt", missing_key)(F.col("data"), *self._args(df, kid))
         return df.withColumn("data", decrypted)
+
+    # ------------------------------------------------------ crypto-shredding
+
+    def shred(self, kid: str) -> None:
+        """Destroy a key: every event encrypted under ``kid`` becomes
+        permanently unreadable WITHOUT touching the (immutable) event log —
+        the standard way an encrypted event store implements erasure
+        (GDPR-style "forget this subject"): delete the subject's key, not
+        the history. Subsequent ``decrypt_df(..., missing_key="null")``
+        yields NULL payloads for shredded rows while other keys' rows
+        decrypt normally; the default ``"error"`` mode keeps fail-fast
+        semantics for genuinely unknown keys.
+        """
+        if kid not in self.keys:
+            raise KeyError(f"unknown encryption key id {kid!r}")
+        del self.keys[kid]

@@ -228,3 +228,44 @@ def test_decrypt_passthrough_without_kid(spark):
     )
     out = enc.decrypt_df(df).first()
     assert bytes(out.data) == b"plain"
+
+
+def test_crypto_shredding_makes_rows_unreadable(spark):
+    """C3 extension: destroying a key (crypto-shredding) makes exactly that
+    key's rows unreadable — NULL payloads under missing_key='null', fail-fast
+    under the default — while other keys' rows still decrypt, and the stored
+    ciphertext is untouched."""
+    import datetime
+
+    k1, k2 = EventEncryptor.generate_key(), EventEncryptor.generate_key()
+    enc = EventEncryptor({"kms://u1": k1, "kms://u2": k2})
+    ts = datetime.datetime(2025, 1, 4, 21, 13, 41, 442000)
+    df = spark.createDataFrame(
+        [(bytearray(b"a"), bytearray(b"user1-data"), ts, None),
+         (bytearray(b"b"), bytearray(b"user2-data"), ts, None)],
+        "key binary, data binary, timestamp timestamp, metadata map<string,binary>",
+    )
+    sealed = (
+        enc.encrypt_df(df.where(F.col("key") == F.lit(b"a")), "kms://u1")
+        .unionByName(enc.encrypt_df(df.where(F.col("key") == F.lit(b"b")), "kms://u2"))
+        .cache()
+    )
+    sealed.count()  # pin ciphertext before the key disappears
+
+    enc.shred("kms://u1")
+    with pytest.raises(KeyError):
+        enc.shred("kms://u1")  # already gone
+
+    out = {
+        bytes(r.key): (None if r.data is None else bytes(r.data))
+        for r in enc.decrypt_df(sealed, missing_key="null").collect()
+    }
+    assert out[b"a"] is None  # shredded -> permanently unreadable
+    assert out[b"b"] == b"user2-data"  # unaffected key still decrypts
+
+    # default mode stays fail-fast on the unknown kid
+    with pytest.raises(Exception):
+        enc.decrypt_df(sealed).collect()
+
+    with pytest.raises(ValueError):
+        enc.decrypt_df(sealed, missing_key="ignore")
