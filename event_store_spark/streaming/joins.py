@@ -30,18 +30,26 @@ def stream_interval_join(
     upper_us: int,
     keys: Sequence[str] = (),
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two event streams on ``right_time`` within
+    """Join two event streams on ``right_time`` within
     ``[left_time + lower_us, left_time + upper_us]`` (inclusive,
     microseconds), plus optional equi ``keys``.
 
     ``watermark_delay`` bounds accepted lateness on BOTH sides; state for a
     row is dropped once the opposite watermark clears its join window.
-    Column names must be disjoint apart from ``keys`` (rename before
-    joining, same contract as the batch operator).
+    ``how`` may be ``"inner"`` or ``"leftOuter"``: outer results (left rows
+    with NULL right columns) are emitted only once the right watermark has
+    passed the row's join window — the engine can't know "no match" any
+    earlier, so outer rows trail the inner ones by up to
+    ``watermark_delay + (upper - lower)`` of event time. Column names must
+    be disjoint apart from ``keys`` (rename before joining, same contract
+    as the batch operator).
     """
     if upper_us < lower_us:
         raise ValueError("upper_us must be >= lower_us")
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     if not left.isStreaming or not right.isStreaming:
         raise ValueError("stream_interval_join requires two streaming DataFrames")
     lw = left.withWatermark(left_time, watermark_delay).alias("l")
@@ -58,4 +66,4 @@ def stream_interval_join(
     out_keys = [F.col(f"l.{k}").alias(k) for k in keys]
     left_out = [F.col(f"l.{c}").alias(c) for c in left.columns if c not in keys]
     right_out = [F.col(f"r.{c}").alias(c) for c in right.columns if c not in keys]
-    return lw.join(rw, cond, "inner").select(*out_keys, *left_out, *right_out)
+    return lw.join(rw, cond, how).select(*out_keys, *left_out, *right_out)

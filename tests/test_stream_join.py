@@ -72,3 +72,52 @@ def test_stream_interval_join_requires_streams(spark, tmp_path):
     df = spark.createDataFrame([(1, T0)], "lid bigint, lts timestamp")
     with pytest.raises(ValueError):
         stream_interval_join(df, df, "lts", "lts", -1, 1)
+
+
+def test_stream_interval_left_outer_emits_after_watermark(spark, tmp_path):
+    """leftOuter: a left row with no match emits its NULL row only after
+    BOTH watermarks clear its join window — verified across incremental
+    runs on one checkpoint (the unmatched row from run 1 appears once the
+    run-2 data advances the watermarks past its window)."""
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    m = datetime.timedelta
+    # L1 matches R1; L2 never matches
+    _write(spark, lsrc,
+           [(1, 1, T0), (2, 1, T0 + m(minutes=10))],
+           "lid bigint, k bigint, lts timestamp")
+    _write(spark, rsrc, [(100, 1, T0 + m(minutes=1))],
+           "rid bigint, k bigint, rts timestamp")
+
+    out = str(tmp_path / "out")
+
+    def run():
+        lstream = spark.readStream.schema(spark.read.parquet(lsrc).schema).parquet(lsrc)
+        rstream = spark.readStream.schema(spark.read.parquet(rsrc).schema).parquet(rsrc)
+        joined = stream_interval_join(
+            lstream, rstream, "lts", "rts",
+            -5 * 60 * 1_000_000, 5 * 60 * 1_000_000,
+            keys=["k"], watermark_delay="10 minutes", how="leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.lid, r.rid) for r in spark.read.parquet(out).collect()}
+
+    got1 = run()
+    assert (1, 100) in got1          # inner match emits immediately
+    assert (2, None) not in got1     # outer verdict still open
+
+    # far-future rows on BOTH sides push the global watermark past L2's window
+    _write(spark, lsrc, [(3, 1, T0 + m(minutes=200))],
+           "lid bigint, k bigint, lts timestamp")
+    _write(spark, rsrc, [(101, 1, T0 + m(minutes=120))],
+           "rid bigint, k bigint, rts timestamp")
+    got2 = run()
+    assert (2, None) in got2         # unmatched left row flushed as NULL pair
+    assert (3, None) not in got2     # its window hasn't closed yet
