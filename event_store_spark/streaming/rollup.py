@@ -99,6 +99,14 @@ class ContinuousRollup:
             "sum_value",
         )
         current = self._current_version()
+        version = f"_v{batch_id}"
+        if current == version:
+            # replay of a batch that already committed (crash AFTER the
+            # pointer flip, before the checkpoint recorded the batch): the
+            # flip is the commit marker, so the table already contains this
+            # batch's merge — rebuilding would read and overwrite the SAME
+            # directory (self-referential rebuild). Skip: idempotent.
+            return
         if current is None:
             merged = updates
         else:
@@ -110,11 +118,14 @@ class ContinuousRollup:
                 ["win_start", "event_type"],
                 "left_anti",
             ).unionByName(updates)
-        version = f"_v{batch_id}"
         out_dir = os.path.join(self.target_path, version)
         if os.path.exists(out_dir):  # replayed batch: rebuild from scratch
             shutil.rmtree(out_dir)
         merged.write.mode("overwrite").parquet(out_dir)
+        # a replayed batch rewrites a directory Spark may have listed before
+        # the crash — drop the stale file-status cache entry or readers hit
+        # FILE_NOT_EXIST on the torn version's old part files
+        self.spark.catalog.refreshByPath(out_dir)
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)

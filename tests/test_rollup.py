@@ -130,3 +130,45 @@ def test_rollup_drops_rows_beyond_watermark_across_restart(spark, tmp_path):
     got = _got(rollup)
     assert got[(T0, "click")] == (1, 1.0)  # late row NOT folded in
     assert got[(T0 + datetime.timedelta(hours=10), "view")] == (2, 7.0)
+
+
+def test_rollup_crash_between_version_write_and_pointer_flip(spark, tmp_path):
+    """A merge that died after writing its version directory but BEFORE the
+    pointer flip leaves the table on the previous version (readers never see
+    a half-committed merge), and replaying the same batch rebuilds the
+    version and lands the flip — the crash window converges."""
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "rollup")
+    rollup = ContinuousRollup(spark, src, target, str(tmp_path / "ck"))
+    _write_batch(spark, src, [(0, "click", 1.0), (65, "view", 2.0)])
+    rollup.run_available()
+    committed = _got(rollup)
+    pointer_before = rollup._current_version()
+
+    # crash AFTER flip: replaying the batch that IS the current pointer must
+    # short-circuit (the flip is the commit marker), never rebuild in place
+    updates = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+    )
+    committed_batch = int(pointer_before[2:])
+    rollup._merge(updates, batch_id=committed_batch)
+    assert rollup._current_version() == pointer_before
+    assert _got(rollup) == committed
+
+    # crash BEFORE flip: the next batch's version dir exists, pointer doesn't
+    next_version = f"_v{committed_batch + 1}"
+    torn = os.path.join(target, next_version)
+    updates.select(
+        F.col("window.start").alias("win_start"), "event_type", "cnt", "sum_value"
+    ).write.mode("overwrite").parquet(torn)
+
+    # reader still sees the committed version, not the torn one
+    assert rollup._current_version() == pointer_before
+    assert _got(rollup) == committed
+
+    # replay rebuilds the torn version from scratch and flips atomically
+    rollup._merge(updates, batch_id=committed_batch + 1)
+    assert rollup._current_version() == next_version
+    assert _got(rollup) == committed  # same cumulative values -> same table
