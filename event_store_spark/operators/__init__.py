@@ -1,5 +1,5 @@
 """Reusable DataFrame-level operators (beyond per-query plans)."""
 
-from event_store_spark.operators.temporal import asof_join, interval_join
+from event_store_spark.operators.temporal import asof_join, interval_join, sessionize
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "sessionize"]

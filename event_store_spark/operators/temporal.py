@@ -191,3 +191,38 @@ def interval_join(
         *[F.lit(None).cast(right_types[c]).alias(c) for c in right_out],
     )
     return matched_out.unionByName(missing)
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    gap_us: int,
+    order_cols: Sequence[str] = (),
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Assign gap-based sessions per key: a new session starts when the gap
+    to the previous row (by ``time_col``, then ``order_cols`` for
+    deterministic ties) exceeds ``gap_us`` microseconds.
+
+    Adds ``session_col``: the 1-based session ordinal within the key — so
+    ``(keys..., session_col)`` is a stable session identifier and
+    ``max(session_col)`` per key is the session count.
+
+    Scale: one shuffle on ``keys``, two stacked window functions over the
+    same sort (lag + running sum share one exchange+sort); no state beyond
+    the window frame. The streaming twin is ``session_window`` + watermark.
+    """
+    if gap_us < 0:
+        raise ValueError("gap_us must be >= 0")
+    keys = list(keys)
+    t = _as_micros(df, time_col)
+    w = W.partitionBy(*keys).orderBy(t.asc(), *[F.col(c).asc() for c in order_cols])
+    prev = F.lag(t).over(w)
+    new_session = F.when(
+        prev.isNull() | ((t - prev) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = W.partitionBy(*keys).orderBy(
+        t.asc(), *[F.col(c).asc() for c in order_cols]
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn(session_col, F.sum(new_session).over(run).cast("bigint"))

@@ -184,3 +184,55 @@ def test_asof_join_validates_how(spark):
         asof_join(left, left, ["k"], "t", "t", ["lid"], how="outer")
     with pytest.raises(ValueError):
         interval_join(left, left, "t", "t", 5, -5)
+
+
+def _brute_sessions(rows, gap):
+    """rows: (k, rid, t) → {(k, rid): session_seq} with ties by rid."""
+    out = {}
+    by_key = {}
+    for k, rid, t in rows:
+        by_key.setdefault(k, []).append((t, rid))
+    for k, items in by_key.items():
+        items.sort()
+        seq, prev = 0, None
+        for t, rid in items:
+            if prev is None or t - prev > gap:
+                seq += 1
+            out[(k, rid)] = seq
+            prev = t
+    return out
+
+
+@pytest.mark.parametrize("seed,gap", [(0, 15), (1, 15), (2, 0), (3, 1000)])
+def test_sessionize_random(spark, seed, gap):
+    from event_store_spark.operators.temporal import sessionize
+
+    rng = random.Random(seed)
+    rows = [(rng.randint(0, 3), i, rng.randint(0, 200)) for i in range(80)]
+    df = spark.createDataFrame(rows, "k bigint, rid bigint, t bigint")
+    got = {
+        (r.k, r.rid): r.session_seq
+        for r in sessionize(df, ["k"], "t", gap, order_cols=["rid"]).collect()
+    }
+    assert got == _brute_sessions(rows, gap)
+
+
+def test_sessionize_counts_match_q37_shape(spark, sf_correct):
+    """max(session_seq) per user over events == q37's session_count."""
+    from event_store_spark.operators.temporal import sessionize
+    from event_store_spark.plans import QUERIES
+    from event_store_spark.tables import load_table
+
+    ev = load_table(spark, sf_correct, "events")
+    got = {
+        r.user_id: r.n
+        for r in sessionize(ev, ["user_id"], "ts", 1_800_000_000, order_cols=["event_id"])
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n"))
+        .collect()
+    }
+    expected = {
+        r.user_id: r.session_count
+        for r in QUERIES["q37"](spark, sf_correct).collect()
+    }
+    assert {u: got[u] for u in expected} == expected
