@@ -38,6 +38,18 @@ def _as_micros(df: DataFrame, col: str) -> Column:
     return F.col(col).cast("bigint")
 
 
+def _reject_reserved(prefixes: tuple[str, ...], *dfs: DataFrame) -> None:
+    """Internal scratch columns start with '_'; a user column shadowing one
+    would be silently misread — fail loudly instead."""
+    for df in dfs:
+        for c in df.columns:
+            if c.startswith(prefixes):
+                raise ValueError(
+                    f"column {c!r} collides with an internal name; rename it "
+                    f"before calling this operator (reserved prefixes: {prefixes})"
+                )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -62,6 +74,7 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    _reject_reserved(("_t", "_is_r", "_p_", "_m"), left, right)
     keys = list(keys)
     payload = list(payload)
     left_cols = [c for c in left.columns if c not in keys]
@@ -141,6 +154,7 @@ def interval_join(
         raise ValueError("upper_us must be >= lower_us")
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    _reject_reserved(("_lt", "_rt", "_bucket"), left, right)
     width = max(upper_us - lower_us, 1)
     keys = list(keys)
 

@@ -236,3 +236,13 @@ def test_sessionize_counts_match_q37_shape(spark, sf_correct):
         for r in QUERIES["q37"](spark, sf_correct).collect()
     }
     assert {u: got[u] for u in expected} == expected
+
+
+def test_operators_reject_colliding_internal_names(spark):
+    bad = spark.createDataFrame([(1, 0, 5)], "k bigint, _t bigint, t bigint")
+    ok = spark.createDataFrame([(1, 5)], "k bigint, t bigint")
+    with pytest.raises(ValueError, match="_t"):
+        asof_join(bad, ok, ["k"], "t", "t", ["t"])
+    bad2 = spark.createDataFrame([(1, 0, 5)], "k bigint, _bucket bigint, t bigint")
+    with pytest.raises(ValueError, match="_bucket"):
+        interval_join(ok, bad2, "t", "t", -1, 1)
