@@ -112,3 +112,76 @@ def streaming_first_seen_dedup(docs_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT_SCHEMA = "bucket int, item string, lower_count bigint"
+HH_STATE_SCHEMA = "items array<string>, counts array<bigint>"
+
+#: Misra-Gries counter budget per state bucket
+HH_CAPACITY = 16
+
+
+def _misra_gries(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        items, counts = state.get
+        counters = dict(zip(list(items), [int(c) for c in counts]))
+    else:
+        counters = {}
+    for pdf in pdfs:
+        for item, n in pdf.groupby("item", sort=False)["item"].count().items():
+            n = int(n)
+            if item in counters:
+                counters[item] += n
+            elif len(counters) < HH_CAPACITY:
+                counters[item] = n
+            else:
+                # decrement-all by the min needed to open a slot (batched
+                # form of the classic one-at-a-time MG decrement)
+                dec = min(n, min(counters.values()))
+                counters = {
+                    i: c - dec for i, c in counters.items() if c - dec > 0
+                }
+                if n - dec > 0:
+                    counters[item] = n - dec
+    items = sorted(counters)
+    state.update((items, [counters[i] for i in items]))
+    yield pd.DataFrame(
+        {
+            "bucket": [key[0]] * len(items),
+            "item": items,
+            "lower_count": [counters[i] for i in items],
+        }
+    )
+
+
+def streaming_heavy_hitters(stream: DataFrame, item_col: str) -> DataFrame:
+    """Misra-Gries heavy hitters over an unbounded stream with BOUNDED
+    state: at most {HH_CAPACITY} counters per state bucket, ever — the
+    streaming answer to q55's salted batch heavy hitters.
+
+    Guarantee (per bucket): any item with true frequency > n/(capacity+1)
+    is guaranteed a surviving counter, and every reported `lower_count`
+    undercounts its true frequency by at most n/(capacity+1) (n = rows
+    seen by that bucket). Items are hashed across a few state buckets so
+    counter maintenance parallelizes; a batch top-k over the emitted
+    counters gives the global candidates. Exactly the sketch to run ahead
+    of an exact count when the stream can't be stored.
+    """
+    from pyspark.sql import functions as F
+
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped()
+    bucketed = stream.select(
+        (F.abs(F.hash(F.col(item_col))) % F.lit(4)).cast("int").alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _misra_gries,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -198,3 +198,72 @@ def test_streaming_dedup_state_survives_restart(spark, sf_smoke, tmp_path):
     ).write.mode("append").parquet(src)
     run_once()
     assert len(emitted) == first_run  # every late duplicate dropped via state
+
+
+def test_streaming_heavy_hitters_support_guarantee(spark, tmp_path):
+    """Misra-Gries across micro-batches: bounded state (≤16 counters per
+    bucket), every sufficiently-frequent item survives, and reported
+    counts undercount by at most n_bucket/(capacity+1)."""
+    import pandas as pd
+
+    from event_store_spark.streaming.stateful import (
+        HH_CAPACITY,
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "src")
+    # skewed distribution split across two files -> two micro-batches
+    rows1 = [("hot-1",)] * 300 + [("hot-2",)] * 150 + [(f"cold-{i}",) for i in range(200)]
+    rows2 = [("hot-1",)] * 200 + [("hot-3",)] * 180 + [(f"cold2-{i}",) for i in range(200)]
+    spark.createDataFrame(rows1, "item string").coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, "item string").coalesce(1).write.mode("append").parquet(src)
+
+    latest: dict = {}
+
+    def capture(batch_df, batch_id):
+        rows = batch_df.collect()
+        for b in {r.bucket for r in rows}:
+            latest[b] = {}  # each emission is the bucket's FULL counter set
+        for r in rows:
+            latest[r.bucket][r.item] = r.lower_count
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_heavy_hitters(stream, "item")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = spark.read.parquet(src)
+    truth = {
+        (r.bucket, r.item): r.cnt
+        for r in batch.select(
+            (F.abs(F.hash("item")) % F.lit(4)).cast("int").alias("bucket"), "item"
+        )
+        .groupBy("bucket", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_per_bucket: dict = {}
+    for (b, _), c in truth.items():
+        n_per_bucket[b] = n_per_bucket.get(b, 0) + c
+
+    for b, counters in latest.items():
+        assert len(counters) <= HH_CAPACITY
+        slack = n_per_bucket.get(b, 0) / (HH_CAPACITY + 1)
+        for item, lower in counters.items():
+            true = truth[(b, item)]
+            assert lower <= true, (item, lower, true)
+            assert true - lower <= slack, (item, lower, true, slack)
+    # support guarantee: anything with freq > n_bucket/(cap+1) must survive
+    for (b, item), c in truth.items():
+        if c > n_per_bucket[b] / (HH_CAPACITY + 1):
+            assert item in latest.get(b, {}), (b, item, c)
