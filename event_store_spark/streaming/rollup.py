@@ -47,6 +47,14 @@ class ContinuousRollup:
 
     Parameters mirror the batch q36 contract: tumbling ``window_duration``
     windows per ``event_type`` with count + sum(value).
+
+    Single maintainer per target: the streaming checkpoint serializes runs
+    that share it; running a SECOND maintainer with a different checkpoint
+    against the same ``target_path`` would interleave pointer flips (wrap
+    the maintainer in `streaming.lock.LockManager` if deployment can't
+    guarantee single ownership). Readers are always safe: they only follow
+    the committed pointer, and ``_KEEP_VERSIONS`` superseded versions stay
+    on disk for readers mid-swap.
     """
 
     def __init__(
