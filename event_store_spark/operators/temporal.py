@@ -143,7 +143,11 @@ def interval_join(
     ``how`` is ``"inner"`` or ``"left"`` (left keeps zero-match rows with
     NULL right columns). Output: left columns + right columns (right time
     column included; name collisions must be resolved by the caller
-    beforehand).
+    beforehand). Note ``"left"`` evaluates the banded join a second time
+    for the zero-match recovery (Catalyst prunes that pass to the left
+    tuple columns, and without stable row identities a shared subplan
+    can't be expressed); when the recovery isn't needed, ``"inner"`` does
+    one pass.
 
     Scale: the band width is the window length, so each left row explodes
     to at most 2 bucket probes regardless of radius/corpus; the join is a

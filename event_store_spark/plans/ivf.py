@@ -217,8 +217,8 @@ def ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     `ann_ivf_topk` runs its Lloyd refinement over the whole corpus (two
     full assignment passes). Here centroids are trained on a deterministic
-    md5 bottom-k sample (the same coordination-free selection as
-    `plans.pipeline.sample_bottomk`): the hash-ordered top-{SAMPLE} rows
+    md5 bottom-32 sample (the same coordination-free selection as
+    `plans.pipeline.sample_bottomk`): the hash-ordered bottom-32 rows
     are ONE TakeOrdered collect (per-partition top-k heaps, no shuffle);
     init + the Lloyd refinement then run over the collected sample as a
     local DataFrame — zero additional corpus scans — and the corpus is
@@ -280,7 +280,7 @@ NPROBE = 2  # ann_ivf_nprobe: search the query's 2 nearest cells
     """,
 )
 def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 searching the query's {NPROBE} nearest cells (nprobe>1) —
+    """IVF top-5 searching the query's 2 nearest cells (nprobe>1) —
     the recall knob real IVF deployments turn, the cell analog of
     `ann_multiprobe_topk`'s Hamming-1 bucket union.
 
@@ -289,7 +289,7 @@ def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     p/k of the corpus scanned. The probe-cell choice happens INSIDE the
     plan: the query row ranks the broadcast k×d centroid matrix by squared
     L2 (one zip_with fold per cell, array_sort of (dist, cell) structs —
-    ties to the lowest cell), slices the top {NPROBE}, and explodes; the
+    ties to the lowest cell), slices the top nprobe=2, and explodes; the
     corpus side still sees one equi-join on its own cell, so cost scales
     with probed-cells/k, never with k."""
     centroids, assigned = _ivf_index(spark, sf_dir, "full")

@@ -55,8 +55,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking ({CHUNK_TOKENS}-token windows,
-    stride {CHUNK_STRIDE}) with per-lang chunk statistics.
+    """Overlapping token-window chunking (50-token windows, stride 40)
+    with per-lang chunk statistics.
 
     The chunk windows are REAL (generated + sliced per row, then counted)
     — not a closed-form count — so this plan is the actual chunker with an
@@ -118,8 +118,8 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-sum sequence packing: documents stream into
-    {PACK_BUDGET}-token bins in deterministic doc_id order per lang
+    """Prefix-sum sequence packing: documents stream into 4096-token
+    bins in deterministic doc_id order per lang
     (pack = (running-token-total − 1) div budget).
 
     One partitioned window per lang computes every assignment in parallel —

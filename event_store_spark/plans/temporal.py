@@ -18,12 +18,13 @@ Pandas UDF, no cartesian product):
 - **banded range join** (`range_join_banded`): for each error event, the
   number of click events within ±5 minutes, with NO equi key — the pure
   interval join that naively is a cartesian product. Implemented by
-  quantizing time into buckets the width of the search radius: each right
-  row lands in exactly one bucket, each left row probes its 3 covering
-  buckets (explode), and the range predicate rides INSIDE an equi-join on
-  the bucket. Catalyst executes a plain shuffled hash/sort-merge join on
-  `bucket`; per-bucket fan-in is bounded by event rate × radius, so the
-  plan survives any corpus size by tuning the bucket width — the standard
+  quantizing time into buckets the width of the whole search WINDOW
+  (2×radius here): each right row lands in exactly one bucket, each left
+  row's window spans at most 2 consecutive buckets (explode ≤2 probes),
+  and the range predicate rides INSIDE an equi-join on the bucket.
+  Catalyst executes a plain shuffled hash/sort-merge join on `bucket`;
+  per-bucket fan-in is bounded by event rate × window, so the plan
+  survives any corpus size by tuning the bucket width — the standard
   distributed interval-join strategy (cf. Flink's interval join, which
   buckets state the same way).
 
@@ -42,8 +43,8 @@ from event_store_spark.operators.temporal import interval_join as generic_interv
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
-#: bucket width == search radius (5 min in µs) — a left row's ±radius
-#: interval can only intersect its own bucket and the two adjacent ones.
+#: search radius (5 min in µs); the operator buckets time at the window
+#: width (2×radius), so each left row probes at most 2 buckets
 _RADIUS_US = 300_000_000
 
 
@@ -120,11 +121,12 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless interval join via time-bucket banding: per error event, the
     count of click events within ±5 minutes (any user).
 
-    Each click hashes to exactly one radius-width bucket; each error
-    explodes to its 3 covering buckets, so a qualifying pair meets in
-    exactly one bucket (no double count) and the join is a plain equi-join
-    on `bucket` with the range predicate as a residual filter inside the
-    join condition (left-outer, so zero-match errors survive with count 0).
+    Each click hashes to exactly one window-width (2×radius) bucket; each
+    error's ±radius window spans at most 2 consecutive buckets, so a
+    qualifying pair meets in exactly one bucket (no double count) and the
+    join is a plain equi-join on `bucket` with the range predicate as a
+    residual inside the join condition (left-outer, so zero-match errors
+    survive with count 0). Delegates to `operators.temporal.interval_join`.
     """
     ev = _events(spark, sf_dir)
     err = ev.where(F.col("event_type") == "error").select("event_id", "ts")

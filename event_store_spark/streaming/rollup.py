@@ -145,7 +145,9 @@ class ContinuousRollup:
             (d for d in os.listdir(self.target_path) if d.startswith("_v")),
             key=lambda d: int(d[2:]),
         )
-        for stale in versions[:-_KEEP_VERSIONS]:
+        # retain the current version PLUS _KEEP_VERSIONS superseded ones
+        # (the documented mid-swap reader window)
+        for stale in versions[: -(_KEEP_VERSIONS + 1)]:
             if stale != keep:
                 shutil.rmtree(os.path.join(self.target_path, stale), ignore_errors=True)
 

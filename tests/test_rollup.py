@@ -104,9 +104,10 @@ def test_rollup_merge_is_idempotent_on_replay(spark, tmp_path):
     rollup._merge(updates, batch_id=0)
     assert _got(rollup) == before
 
-    # version GC keeps the table readable and bounded
+    # version GC keeps the table readable and bounded: current + at most
+    # _KEEP_VERSIONS superseded versions for readers mid-swap
     versions = [d for d in os.listdir(str(tmp_path / "rollup")) if d.startswith("_v")]
-    assert len(versions) <= 2
+    assert len(versions) <= 3
 
 
 def test_rollup_drops_rows_beyond_watermark_across_restart(spark, tmp_path):
