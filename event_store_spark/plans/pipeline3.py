@@ -151,3 +151,57 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang,
+                        UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+                 FROM documents),
+    vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+    n AS (SELECT SUM(cnt) AS total FROM vocab),
+    scored AS (SELECT k.doc_id, k.lang,
+                      AVG(-LN(CAST(v.cnt AS DOUBLE) / n.total)) AS nll
+               FROM tok k JOIN vocab v ON k.t = v.t, n
+               GROUP BY k.doc_id, k.lang),
+    banded AS (SELECT lang, CAST(FLOOR(ROUND(nll, 6)) AS BIGINT) AS nll_band
+               FROM scored)
+    SELECT lang, nll_band, COUNT(*) AS n_docs
+    FROM banded GROUP BY lang, nll_band ORDER BY lang, nll_band
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-proxy quality scoring (the CCNet idea with the corpus itself as
+    the language model): per-document average unigram negative
+    log-likelihood, banded into integer buckets per lang — gibberish and
+    boilerplate land in opposite tails.
+
+    Two aggregations composed in ONE plan: the unigram vocabulary (token →
+    count, one shuffle) joins back onto the token stream (broadcast-sized
+    at any realistic vocabulary: Zipf keeps distinct tokens << corpus
+    tokens), with the corpus total riding along as a broadcast scalar.
+    Banding to integers (floor of the 6dp-rounded nll) makes the oracle
+    comparison exact: the 6dp round pins the last-bit noise parallel
+    aggregation order injects on BOTH engines before the floor."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(whitespace_tokens("text")).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(-F.log(F.col("cnt").cast("double") / F.col("total"))).alias("nll")
+        )
+    )
+    return (
+        scored.select(
+            "lang", F.floor(F.round("nll", 6)).cast("bigint").alias("nll_band")
+        )
+        .groupBy("lang", "nll_band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "nll_band")
+    )
