@@ -267,3 +267,43 @@ def test_streaming_heavy_hitters_support_guarantee(spark, tmp_path):
     for (b, item), c in truth.items():
         if c > n_per_bucket[b] / (HH_CAPACITY + 1):
             assert item in latest.get(b, {}), (b, item, c)
+
+
+def test_drop_duplicates_within_watermark_bounded_dedup(spark, tmp_path):
+    """Engine-native bounded-horizon dedup (`dropDuplicatesWithinWatermark`):
+    duplicates arriving within the watermark delay are dropped with state
+    the engine can EXPIRE — the complement of `streaming_first_seen_dedup`'s
+    unbounded exact ledger. A duplicate inside the horizon is dropped even
+    when it lands in a later micro-batch."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+    m = datetime.timedelta
+    rows1 = [("a", t0), ("b", t0 + m(minutes=1))]
+    rows2 = [("a", t0 + m(minutes=5)),  # dup within horizon -> dropped
+             ("c", t0 + m(minutes=6))]
+    spark.createDataFrame(rows1, "k string, ts timestamp").coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, "k string, ts timestamp").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["k"])
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.k, r.ts) for r in spark.read.parquet(out).collect())
+    assert [k for k, _ in got] == ["a", "b", "c"]
+    assert dict(got)["a"] == t0  # the FIRST arrival won
