@@ -169,3 +169,29 @@ def test_range_join_banded_is_equi_on_bucket(spark, sf_correct):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan
     assert "partial_count" in plan  # map-side combine before the final agg
+
+
+def test_seq_packing_window_partitioned_by_lang(spark, sf_correct):
+    """The prefix sum must parallelize across langs — an unpartitioned
+    window would serialize the whole corpus through one reducer."""
+    plan = _plan(spark, sf_correct, "seq_packing")
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "WindowExec" in line:
+            assert "lang" in line, f"unpartitioned packing window: {line}"
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_correct):
+    """The vocabulary rides a broadcast join back onto the token stream
+    (Zipf keeps it small); a shuffled join would re-partition the whole
+    token explosion a second time."""
+    plan = _plan(spark, sf_correct, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_chunking_no_join_no_cartesian(spark, sf_correct):
+    """Chunk expansion stays inside the executor: generate+slice per row,
+    no join in the plan at all."""
+    plan = _plan(spark, sf_correct, "text_chunking")
+    assert "Join" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
