@@ -1,0 +1,47 @@
+"""Streaming IVF index maintenance: assign arriving embeddings to trained
+cells and append them to a cell-partitioned index.
+
+The batch IVF build (`plans/ivf.py`) trains centroids once; production
+vector stores then keep the inverted file CURRENT by assigning each newly
+ingested vector to its nearest cell as it arrives. That assignment is a
+pure map-side expression (argmin over the broadcast k×d centroid matrix —
+the same `_assign` the batch build uses), so it streams at ingest
+throughput with zero shuffle; the sink partitions by cell, which IS the
+inverted-file layout: a search for cell c lists exactly `cell=c/`.
+
+Centroid refresh (re-training on the grown corpus) stays a periodic batch
+job; this stream keeps ingest-to-searchable latency at micro-batch size in
+between — the standard split (FAISS add vs. retrain, Lucene-style segment
+merge policies) expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from event_store_spark.plans.ivf import _assign
+
+
+def ivf_assign_stream(
+    embeddings_stream: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    target_path: str,
+    checkpoint: str,
+):
+    """Start an availableNow maintenance pass: assign every new embedding
+    (columns ``vec_id``, ``v: array<double>``) to its nearest trained cell
+    and append it under ``cell=<id>/`` in the index directory. Returns the
+    StreamingQuery.
+    """
+    if not embeddings_stream.isStreaming:
+        raise ValueError("ivf_assign_stream requires a streaming DataFrame")
+    assigned = _assign(embeddings_stream, centroids)
+    return (
+        assigned.writeStream.format("parquet")
+        .partitionBy("cell")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -307,3 +307,32 @@ def test_drop_duplicates_within_watermark_bounded_dedup(spark, tmp_path):
     got = sorted((r.k, r.ts) for r in spark.read.parquet(out).collect())
     assert [k for k, _ in got] == ["a", "b", "c"]
     assert dict(got)["a"] == t0  # the FIRST arrival won
+
+
+def test_streaming_ivf_assignment_matches_batch(spark, sf_smoke, tmp_path):
+    """Streamed embeddings land in the same cells the batch assignment
+    gives them, and the sink is cell-partitioned (the inverted-file
+    layout: searching cell c reads exactly cell=c/)."""
+    import os
+
+    from event_store_spark.plans.ivf import _ivf_index
+    from event_store_spark.streaming.index import ivf_assign_stream
+    from event_store_spark.functions.vectors import as_double
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    centroids, batch_assigned = _ivf_index(spark, sf_smoke, "full")
+
+    src = str(tmp_path / "emb_src")
+    emb.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    idx = str(tmp_path / "ivf_index")
+    q = ivf_assign_stream(stream, centroids, idx, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {r.vec_id: r.cell for r in spark.read.parquet(idx).collect()}
+    expected = {r.vec_id: r.cell for r in batch_assigned.collect()}
+    assert got == expected
+    cells = {d for d in os.listdir(idx) if d.startswith("cell=")}
+    assert cells == {f"cell={c}" for c in set(expected.values())}
