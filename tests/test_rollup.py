@@ -173,3 +173,31 @@ def test_rollup_crash_between_version_write_and_pointer_flip(spark, tmp_path):
     rollup._merge(updates, batch_id=committed_batch + 1)
     assert rollup._current_version() == next_version
     assert _got(rollup) == committed  # same cumulative values -> same table
+
+
+def test_rollup_randomized_incremental_maintenance(spark, tmp_path):
+    """Fuzz the incremental merge: several randomized append-and-run
+    cycles, after each the rollup table must equal the batch aggregate
+    over everything ingested (watermark wide enough that nothing drops)."""
+    import random
+
+    rng = random.Random(7)
+    src = str(tmp_path / "src")
+    rollup = ContinuousRollup(
+        spark,
+        src,
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ck"),
+        watermark_delay="30 days",
+    )
+    types = ["click", "view", "purchase"]
+    next_id = 0
+    for cycle in range(4):
+        spec = [
+            (rng.randint(0, 72 * 60), rng.choice(types), round(rng.uniform(0, 9), 2))
+            for _ in range(rng.randint(1, 25))
+        ]
+        _write_batch(spark, src, spec, start_id=next_id)
+        next_id += len(spec)
+        rollup.run_available()
+        assert _got(rollup) == _expected(spark, src), f"cycle {cycle}"
