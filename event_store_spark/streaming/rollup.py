@@ -88,9 +88,24 @@ class ContinuousRollup:
         except FileNotFoundError:
             return None
 
-    def table(self) -> DataFrame:
-        """The rollup table as of the latest committed merge."""
-        version = self._current_version()
+    def versions(self) -> list[str]:
+        """Version directories still on disk, oldest→newest (the last is
+        not necessarily committed — crash debris stays until its batch
+        replays; the committed one is ``_current_version()``)."""
+        return sorted(
+            (d for d in os.listdir(self.target_path) if d.startswith("_v")),
+            key=lambda d: int(d[2:]),
+        )
+
+    def table(self, version: str | None = None) -> DataFrame:
+        """The rollup table as of the latest committed merge — or, with
+        ``version`` (a name from :meth:`versions`), time travel to a
+        retained superseded snapshot (``_KEEP_VERSIONS`` of them survive
+        GC, exactly like a table format's version retention window)."""
+        if version is None:
+            version = self._current_version()
+        elif version not in self.versions():
+            raise ValueError(f"unknown rollup version {version!r}")
         if version is None:
             return self.spark.createDataFrame(
                 [], "win_start timestamp, event_type string, cnt bigint, sum_value double"

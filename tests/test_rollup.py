@@ -201,3 +201,31 @@ def test_rollup_randomized_incremental_maintenance(spark, tmp_path):
         next_id += len(spec)
         rollup.run_available()
         assert _got(rollup) == _expected(spark, src), f"cycle {cycle}"
+
+
+def test_rollup_time_travel_to_retained_version(spark, tmp_path):
+    """Superseded versions retained by GC are readable as snapshots: after
+    a second incremental run, the previous version still shows the table
+    as of the first run."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    rollup = ContinuousRollup(spark, src, str(tmp_path / "rollup"), str(tmp_path / "ck"))
+    _write_batch(spark, src, [(0, "click", 1.0)])
+    rollup.run_available()
+    v1 = rollup._current_version()
+    snapshot1 = _got(rollup)
+
+    _write_batch(spark, src, [(10, "click", 2.0), (70, "view", 3.0)], start_id=10)
+    rollup.run_available()
+    assert rollup._current_version() != v1
+    assert _got(rollup) == _expected(spark, src)
+
+    old = {
+        (r.win_start, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in rollup.table(version=v1).collect()
+    }
+    assert old == snapshot1
+    assert v1 in rollup.versions()
+    with pytest.raises(ValueError):
+        rollup.table(version="_v9999")
