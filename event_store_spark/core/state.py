@@ -185,7 +185,22 @@ class _AtomicJsonState:
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump(data, f)
+                # flush file DATA before the rename commits the name: on
+                # journaled filesystems the rename metadata can land before
+                # unsynced data, and a power loss then leaves a truncated
+                # state file that poisons every later _read
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, self.path)
+            # best-effort directory fsync so the rename itself is durable
+            try:
+                dfd = os.open(os.path.dirname(self.path) or ".", os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+            except OSError:
+                pass
         except BaseException:
             if os.path.exists(tmp):
                 os.unlink(tmp)

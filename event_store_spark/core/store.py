@@ -136,11 +136,47 @@ class EventStore:
         if validate:
             validate_metadata(df)
 
+        self._recover_compaction(topic)
         self._append_mutex.acquire(topic)
         try:
             return self._append_locked(
                 topic, df, key_type, partition_by_day, payload_cols
             )
+        finally:
+            self._append_mutex.release(topic)
+
+    def _recover_compaction(self, topic: str) -> None:
+        """Heal a compaction interrupted between its two directory renames.
+
+        ``compact`` swaps via ``rename(path, path.old)`` then
+        ``rename(path.compacted, path)`` — a crash between them leaves the
+        topic directory MISSING with all data stranded in ``.old``. Publish
+        of ``.compacted`` completes before the first rename, so when the
+        topic dir is absent: a data-bearing ``.compacted`` means the swap
+        can be FINISHED (roll forward); otherwise ``.old`` is restored
+        (roll back). Either way no committed row is lost. With the topic
+        dir present, a lingering ``.old`` is post-swap debris (the mutex
+        excludes an in-flight compact) and is dropped. ``.compacting`` is
+        never touched here — it may belong to a live compaction's
+        pre-mutex write. Cheap no-op unless crash evidence exists.
+        """
+        path = self.topic_path(topic)
+        old, ordered = f"{path}.old", f"{path}.compacted"
+        if not os.path.isdir(old):
+            return
+        self._append_mutex.acquire(topic)
+        try:
+            if not os.path.isdir(old):  # raced with another healer
+                return
+            if not os.path.exists(path):
+                if os.path.isdir(ordered) and self._has_data(ordered):
+                    os.rename(ordered, path)  # roll forward
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(old, path)  # roll back
+                    shutil.rmtree(ordered, ignore_errors=True)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
         finally:
             self._append_mutex.release(topic)
 
@@ -245,17 +281,17 @@ class EventStore:
             # (EventReplicatorWorker.java:66-72 keyset scan). Local-FS
             # semantics; on object stores back the topic with a
             # transactional table format instead.
-            staging_root = os.path.join(self.root, "_staging")
-            if os.path.isdir(staging_root):
+            # per-TOPIC staging subdirectory: the orphan sweep below must
+            # never touch another topic's staging, and topic names may
+            # contain any legal character (a name-prefix match would let
+            # 'foo_events' delete 'foo_events-eu_events'-in-flight batches)
+            topic_staging_root = os.path.join(self.root, "_staging", topic)
+            if os.path.isdir(topic_staging_root):
                 # orphans from a crashed append to THIS topic (we hold its
                 # mutex, so no live writer owns them): unpublished staging is
                 # simply a lost batch — its lsn stays a gap, as documented
-                for entry in os.listdir(staging_root):
-                    if entry.startswith(f"{topic}-"):
-                        shutil.rmtree(
-                            os.path.join(staging_root, entry), ignore_errors=True
-                        )
-            staging = os.path.join(staging_root, f"{topic}-{lsn}-{uuid.uuid4().hex}")
+                shutil.rmtree(topic_staging_root, ignore_errors=True)
+            staging = os.path.join(topic_staging_root, f"{lsn}-{uuid.uuid4().hex}")
             writer = out.sortWithinPartitions("id").write
             if partition_by_day:
                 # hive-style dt= layout: time-range replay prunes whole
@@ -291,13 +327,16 @@ class EventStore:
         return Cursor(lsn, stats.max_id)
 
     @staticmethod
-    def _publish_ordered(staging: str, final: str, clock_start: int) -> None:
+    def _publish_ordered(staging: str, final: str, clock_start: int) -> int:
         """Move staged data files into the topic dir in id order, each with
         the next publication-clock tick as both its mtime and its sortable
         file-name sequence — so modTime order AND path order agree with
         commit order, whichever a stream source sorts by. Files land one
         rename at a time, oldest id range first: a concurrent listing sees a
-        commit-order prefix, never an out-of-order subset."""
+        commit-order prefix, never an out-of-order subset.
+
+        Returns the number of files published (= clock ticks consumed);
+        the caller reconciles the ticket clock with it."""
         import pyarrow.parquet as pq
 
         files = []
@@ -434,6 +473,7 @@ class EventStore:
                 f"topic {topic!r} is not day-partitioned; day-range reads "
                 "require append(..., partition_by_day=True)"
             )
+        self._recover_compaction(topic)
         df = self.spark.read.parquet(self.topic_path(topic))
         if start_day is not None:
             df = df.where(F.col("dt") >= F.lit(start_day).cast("date"))
@@ -475,8 +515,12 @@ class EventStore:
         rewrite uses ``repartitionByRange(lsn, id)`` so each output file
         covers a contiguous cursor range (maximum min/max-stat pruning for
         keyset predicates) and is sorted within, keeping replay merges
-        cheap. Takes the topic's append mutex (X4) for the swap, which is
-        atomic via directory renames; readers re-list on next query.
+        cheap. Takes the topic's append mutex (X4) for the swap. The swap
+        is TWO renames (old out, compacted in) — not atomic; a crash
+        between them is healed by ``_recover_compaction`` (roll forward if
+        the compacted directory is complete, roll back otherwise), which
+        every append/read/compact runs first. Readers re-list on next
+        query.
 
         Flat topics keep the ordered-visibility invariant through the
         rewrite: the range-partitioned output files hold disjoint ascending
@@ -489,6 +533,7 @@ class EventStore:
         cannot be both day-partitioned and cursor-range-disjoint — day
         layout is the analytics path, flat the replication path.
         """
+        self._recover_compaction(topic)
         path = self.topic_path(topic)
         if not self._has_data(path):
             return 0

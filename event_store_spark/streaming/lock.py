@@ -15,19 +15,19 @@ Re-expresses the reference's advisory-lock pair:
   heartbeating at every micro-batch and failing the query on loss
   (fail-fast X6 — the streaming analog of killing the process).
 
-Steal race: two stealers of one expired lease can both `os.replace`; the
-last writer wins and the loser's NEXT heartbeat sees a foreign owner and
-fails. The window equals one heartbeat interval — the same at-most-one-
-writer-per-lease-interval guarantee a DB lease lock gives. On a shared
-filesystem (HDFS/NFS/object store with atomic rename) the same protocol
-holds; a real cluster deployment can swap in a DB advisory lock behind
-this interface unchanged.
+Steal protocol: an expired lease is broken by RENAMING it to a
+steal-private name — `os.rename` of one source path succeeds for exactly
+one caller, so concurrent breakers cannot both conclude they removed it;
+ownership of the fresh lease is then decided by the same `O_EXCL` create
+every acquirer races on (single winner, same as `TopicMutex`). On a
+shared filesystem (HDFS/NFS/object store with atomic rename) the same
+protocol holds; a real cluster deployment can swap in a DB advisory lock
+behind this interface unchanged.
 """
 
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 import uuid
 
@@ -46,32 +46,42 @@ class LockManager:
     # ----------------------------------------------------------- protocol
 
     def acquire(self) -> bool:
-        """Try to take (or re-assert) the lock; never blocks.
+        """Try to take (or re-assert) the lock; never blocks on a live
+        foreign lease.
 
         True when this owner holds the lease afterwards: fresh acquire,
         reentrant re-acquire (refreshes the heartbeat, like the advisory
-        lock's session scope), or takeover of an expired lease.
+        lock's session scope), or takeover of an expired lease. Expired
+        leases are broken with the single-winner rename protocol
+        (`TopicMutex.acquire`): exactly one breaker can rename the stale
+        file aside, and OWNERSHIP is then decided by the O_EXCL create
+        every acquirer races on — replace-then-read-back could let two
+        stealers both conclude they won (ADVICE r3's TopicMutex flaw,
+        which this class shared).
         """
-        try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(self.owner)
-            return True
-        except FileExistsError:
-            pass
-        holder = self._holder()
-        if holder == self.owner:
-            os.utime(self.path)  # heartbeat on re-assert
-            return True
-        if holder is not None and self._expired():
-            # orphaned lease (holder died without releasing) — steal via
-            # atomic replace; a concurrent stealer may win, in which case
-            # our next heartbeat detects the foreign owner
-            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
-            with os.fdopen(fd, "w") as f:
-                f.write(self.owner)
-            os.replace(tmp, self.path)
-            return self._holder() == self.owner
+        for _ in range(16):  # bounded retry: vanished-file races rejoin
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(self.owner)
+                return True
+            except FileExistsError:
+                pass
+            holder = self._holder()
+            if holder is None:
+                continue  # released between O_EXCL and read — retry create
+            if holder == self.owner:
+                os.utime(self.path)  # heartbeat on re-assert
+                return True
+            if self._expired():
+                grave = f"{self.path}.stale.{self.owner}.{uuid.uuid4().hex}"
+                try:
+                    os.rename(self.path, grave)
+                except FileNotFoundError:
+                    continue  # another breaker (or a release) beat us
+                os.unlink(grave)
+                continue  # compete for the fresh lease via O_EXCL
+            return False  # live foreign lease
         return False
 
     def heartbeat(self) -> bool:

@@ -180,8 +180,16 @@ class Subscription:
                     processor(df, batch_id)
                 df.unpersist()
             else:
-                processor(df, batch_id)
-                stats = batch_stats(df)
+                # persist: the processor's action and the stats aggregate
+                # both consume the batch — without it the source files are
+                # scanned twice per trigger (the recovery/kafka branches
+                # already persist for the same reason)
+                df = df.persist()
+                try:
+                    processor(df, batch_id)
+                    stats = batch_stats(df)
+                finally:
+                    df.unpersist()
             prev_offset = self.offsets.get(topic)
             if stats.n:
                 # the stored offset is a 0-based running consumed-row index

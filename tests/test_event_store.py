@@ -647,3 +647,103 @@ def test_compaction_republishes_in_commit_order(store, spark):
     files = store._parquet_files(store.topic_path("cord_events"))
     ranges = _published_ranges(files)
     assert ranges[-1][0][0] == 4  # newest lsn is last in pickup order
+
+
+def _seed_topic(store, spark, topic="rc_events", n=6):
+    import datetime as _dt
+
+    rows = [
+        (f"k{i}", str(i), _dt.datetime(2025, 1, 4, 12, 0, 0) + _dt.timedelta(minutes=i))
+        for i in range(n)
+    ]
+    store.append(
+        topic,
+        spark.createDataFrame(rows, "key string, payload string, timestamp timestamp"),
+    )
+    return topic
+
+
+def test_compaction_crash_between_renames_rolls_forward(store, spark):
+    """Crash AFTER `rename(path, old)` with a complete `.compacted` dir:
+    recovery finishes the swap — no committed row lost, no manual step."""
+    import shutil
+
+    topic = _seed_topic(store, spark, "rf_events")
+    path = store.topic_path(topic)
+    before = sorted((r.id, r.payload) for r in store.read_events(topic).collect())
+
+    # build a complete compacted dir exactly as compact() would, then crash
+    # between the two renames: path gone, data stranded in .old
+    df = spark.read.parquet(path)
+    tmp, ordered, old = f"{path}.compacting", f"{path}.compacted", f"{path}.old"
+    df.repartitionByRange(1, "lsn", "id").sortWithinPartitions("lsn", "id") \
+        .write.mode("overwrite").parquet(tmp)
+    os.makedirs(ordered)
+    store._publish_ordered(tmp, ordered, 10_000_000)
+    shutil.rmtree(tmp)
+    os.rename(path, old)
+
+    got = sorted((r.id, r.payload) for r in store.read_events(topic).collect())
+    assert got == before            # roll-forward healed the swap
+    assert not os.path.exists(old)  # debris cleared
+    assert os.path.isdir(path)
+
+
+def test_compaction_crash_before_publish_rolls_back(store, spark):
+    """Crash with `.old` present but NO usable `.compacted`: recovery
+    restores the original directory."""
+    topic = _seed_topic(store, spark, "rb_events")
+    path = store.topic_path(topic)
+    before = sorted((r.id, r.payload) for r in store.read_events(topic).collect())
+    os.rename(path, f"{path}.old")  # simulated torn swap, nothing to roll forward
+
+    got = sorted((r.id, r.payload) for r in store.read_events(topic).collect())
+    assert got == before
+    assert os.path.isdir(path)
+    assert not os.path.exists(f"{path}.old")
+
+
+def test_staging_sweep_cannot_cross_topics(store, spark):
+    """The orphan sweep is scoped to the topic's own staging subdirectory:
+    a topic whose name prefixes another's can never delete the other's
+    in-flight staging."""
+    a = _seed_topic(store, spark, "foo_events")
+    staging_other = os.path.join(store.root, "_staging", "foo_events-eu_events")
+    os.makedirs(staging_other, exist_ok=True)
+    marker = os.path.join(staging_other, "inflight.parquet")
+    open(marker, "w").write("x")
+    _seed_topic(store, spark, "foo_events")  # second append sweeps ITS orphans
+    assert os.path.exists(marker)  # the other topic's staging survived
+
+
+def test_replicator_lock_steal_elects_single_winner(tmp_path):
+    """Two stealers of one expired lease: exactly one acquire() returns
+    True (rename-steal + O_EXCL), never both."""
+    import time as _time
+
+    from event_store_spark.streaming.lock import LockManager
+
+    root = str(tmp_path / "locks")
+    dead = LockManager(root, owner="dead", lease_seconds=0.2)
+    assert dead.acquire()
+    _time.sleep(0.4)  # lease expires, holder never heartbeats (crashed)
+
+    a = LockManager(root, owner="a", lease_seconds=0.2)
+    b = LockManager(root, owner="b", lease_seconds=0.2)
+    got_a, got_b = a.acquire(), b.acquire()
+    assert got_a != got_b or (got_a and a._holder() != b.owner)
+    winners = [m.owner for m, got in ((a, got_a), (b, got_b)) if got and m._holder() == m.owner]
+    assert len(winners) == 1
+
+
+def test_replicator_lock_acquires_after_release_race(tmp_path):
+    """A lease released between the failed O_EXCL and the holder read is
+    retried, not reported as contended."""
+    from event_store_spark.streaming.lock import LockManager
+
+    root = str(tmp_path / "locks")
+    first = LockManager(root, owner="first")
+    assert first.acquire()
+    first.release()
+    second = LockManager(root, owner="second")
+    assert second.acquire()  # free lock must be acquirable
