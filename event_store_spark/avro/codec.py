@@ -85,17 +85,29 @@ def decode_string(buf: io.BytesIO) -> str:
 
 # ------------------------------------------------------------- map<bytes>
 
+def java_string_order(key: str) -> bytes:
+    """Sort key matching Java ``String.compareTo`` (UTF-16 code units).
+
+    Python's default string sort compares CODE POINTS, Java's compares
+    UTF-16 units — they disagree for keys above the BMP (a supplementary
+    character's surrogates D800.. sort BELOW E000.. privates in Java but
+    above in code-point order). Canonical layouts that must be byte-equal
+    with the reference's TreeMap sort with this key."""
+    return key.encode("utf-16-be")
+
+
 def encode_map_bytes(d: dict[str, bytes] | None) -> bytes:
     """Canonical Avro ``map<bytes>``: one key-sorted block + 0 terminator.
 
     Key sorting mirrors the reference's TreeMap canonicalization
-    (`MetadataSerializer.java:75-91`); an empty/None map encodes as the
-    empty map (single 0 byte).
+    (`MetadataSerializer.java:75-91`) — Java UTF-16-unit order, see
+    :func:`java_string_order`; an empty/None map encodes as the empty map
+    (single 0 byte).
     """
     if not d:
         return encode_long(0)
     out = bytearray(encode_long(len(d)))
-    for k in sorted(d):
+    for k in sorted(d, key=java_string_order):
         v = d[k]
         if not isinstance(v, (bytes, bytearray)):
             raise TypeError(f"metadata value for {k!r} must be bytes")

@@ -40,15 +40,38 @@ def spark_type_of(codec: RecordCodec) -> str:
 
 
 def to_confluent_avro(payload: Column, schema: dict | str, schema_id: int) -> Column:
-    """struct column → Confluent-framed Avro binary column."""
+    """struct column → Confluent-framed Avro binary column.
+
+    Null handling: Arrow→pandas converts a null int/long cell to float NaN
+    (pandas has no null int); those are restored to None before encoding so
+    nullable integer fields round-trip as Avro null instead of crashing
+    ``int(nan)``. The same conversion makes a null DOUBLE cell
+    indistinguishable from a literal NaN — both encode as Avro null for
+    nullable double fields (store real NaN payloads as bytes if the
+    distinction matters).
+    """
     ensure_shipped()
     codec = RecordCodec(schema)
+    nullable = {name for name, t in codec.fields if isinstance(t, list)}
 
     @F.pandas_udf("binary")
     def ser(pdf: pd.DataFrame) -> pd.Series:
-        return pd.Series(
-            [frame(schema_id, codec.encode(row)) for row in pdf.to_dict("records")]
-        )
+        import math
+
+        out = []
+        for row in pdf.to_dict("records"):
+            clean = {
+                k: (
+                    None
+                    if k in nullable
+                    and isinstance(v, float)
+                    and math.isnan(v)
+                    else v
+                )
+                for k, v in row.items()
+            }
+            out.append(frame(schema_id, codec.encode(clean)))
+        return pd.Series(out)
 
     return ser(payload)
 
@@ -90,6 +113,11 @@ def from_confluent_avro(
     def de(col: pd.Series) -> pd.DataFrame:
         rows = []
         for b in col:
+            if b is None:
+                # NULL payloads exist by design (crypto-shredded rows read
+                # as NULL data) — yield a null struct, don't crash the read
+                rows.append({n: None for n, _ in reader_fields})
+                continue
             sid, body = unframe(bytes(b))
             if writer_schemas is None and sid != schema_id:
                 raise ValueError(f"schema id mismatch: frame {sid} != {schema_id}")

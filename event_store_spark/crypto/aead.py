@@ -106,35 +106,15 @@ class EventEncryptor:
             data: pd.Series, key: pd.Series, ts_ms: pd.Series, md: pd.Series, kid: pd.Series
         ) -> pd.Series:
             import os as _os
-            import struct as _struct
 
             from cryptography.hazmat.primitives.ciphers.aead import AESGCM as _AESGCM
 
-            def _enc_varint(n: int) -> bytes:
-                z = (n << 1) ^ (n >> 63)
-                out = bytearray()
-                while True:
-                    b = z & 0x7F
-                    z >>= 7
-                    if z:
-                        out.append(b | 0x80)
-                    else:
-                        out.append(b)
-                        return bytes(out)
-
-            def _aad(k: bytes, t: int, meta: dict) -> bytes:
-                # key ‖ int64_be(ts_ms) ‖ canonical Avro map<bytes>; empty
-                # map → zero-length segment (EventEncryptor.java:139-142),
-                # NOT the 1-byte Avro empty-map terminator
-                body = bytearray(k + _struct.pack(">q", t))
-                if meta:
-                    body += _enc_varint(len(meta))
-                    for mk in sorted(meta):
-                        kb = mk.encode("utf-8")
-                        body += _enc_varint(len(kb)) + kb
-                        body += _enc_varint(len(meta[mk])) + meta[mk]
-                    body += _enc_varint(0)
-                return bytes(body)
+            # ONE source of truth for the security-critical AAD layout:
+            # ensure_shipped() makes the package importable on executors, so
+            # the UDF uses the same build_aad (and its canonical Java-order
+            # map encoding) the bytes API and the golden tests pin — a
+            # hand-rolled copy here once drifted on key-sort order.
+            from event_store_spark.crypto.aead import build_aad as _build_aad
 
             out = []
             for d, k, t, m, ki in zip(data, key, ts_ms, md, kid):
@@ -147,7 +127,7 @@ class EventEncryptor:
                         continue
                     raise KeyError(f"unknown encryption key id {ki!r}")
                 meta = {e["key"]: bytes(e["value"]) for e in (m or [])}
-                aad = _aad(bytes(k), int(t), meta)
+                aad = _build_aad(bytes(k), int(t), meta)
                 cipher = _AESGCM(keys[ki])
                 if mode == "encrypt":
                     nonce = _os.urandom(nonce_len)
@@ -161,12 +141,13 @@ class EventEncryptor:
         return fn
 
     def _args(self, df: DataFrame, kid: Column) -> list[Column]:
-        md_entries = F.array_sort(
-            F.map_entries(
-                F.map_filter(
-                    F.coalesce(F.col("metadata"), F.expr("map()")),
-                    lambda k, _: ~k.isin(SOURCE_ID, ENCRYPTION_KEY_ID),
-                )
+        # entries ship UNSORTED: canonical (Java-order) sorting happens once
+        # inside build_aad's map encoding — a JVM-side array_sort here would
+        # be dead work (and sorted differently: UTF-8 bytes vs UTF-16 units)
+        md_entries = F.map_entries(
+            F.map_filter(
+                F.coalesce(F.col("metadata"), F.expr("map()")),
+                lambda k, _: ~k.isin(SOURCE_ID, ENCRYPTION_KEY_ID),
             )
         )
         return [
@@ -177,10 +158,18 @@ class EventEncryptor:
         ]
 
     def encrypt_df(self, df: DataFrame, kid: str) -> DataFrame:
-        """Encrypt ``data`` and record ``kid`` in metadata (C1 + C3)."""
+        """Encrypt ``data`` and record ``kid`` in metadata (C1 + C3).
+
+        Any pre-existing kid entry is replaced (re-encryption / key
+        rotation): map_concat under the default EXCEPTION dedup policy
+        would otherwise fail at runtime on the duplicate key.
+        """
         encrypted = self._udf("encrypt")(F.col("data"), *self._args(df, F.lit(kid)))
         with_kid = F.map_concat(
-            F.coalesce(F.col("metadata"), F.expr("map()")),
+            F.map_filter(
+                F.coalesce(F.col("metadata"), F.expr("map()")),
+                lambda k, _: k != ENCRYPTION_KEY_ID,
+            ),
             F.create_map(F.lit(ENCRYPTION_KEY_ID), F.encode(F.lit(kid), "UTF-8")),
         )
         return df.withColumn("data", encrypted).withColumn("metadata", with_kid)

@@ -66,9 +66,11 @@ def salted_join(
     replicated_right = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
+    # frame-qualified refs: with the usual same-named key on both sides an
+    # unqualified F.col(key) is AMBIGUOUS_REFERENCE at analysis time
     joined = salted_left.join(
         replicated_right,
-        (F.col(left_key) == F.col(right_key))
+        (salted_left[left_key] == replicated_right[right_key])
         & (salted_left["__salt"] == replicated_right["__salt"]),
     )
     return joined.drop("__salt")

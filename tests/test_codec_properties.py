@@ -35,7 +35,11 @@ def test_map_roundtrip_and_canonical(d):
     enc = encode_map_bytes(d)
     out = decode_map_bytes(enc)
     assert out == d
-    assert list(out) == sorted(d)  # stored order is canonical
+    from event_store_spark.avro.codec import java_string_order
+
+    # stored order is canonical JAVA order (UTF-16 units, TreeMap parity —
+    # diverges from Python's code-point sort only above the BMP)
+    assert list(out) == sorted(d, key=java_string_order)
     # canonical: same bytes regardless of insertion order
     assert enc == encode_map_bytes(dict(sorted(d.items(), reverse=True)))
 

@@ -269,3 +269,94 @@ def test_crypto_shredding_makes_rows_unreadable(spark):
 
     with pytest.raises(ValueError):
         enc.decrypt_df(sealed, missing_key="ignore")
+
+
+def test_map_bytes_key_order_matches_java_above_bmp():
+    """Cross-engine AAD/metadata parity for non-BMP keys: Java TreeMap
+    compares UTF-16 units, so a supplementary character (surrogates
+    D800..) sorts BELOW a private-use BMP char (E000..) — the opposite of
+    Python's code-point order."""
+    from event_store_spark.avro.codec import (
+        decode_map_bytes,
+        encode_map_bytes,
+        java_string_order,
+    )
+
+    supp, private = "\U00010000", ""
+    assert sorted([supp, private]) == [private, supp]  # Python code points
+    assert sorted([supp, private], key=java_string_order) == [supp, private]
+    enc = encode_map_bytes({private: b"p", supp: b"s"})
+    assert list(decode_map_bytes(enc)) == [supp, private]  # Java order stored
+
+
+def test_encrypt_df_replaces_existing_kid(spark):
+    """Re-encryption (key rotation): a metadata map already carrying a kid
+    entry must not blow up map_concat's duplicate-key policy — the new kid
+    replaces the old."""
+    import datetime
+
+    k1, k2 = EventEncryptor.generate_key(), EventEncryptor.generate_key()
+    enc = EventEncryptor({"kms://old": k1, "kms://new": k2})
+    ts = datetime.datetime(2025, 1, 4, 21, 13, 41, 442000)
+    df = spark.createDataFrame(
+        [(bytearray(b"a"), bytearray(b"payload"), ts, None)],
+        "key binary, data binary, timestamp timestamp, metadata map<string,binary>",
+    )
+    sealed_old = enc.encrypt_df(df, "kms://old")
+    plain = enc.decrypt_df(sealed_old).select("key", "data", "timestamp", "metadata")
+    sealed_new = enc.encrypt_df(plain, "kms://new")  # metadata already has kid
+    row = sealed_new.first()
+    assert bytes(row.metadata["kid"]) == b"kms://new"
+    out = enc.decrypt_df(sealed_new).first()
+    assert bytes(out.data) == b"payload"
+
+
+def test_confluent_avro_nullable_long_none_roundtrip(spark):
+    """Arrow turns null bigint cells into NaN; the serializer must restore
+    them to Avro null (and a NULL data value decodes to a null struct —
+    the shredded-row read path)."""
+    schema = {
+        "type": "record",
+        "name": "NullableEvt",
+        "fields": [
+            {"name": "text", "type": "string"},
+            {"name": "n", "type": ["null", "long"], "default": None},
+        ],
+    }
+    reg = LocalSchemaRegistry()
+    sid = reg.register(schema)
+    df = spark.createDataFrame(
+        [("a", 7), ("b", None)], "text string, n bigint"
+    )
+    framed = df.select(
+        "text", to_confluent_avro(F.struct("text", "n"), schema, sid).alias("data")
+    )
+    back = framed.select(
+        "text", from_confluent_avro(F.col("data"), schema, sid).alias("p")
+    ).collect()
+    got = {r.text: r.p.n for r in back}
+    assert got == {"a": 7, "b": None}
+
+    # NULL data -> null-field struct, not a crash
+    nulled = framed.withColumn(
+        "data", F.when(F.col("text") == "b", F.lit(None)).otherwise(F.col("data"))
+    )
+    back2 = nulled.select(
+        "text", from_confluent_avro(F.col("data"), schema, sid).alias("p")
+    ).collect()
+    got2 = {r.text: (r.p.text, r.p.n) for r in back2}
+    assert got2 == {"a": ("a", 7), "b": (None, None)}
+
+
+def test_salted_join_same_named_keys(spark):
+    """The common case — identical key names on both sides — must not be
+    an ambiguous reference."""
+    from event_store_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k bigint, l string")
+    right = spark.createDataFrame([(1, "A"), (2, "B")], "k bigint, r string")
+    got = {
+        (r.l, r.r)
+        for r in salted_join(left, right, "k", "k").select("l", "r").collect()
+    }
+    assert got == {("x", "A"), ("y", "A"), ("z", "B")}
