@@ -69,6 +69,10 @@ class LocalSchemaRegistry:
     def codec_by_name(self, name: str) -> RecordCodec:
         return self._by_id[self._by_name[name]]
 
+    def id_by_name(self, name: str) -> int:
+        """Latest registered schema id for a record-name subject."""
+        return self._by_name[name]
+
     def serialize(self, name: str, record: dict) -> bytes:
         """record dict → Confluent-framed Avro bytes (T1)."""
         sid = self._by_name[name]

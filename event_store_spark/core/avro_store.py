@@ -56,7 +56,7 @@ class AvroEventStore(EventStore):
         ``save(topic, event, encryptionKey)`` (`EventStore.java:94`).
         """
         codec = self.registry.codec_by_name(record_name)
-        sid = self.registry._by_name[record_name]
+        sid = self.registry.id_by_name(record_name)
         field_names = [n for n, _ in codec.fields]
         envelope_cols = [c for c in ("key", "timestamp", "metadata") if c in df.columns]
         payload = df.select(
@@ -94,10 +94,15 @@ class AvroEventStore(EventStore):
                 F.col("data"),
             )
             encrypted = self.encryptor.encrypt_df(staged_df, encryption_key)
+            # keep the CALLER's key_type: canonical_key is idempotent (the
+            # staged key is UTF-8 bytes of the string form, and re-encoding
+            # round-trips), so the ticket records the true type — encrypted
+            # and plaintext saves stay interchangeable per topic
+            # (EventStore.java:94) and typed key views keep working
             return self.append(
                 topic,
                 encrypted,
-                key_type="bytes",  # key already canonical bytes
+                key_type=key_type,
                 validate=False,  # kid was added by the store, not the user
                 partition_by_day=partition_by_day,
             )
@@ -118,7 +123,7 @@ class AvroEventStore(EventStore):
         writer schema by the id it carries, so topics containing rows written
         before a schema evolution keep decoding (registry contract)."""
         codec = self.registry.codec_by_name(record_name)
-        sid = self.registry._by_name[record_name]
+        sid = self.registry.id_by_name(record_name)
         writer_schemas = {
             v: self.registry.codec_by_id(v).schema
             for v in self.registry.versions(record_name)

@@ -60,7 +60,20 @@ def canonical_key(col: Column, key_type: str) -> Column:
         return col.cast("binary")
     if key_type not in KEY_TYPES:
         raise ValueError(f"unsupported key_type {key_type!r}; one of {KEY_TYPES}")
-    return F.encode(col.cast("string"), "UTF-8")
+    as_str = col.cast("string")
+    if key_type == "int":
+        # fail at APPEND time for values outside Java Integer range: the
+        # typed read view casts to 32-bit int (reference parity), which
+        # would otherwise fail every later read under ANSI mode (or
+        # silently NULL the key with ANSI off). try_cast keeps the probe
+        # itself from throwing so the deliberate error below is what fires.
+        as_str = F.when(
+            col.isNotNull() & as_str.try_cast("int").isNull(),
+            F.raise_error(
+                F.concat(F.lit("int key out of 32-bit range: "), as_str)
+            ),
+        ).otherwise(as_str)
+    return F.encode(as_str, "UTF-8")
 
 
 def typed_key_view(key: Column, key_type: str) -> Column:

@@ -18,15 +18,40 @@ import os
 
 
 def checkpoint_lineage_id(ckpt_dir: str) -> str:
-    """Return the lineage id for a checkpoint dir, minting one if absent."""
+    """Return the lineage id for a checkpoint dir, minting one if absent.
+
+    The mint is ATOMIC (temp file + os.replace) and an empty marker is
+    treated as absent: a plain truncate-then-write could be killed mid-way,
+    leaving an existing empty marker that would be returned as lineage ''
+    forever — and two checkpoints sharing lineage '' makes their batch ids
+    wrongly comparable, re-opening the silent-skip hole this module exists
+    to close.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     marker = os.path.join(ckpt_dir, "_esp_lineage")
-    if os.path.exists(marker):
+    try:
         with open(marker) as f:
-            return f.read().strip()
+            existing = f.read().strip()
+        if existing:
+            return existing
+    except FileNotFoundError:
+        pass
+    import tempfile
     import uuid
 
     ckpt_id = uuid.uuid4().hex
-    with open(marker, "w") as f:
-        f.write(ckpt_id)
-    return ckpt_id
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(ckpt_id)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    # a concurrent minter may have won the replace race — the file's
+    # content, not our local value, is the lineage
+    with open(marker) as f:
+        return f.read().strip() or ckpt_id

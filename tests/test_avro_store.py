@@ -161,3 +161,34 @@ def test_decode_newer_frames_with_older_reader(spark):
     ).first()
     assert out.p.item == "widget" and out.p.qty == 4
     assert list(out.p.asDict()) == ["item", "qty"]  # v2-only fields dropped
+
+
+def test_encrypted_and_plaintext_saves_share_topic_and_key_type(spark, tmp_path):
+    """save(topic, df, name) and save(..., encryption_key=...) are
+    interchangeable per topic (EventStore.java:94): the encrypted path
+    records the CALLER's key_type, so mixing them neither trips the
+    ticket key-type check nor degrades the typed key view."""
+    import datetime
+
+    from event_store_spark.avro import LocalSchemaRegistry
+    from event_store_spark.core.avro_store import AvroEventStore
+    from event_store_spark.crypto.aead import EventEncryptor
+
+    reg = LocalSchemaRegistry()
+    reg.register({"type": "record", "name": "Mix",
+                  "fields": [{"name": "text", "type": "string"}]})
+    enc = EventEncryptor({"kms://m": EventEncryptor.generate_key()})
+    store = AvroEventStore(spark, str(tmp_path / "store"), reg, enc)
+    ts = datetime.datetime(2025, 1, 4, 12, 0, 0)
+    df1 = spark.createDataFrame([("u1", "plain", ts)], "key string, text string, timestamp timestamp")
+    df2 = spark.createDataFrame([("u2", "sealed", ts)], "key string, text string, timestamp timestamp")
+
+    store.save("mix_events", df1, "Mix", key_type="string")
+    store.save("mix_events", df2, "Mix", key_type="string", encryption_key="kms://m")
+
+    out = store.load("mix_events", "Mix")
+    got = {r.payload.text for r in out.collect()}
+    assert got == {"plain", "sealed"}
+    typed = store.read_events("mix_events", typed_key=True)
+    keys = {r.key_view for r in typed.collect()}
+    assert keys == {"u1", "u2"}  # typed view intact for BOTH rows

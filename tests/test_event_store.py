@@ -747,3 +747,34 @@ def test_replicator_lock_acquires_after_release_race(tmp_path):
     first.release()
     second = LockManager(root, owner="second")
     assert second.acquire()  # free lock must be acquirable
+
+
+def test_int_keys_out_of_32bit_range_rejected_at_append(store, spark):
+    """Write side and read side agree on the int key domain: a value the
+    typed view's 32-bit cast would NULL is rejected at append."""
+    import datetime
+
+    ok = spark.createDataFrame(
+        [("2147483647", "p", datetime.datetime(2025, 1, 1))],
+        "key string, payload string, timestamp timestamp",
+    )
+    store.append("ik_events", ok, key_type="int")
+    bad = spark.createDataFrame(
+        [("3000000000", "p", datetime.datetime(2025, 1, 1))],
+        "key string, payload string, timestamp timestamp",
+    )
+    with pytest.raises(Exception, match="32-bit|out of"):
+        store.append("ik_events", bad, key_type="int")
+
+
+def test_lineage_marker_survives_torn_write(tmp_path):
+    """An empty lineage marker (torn mint) is re-minted, never returned as
+    lineage '' — '' would make unrelated checkpoints' batch ids comparable."""
+    from event_store_spark.streaming.lineage import checkpoint_lineage_id
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)
+    open(os.path.join(ck, "_esp_lineage"), "w").close()  # torn: exists, empty
+    minted = checkpoint_lineage_id(ck)
+    assert minted  # non-empty
+    assert checkpoint_lineage_id(ck) == minted  # stable afterwards
