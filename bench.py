@@ -78,18 +78,24 @@ def main() -> None:
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
 
-    # same-round DuckDB oracle baseline (single pass; DuckDB run-to-run
-    # variance is small compared to the JVM's)
+    # same-round DuckDB oracle baseline — ALSO medians over interleaved
+    # reps: measured oracle-side run-to-run variance is ±30% on this box
+    # (machine contention), so a single pass makes the ratio noise, not
+    # signal
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle_timings: dict[str, float] = {}
-    for name in sorted(ORACLE):
-        t0 = time.perf_counter()
-        con.execute(ORACLE[name]).fetchall()
-        oracle_timings[name] = round(time.perf_counter() - t0, 3)
+    oracle_samples: dict[str, list[float]] = {name: [] for name in ORACLE}
+    for _ in range(reps):
+        for name in sorted(ORACLE):
+            t0 = time.perf_counter()
+            con.execute(ORACLE[name]).fetchall()
+            oracle_samples[name].append(time.perf_counter() - t0)
+    oracle_timings = {
+        n: round(statistics.median(s), 3) for n, s in oracle_samples.items()
+    }
     oracle_total = round(sum(oracle_timings.values()), 3)
 
     detail = {
