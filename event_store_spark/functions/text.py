@@ -53,3 +53,30 @@ def non_ascii_ratio(text: Column | str) -> Column:
     return F.length(F.regexp_replace(col, r"[\x00-\x7F]", "")) / F.greatest(
         F.length(col), F.lit(1)
     ).cast("double")
+
+
+def quality_score(text_col: str = "text", n_chars_col: str = "n_chars") -> Column:
+    """The C4-style composite quality score shared by `text_quality`,
+    `quality_filter`, and `corpus_curation` (ONE definition — the three
+    operators compose the same signal, and their oracles mirror this
+    exact arithmetic):
+
+    0.5·len_norm + 0.3·stop_norm + 0.2·(1 − punct_norm), each component
+    clamped to [0, 1]; closed-form IEEE arithmetic, identical on both
+    engines.
+    """
+    w = whitespace_tokens(text_col)
+    len_norm = F.least(F.col(n_chars_col).cast("double") / 500.0, F.lit(1.0))
+    punct_norm = F.least(
+        F.size(F.regexp_extract_all(text_col, F.lit(r"[.,;:!?]"), F.lit(0))).cast("double")
+        / F.greatest(F.length(text_col), F.lit(1))
+        * 10.0,
+        F.lit(1.0),
+    )
+    stop_norm = F.least(
+        stopword_hits(w, STOPWORDS["en"]).cast("double")
+        / F.greatest(F.size(w), F.lit(1))
+        * 5.0,
+        F.lit(1.0),
+    )
+    return 0.5 * len_norm + 0.3 * stop_norm + 0.2 * (1.0 - punct_norm)

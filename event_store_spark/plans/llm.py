@@ -396,6 +396,7 @@ def embedding_near_dup_pairs(
     planes: int = 4,
     max_bucket: int | None = None,
     k: int = 10,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Top-k most-cosine-similar pairs with LSH-bucket blocking and an
     in-plan bucket-size guard.
@@ -408,17 +409,24 @@ def embedding_near_dup_pairs(
     oversized bucket raises through `raise_error` inside the executed plan
     (distributed, no driver round-trip) instead of letting the join go
     quadratic silently. Recovery is more planes (bucket count grows
-    geometrically) — the ~log n growth note in PERF.md."""
-    emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    geometrically) — the ~log n growth note in PERF.md.
+
+    ``block_col`` swaps the derived LSH bucket for a TRUSTED partition
+    column already on ``emb`` (URL domain, shard, label) — the blocking
+    key changes; the guard, norm precompute, pair join, tie-break, and
+    top-k stay this one implementation."""
+    bucket = block_col or "bucket"
+    if block_col is None:
+        emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
     if max_bucket is not None:
-        counts = emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bcnt"))
+        counts = emb.groupBy(bucket).agg(F.count(F.lit(1)).alias("_bcnt"))
         guard = F.when(
             F.col("_bcnt") > max_bucket,
             F.raise_error(
                 F.concat_ws(
                     " ",
-                    F.lit("dedup_embedding: LSH bucket"),
-                    F.col("bucket"),
+                    F.lit("dedup_embedding: blocking bucket"),
+                    F.col(bucket).cast("string"),
                     F.lit("holds"),
                     F.col("_bcnt").cast("string"),
                     F.lit(f"vectors (max_bucket={max_bucket}); add planes"),
@@ -426,7 +434,7 @@ def embedding_near_dup_pairs(
             ).cast("int"),
         ).otherwise(F.lit(1))
         emb = (
-            emb.join(F.broadcast(counts), "bucket")
+            emb.join(F.broadcast(counts), bucket)
             .withColumn("_guard", guard)
             .where(F.col("_guard") == 1)  # keeps the guard in the executed plan
             .drop("_bcnt", "_guard")
@@ -437,7 +445,7 @@ def embedding_near_dup_pairs(
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col(f"a.{bucket}") == F.col(f"b.{bucket}"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -517,25 +525,7 @@ def dedup_embedding_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         as_double("embedding").alias("v"),
     )
-    # norms computed once per vector BEFORE the pair join — each pair then
-    # costs one fold (the dot product) instead of three
-    emb = emb.withColumn("nrm", norm(F.col("v")))
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.round(sim, 4).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), "v1", "v2")
-        .limit(10)
-    )
+    return embedding_near_dup_pairs(emb, block_col="label")
 
 
 # ------------------------------------------------------- similarity search
@@ -809,25 +799,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality score: length norm + stopword ratio − punctuation
     density, averaged per source. All closed-form arithmetic (identical IEEE
     evaluation on both engines)."""
+    from event_store_spark.functions.text import quality_score
+
     docs = _docs(spark, sf_dir)
-    w = whitespace_tokens("text")
-    len_norm = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
-    punct_norm = F.least(
-        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), F.lit(0))).cast("double")
-        / F.greatest(F.length("text"), F.lit(1))
-        * 10.0,
-        F.lit(1.0),
-    )
-    stop_norm = F.least(
-        stopword_hits(w, STOPWORDS["en"]).cast("double")
-        / F.greatest(F.size(w), F.lit(1))
-        * 5.0,
-        F.lit(1.0),
-    )
     return (
         docs.select(
             "source",
-            (0.5 * len_norm + 0.3 * stop_norm + 0.2 * (1.0 - punct_norm)).alias("score"),
+            quality_score().alias("score"),
         )
         .groupBy("source")
         .agg(
@@ -968,15 +946,16 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _minhash_candidates(spark, sf_dir)
     grams = toks.select("doc_id", F.array_distinct(word_ngrams("w", 3)).alias("grams"))
     ga, gb = grams.alias("ga"), grams.alias("gb")
-    # Broadcast the CANDIDATE side in both joins: candidates are tiny by LSH
-    # construction, grams are the whole corpus — without the hint Catalyst
-    # trusts the parquet scan's file-size estimate and broadcasts the corpus
-    # gram arrays (measured 4× slower: two corpus-wide broadcast builds).
-    # Streaming the corpus past a broadcast pair set is also the 100 TB
-    # shape (candidates always fit; the corpus never does).
+    # Join shapes: the BARE candidate pair set is tiny by LSH construction
+    # and broadcasts (without the hint Catalyst trusts the parquet scan's
+    # file-size estimate and broadcasts the corpus gram arrays — measured
+    # 4× slower). The gram-ENRICHED intermediate j1 is NOT broadcast: it
+    # carries a document-sized array per pair, so at scale it is
+    # candidates × grams big — it meets the second gram side in a
+    # shuffled hash join instead (j1 builds, the corpus streams).
     j1 = ga.join(F.broadcast(cand), F.col("d1") == F.col("ga.doc_id"))
     verified = (
-        gb.join(F.broadcast(j1), F.col("d2") == F.col("gb.doc_id"))
+        gb.join(j1.hint("shuffle_hash"), F.col("d2") == F.col("gb.doc_id"))
         .select(
             F.size(F.array_intersect("ga.grams", "gb.grams")).alias("inter"),
             (

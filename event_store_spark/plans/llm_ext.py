@@ -162,9 +162,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component size — another case where the engine plan, not the oracle
     plan, is the scalable one).
     """
+    from event_store_spark.plans.llm import DEDUP_MAX_BUCKET
+
     docs = load_table(spark, sf_dir, "documents")
     prefix = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # fail-fast bucket guard (same contract as llm.DEDUP_MAX_BUCKET): a hot
+    # shared prefix (license banner, boilerplate header) would otherwise go
+    # quadratic in the pair join below with no bound — raise with a remedy
+    # instead of silently exploding
+    sizes_by_p = prefix.groupBy("p").agg(F.count(F.lit(1)).alias("_pn"))
+    guarded = prefix.join(sizes_by_p, "p").select(
+        "doc_id",
+        F.when(
+            F.col("_pn") > DEDUP_MAX_BUCKET,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"prefix group exceeds {DEDUP_MAX_BUCKET} docs; "
+                        "lengthen the blocking prefix or pre-dedup exact "
+                        "copies first: "
+                    ),
+                    F.col("p"),
+                )
+            ),
+        ).otherwise(F.col("p")).alias("p"),
+    )
+    a, b = guarded.alias("a"), guarded.alias("b")
     cand = a.join(
         b, (F.col("a.p") == F.col("b.p")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
@@ -198,6 +221,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == label_sum:
             break
         label_sum = new_sum
+    # the loop is done with the edge set; only the (cached, label-sized)
+    # final `labels` stays pinned for the returned aggregate's consumption
+    edges.unpersist()
     sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.agg(
         F.countDistinct("cluster").cast("bigint").alias("n_clusters"),

@@ -205,30 +205,10 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep decision a cleaning pipeline actually applies — one map-side
     expression per row, one hash aggregation; the same predicate drops into
     a `.where()` to materialize the filtered corpus."""
-    from event_store_spark.functions.text import (
-        STOPWORDS,
-        stopword_hits,
-        whitespace_tokens,
-    )
+    from event_store_spark.functions.text import quality_score
 
     docs = _docs(spark, sf_dir)
-    w = whitespace_tokens("text")
-    len_norm = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
-    punct_norm = F.least(
-        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), F.lit(0))).cast(
-            "double"
-        )
-        / F.greatest(F.length("text"), F.lit(1))
-        * 10.0,
-        F.lit(1.0),
-    )
-    stop_norm = F.least(
-        stopword_hits(w, STOPWORDS["en"]).cast("double")
-        / F.greatest(F.size(w), F.lit(1))
-        * 5.0,
-        F.lit(1.0),
-    )
-    score = 0.5 * len_norm + 0.3 * stop_norm + 0.2 * (1.0 - punct_norm)
+    score = quality_score()
     keep = (score >= 0.55) & F.col("n_chars").between(100, 20000)
     return (
         docs.select("lang", "n_chars", score.alias("score"), keep.alias("keep"))
@@ -357,30 +337,10 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     by source. Composing in one plan lets Catalyst pipeline the stages —
     no intermediate materialization, columns pruned to what each stage
     needs."""
-    from event_store_spark.functions.text import (
-        STOPWORDS,
-        stopword_hits,
-        whitespace_tokens,
-    )
+    from event_store_spark.functions.text import quality_score
 
     docs = _docs(spark, sf_dir)
-    w = whitespace_tokens("text")
-    len_norm = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
-    punct_norm = F.least(
-        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), F.lit(0))).cast(
-            "double"
-        )
-        / F.greatest(F.length("text"), F.lit(1))
-        * 10.0,
-        F.lit(1.0),
-    )
-    stop_norm = F.least(
-        stopword_hits(w, STOPWORDS["en"]).cast("double")
-        / F.greatest(F.size(w), F.lit(1))
-        * 5.0,
-        F.lit(1.0),
-    )
-    score = 0.5 * len_norm + 0.3 * stop_norm + 0.2 * (1.0 - punct_norm)
+    score = quality_score()
     q = docs.where(
         (score >= 0.55) & F.col("n_chars").between(100, 20000)
     ).select("doc_id", "lang", "source", "n_chars", "text")
