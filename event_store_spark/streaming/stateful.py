@@ -185,3 +185,94 @@ def streaming_heavy_hitters(stream: DataFrame, item_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ASOF_OUTPUT_SCHEMA = (
+    "k bigint, lid bigint, lt bigint, rid bigint, rt bigint"
+)
+ASOF_STATE_SCHEMA = "rts array<bigint>, rids array<bigint>"
+
+
+def _asof_enrich(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import bisect
+
+    if state.exists:
+        rts, rids = [list(x) for x in state.get]
+    else:
+        rts, rids = [], []
+    lefts = []
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            if int(r.is_r) == 1:
+                # keep the version list sorted by (time, id): a late right
+                # version inserts in place and serves only later batches'
+                # lefts (processing-order semantics, documented)
+                pos = bisect.bisect_right(list(zip(rts, rids)), (int(r.t), int(r.rid)))
+                rts.insert(pos, int(r.t))
+                rids.insert(pos, int(r.rid))
+            else:
+                lefts.append((int(r.lid), int(r.t)))
+    out = []
+    for lid, lt in sorted(lefts, key=lambda x: (x[1], x[0])):
+        pos = bisect.bisect_right(rts, lt) - 1
+        if pos >= 0:
+            out.append((key[0], lid, lt, rids[pos], rts[pos]))
+        else:
+            out.append((key[0], lid, lt, None, None))
+    state.update((rts, rids))
+    yield pd.DataFrame(
+        out, columns=["k", "lid", "lt", "rid", "rt"]
+    ) if out else pd.DataFrame(
+        {c: pd.Series([], dtype="object") for c in ["k", "lid", "lt", "rid", "rt"]}
+    )
+
+
+def streaming_asof_enrich(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Temporal-table (as-of) enrichment over streams — the Flink
+    `FOR SYSTEM_TIME AS OF` analog Spark has no built-in for: each left
+    event picks up the LATEST right version with ``right.t <= left.t`` for
+    its key, with the per-key version history held in the streaming state
+    store across micro-batches.
+
+    Inputs: ``left(k bigint, lid bigint, t bigint)`` and
+    ``right(k bigint, rid bigint, t bigint)`` streams (epoch-µs times).
+    Output: left rows + matched (rid, rt) or NULLs.
+
+    Semantics are processing-order as-of: a left event is matched against
+    every right version that arrived in ITS batch or earlier (versions
+    sort by event time inside the state, so out-of-order arrivals within
+    the retained history resolve correctly for all LATER lefts; a right
+    version arriving after a left event was already emitted does not
+    retract it — the same no-retraction contract Flink's processing-time
+    temporal join has). State grows with versions per key; prune with a
+    TTL/timeout or periodic compaction of superseded versions when the
+    version stream is unbounded.
+    """
+    from pyspark.sql import functions as F
+
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped()
+    l = left.select(
+        "k",
+        F.col("lid"),
+        F.lit(None).cast("bigint").alias("rid"),
+        F.col("t"),
+        F.lit(0).alias("is_r"),
+    )
+    r = right.select(
+        "k",
+        F.lit(None).cast("bigint").alias("lid"),
+        F.col("rid"),
+        F.col("t"),
+        F.lit(1).alias("is_r"),
+    )
+    return l.unionByName(r).groupBy("k").applyInPandasWithState(
+        _asof_enrich,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -336,3 +336,53 @@ def test_streaming_ivf_assignment_matches_batch(spark, sf_smoke, tmp_path):
     assert got == expected
     cells = {d for d in os.listdir(idx) if d.startswith("cell=")}
     assert cells == {f"cell={c}" for c in set(expected.values())}
+
+
+def test_streaming_asof_enrich_across_batches(spark, tmp_path):
+    """Temporal-table as-of enrichment: version state persists across
+    micro-batches; each left event matches the latest version at-or-before
+    its event time among versions arrived so far; unversioned keys get
+    NULLs; batch-2 lefts see batch-1 versions."""
+    from event_store_spark.streaming.stateful import streaming_asof_enrich
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    # batch 1 files
+    spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 250), (2, 20, 100)], "k bigint, lid bigint, t bigint"
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [(1, 500, 50), (1, 501, 200)], "k bigint, rid bigint, t bigint"
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+    # batch 2 files: a later left on key 1 (sees batch-1 versions from
+    # STATE) and a new version it also sees; key 2 stays unversioned
+    spark.createDataFrame(
+        [(1, 12, 400)], "k bigint, lid bigint, t bigint"
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [(1, 502, 300)], "k bigint, rid bigint, t bigint"
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+
+    lstream = (
+        spark.readStream.schema(spark.read.parquet(lsrc).schema)
+        .option("maxFilesPerTrigger", 1).parquet(lsrc)
+    )
+    rstream = (
+        spark.readStream.schema(spark.read.parquet(rsrc).schema)
+        .option("maxFilesPerTrigger", 1).parquet(rsrc)
+    )
+    rows = []
+    q = (
+        streaming_asof_enrich(lstream, rstream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r.lid: (r.rid, r.rt) for r in rows}
+    assert got[10] == (500, 50)    # t=100: version@50 is latest <= 100
+    assert got[11] == (501, 200)   # t=250: version@200
+    assert got[20] == (None, None)  # key 2 never versioned
+    assert got[12] == (502, 300)   # batch-2 left sees batch-2 version@300
