@@ -42,8 +42,15 @@ def global_rank(
 
     ``band`` must be monotone non-decreasing in the leading sort key so that
     band order equals global order.  Returns ``(df + rank_col, total_rows)``.
+
+    NULL band values (a NULL leading sort key) collapse into a dedicated
+    FIRST band — matching the ascending window's default NULLS FIRST — via
+    a long-min sentinel; previously any NULL crashed the driver-side band
+    sort.
     """
-    banded = df.withColumn("_band", band)
+    banded = df.withColumn(
+        "_band", F.coalesce(band.cast("long"), F.lit(-(2**63)))
+    )
     counts = {
         row["_band"]: row["cnt"]
         for row in banded.groupBy("_band").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -38,7 +38,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         # keep stdout clean: external tooling (the bench driver) parses the
         # last stdout line as JSON, and progress bars interleave with it

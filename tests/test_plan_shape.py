@@ -195,3 +195,20 @@ def test_text_chunking_no_join_no_cartesian(spark, sf_correct):
     plan = _plan(spark, sf_correct, "text_chunking")
     assert "Join" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_global_rank_tolerates_null_band(spark):
+    """A NULL leading sort key lands in a dedicated first band instead of
+    crashing the driver-side band bookkeeping."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.scale_rank import global_rank
+
+    df = spark.createDataFrame(
+        [(None, "a"), (5, "b"), (10, "c"), (5, "d")], "v int, tag string"
+    )
+    ranked, total = global_rank(df, F.col("v"), ["v", "tag"])
+    assert total == 4
+    got = {r.tag: r._rank for r in ranked.collect()}
+    assert got["a"] == 1               # NULL ranks first (NULLS FIRST parity)
+    assert got["b"] == 2 and got["d"] == 3 and got["c"] == 4
