@@ -143,3 +143,43 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@register(
+    "event_state_snapshot",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           ROUND(value, 2) AS last_value, CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1 ORDER BY user_id LIMIT 500
+    """,
+)
+def event_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state snapshot of the event log: each key's LATEST event
+    (by event time, ties by event_id) — the materialized view a CDC
+    consumer folds an append-only log into.
+
+    Implemented as ONE hash aggregation with `max_by` over a (ts,
+    event_id) ordering struct — commutative and partial-aggregable, so it
+    map-side combines and never materializes a per-key window. The
+    row_number()-over-window alternative shuffles and sorts EVERY event;
+    at 100 TB the agg form moves one row per key per partition instead.
+    """
+    ev = _events(spark, sf_dir)
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", ordk).alias("last_event_id"),
+            F.max_by("event_type", ordk).alias("last_type"),
+            F.round(F.max_by("value", ordk), 2).alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+        .limit(500)
+    )
