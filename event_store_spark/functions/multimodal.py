@@ -59,8 +59,11 @@ def attach_binary(docs: DataFrame, media_type: str = "image/fake") -> DataFrame:
 def extract_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract via mapInPandas (one Python pass/partition).
 
-    Everything inside the worker function is stdlib-only (hashlib), so the
-    closure ships cleanly; the fake decode is inlined for the same reason.
+    The worker calls :func:`decode_media` (importable on executors via
+    ensure_shipped) — THE swap point for a real codec — so an unknown
+    media type raises the codec-not-found error instead of silently
+    producing fake features, and the stub math exists in exactly one
+    place.
     """
 
     from event_store_spark.shipping import ensure_shipped
@@ -70,22 +73,22 @@ def extract_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
+        from event_store_spark.functions.multimodal import decode_media as _decode
+
         for pdf in batches:
             rows = []
             for doc_id, content, mt in zip(
                 pdf["doc_id"], pdf["content"], pdf["media_type"]
             ):
                 raw = bytes(content)
-                digest = _hashlib.sha256(raw).digest()
+                decoded = _decode(raw, mt)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
                         "media_type": mt,
                         "n_bytes": len(raw),
-                        "sha256": digest.hex(),
-                        "width": digest[0] % 64 + 1,
-                        "height": digest[1] % 64 + 1,
-                        "n_frames": (digest[2] % 16 + 1) if mt == "video/fake" else 1,
+                        "sha256": _hashlib.sha256(raw).hexdigest(),
+                        **decoded,
                     }
                 )
             yield pd.DataFrame(rows, columns=[

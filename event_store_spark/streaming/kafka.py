@@ -55,10 +55,25 @@ def kafka_reader_options(
     (`ReactorKafkaEventStoreAutoConfiguration.java:87`), seek each assigned
     partition to last-processed + 1 (`:278` — here `startingOffsets` built
     from the offsets table), headers on (the cursor travels in them).
+
+    Contract: ``offsets`` requires ``partitions`` listing EVERY partition
+    of the topic — Spark's specific-offsets mode refuses to start if any
+    topic partition is missing from the JSON (unlike the reference's
+    seek-on-assignment, which discovers partitions dynamically). A topic
+    that grew partitions since offsets were recorded must include the new
+    ones (the offsets table returns -1 → 'earliest-equivalent' for them).
+    Passing ``offsets`` WITHOUT partitions raises instead of silently
+    re-reading the whole topic from the beginning.
     """
     from event_store_spark.streaming.subscribe import kafka_starting_offsets
 
-    if offsets is not None and partitions:
+    if offsets is not None and not partitions:
+        raise ValueError(
+            "offsets-table resume requires the full partition list: pass "
+            "partitions=[...] (every partition of the topic), or omit "
+            "offsets to start from 'earliest'"
+        )
+    if offsets is not None:
         starting = kafka_starting_offsets(offsets, topic, partitions)
     else:
         starting = "earliest"
@@ -114,19 +129,26 @@ def kafka_stream(
     topic: str,
     offsets: OffsetsTable | None = None,
     partitions: list[int] | None = None,
-    **extra_options: str,
+    extra_options: dict[str, str] | None = None,
+    **extra_kwargs: str,
 ) -> DataFrame:
     """Streaming DataFrame of decoded events from a Kafka topic.
 
     Composition: `format("kafka")` reader → :func:`kafka_source_to_records`
     → `from_kafka_records` (T6). Requires the spark-sql-kafka connector on
     the classpath; everything up to `.load()` is covered by unit tests.
+
+    Broker options with DOTTED names (kafka.security.protocol,
+    kafka.sasl.jaas.config, …) go in ``extra_options`` — they cannot be
+    written as Python keywords; plain keyword args still work for
+    undotted option names.
     """
     from event_store_spark.streaming.replicate import from_kafka_records
 
     reader = spark.readStream.format("kafka")
     opts = kafka_reader_options(bootstrap_servers, topic, offsets, partitions)
-    opts.update(extra_options)
+    opts.update(extra_options or {})
+    opts.update(extra_kwargs)
     for k, v in opts.items():
         reader = reader.option(k, v)
     return from_kafka_records(kafka_source_to_records(reader.load()))

@@ -142,3 +142,34 @@ def test_replicator_kafka_sink_validation(store, tmp_path):
         Replicator(store, str(tmp_path / "t"), progress, str(tmp_path / "ck"), sink="kafka")
     with pytest.raises(ValueError, match="sink"):
         Replicator(store, str(tmp_path / "t"), progress, str(tmp_path / "ck"), sink="s3")
+
+
+def test_offsets_without_partitions_rejected():
+    """Passing an offsets table without the full partition list raises
+    instead of silently discarding the resume position (which would
+    re-read the whole topic from 'earliest' on every restart)."""
+    import pytest
+
+    from event_store_spark.core.state import OffsetsTable
+    from event_store_spark.streaming.kafka import kafka_reader_options
+
+    import tempfile, os
+    offs = OffsetsTable(os.path.join(tempfile.mkdtemp(), "o.json"))
+    with pytest.raises(ValueError, match="partition list"):
+        kafka_reader_options("b:9092", "t_events", offsets=offs, partitions=None)
+    with pytest.raises(ValueError, match="partition list"):
+        kafka_reader_options("b:9092", "t_events", offsets=offs, partitions=[])
+
+
+def test_unknown_media_type_raises_in_feature_extract(spark):
+    """extract_features goes through decode_media, so an unregistered
+    codec fails loudly instead of emitting fake features."""
+    import pytest
+
+    from event_store_spark.functions.multimodal import attach_binary, extract_features
+    from event_store_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(3)
+    bad = attach_binary(docs, media_type="image/png")
+    with pytest.raises(Exception, match="no codec"):
+        extract_features(bad).collect()
