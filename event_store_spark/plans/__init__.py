@@ -32,32 +32,71 @@ from event_store_spark.plans import retrieval as _retrieval  # noqa: F401,E402
 #: did come last. Over two consecutive rounds every query gets a driver row;
 #: regressions in green queries surface at most one round late. Local parity
 #: (tests/test_oracle_parity.py) stays exhaustive every run regardless.
-_CHECKED_LAST_ROUND = {
-    # green rows in CORRECTNESS_r03.json (q51 errored there — comparator
-    # could not hash its array column, fixed in relational_ext2 — so it
-    # rotates to the FRONT, not here)
-    "q1", "q2", "q3", "q4", "q38", "q39", "q40",
-    "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49", "q50",
-    "q52", "q53", "q54", "q55_salted_heavy_hitters",
-    "q19_scale", "q50_scale",
-    "sample_stratified", "sample_bottomk", "source_quota",
-    "contamination_ngram", "quality_filter", "vocab_topk",
-    "tfidf_top_terms", "text_pii_scrub",
-    "dedup_survivors", "dedup_clusters",
-    "dedup_embedding", "dedup_embedding_label", "dedup_minhash_verified",
-    "ann_ivf_topk", "ann_ivf_sampled", "ann_ivf_nprobe", "ann_batch_topk",
-    "multimodal_features", "multimodal_frame_sample", "multimodal_resize",
-    "corpus_curation", "text_repetition", "dataset_split", "mixture_weights",
-    # approx_* deliberately NOT listed: r03 recorded them as rows-only
-    # (no_oracle); they now carry audit oracles and should be driver-checked
-    # early in the rotation
-}
+def _load_checked_last_round():
+    """(latest_green, ever_green) query names from CORRECTNESS_r*.json files.
+
+    Round 4 hardcoded the r03 green list here, which went stale the moment
+    r04 landed (VERDICT r4 "What's wrong" #1): the sample would have
+    re-checked the r04 half and again skipped the never-checked tail.
+    Deriving the set from the latest driver artifact at import time makes the
+    rotation self-maintaining — each round the most recently checked queries
+    move to the back and everything else (including brand-new registrations,
+    which by definition appear in no CORRECTNESS file) fronts the sample.
+
+    A query that ERRORED in the latest round (err != null or any mismatch)
+    is treated as unchecked so it re-fronts immediately.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    rounds = []
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return set(), set()
+
+    def _green(path):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            return set()
+        out = set()
+        for name, row in data.items():
+            if isinstance(row, dict) and not row.get("err") and row.get(
+                "rows_match"
+            ) and row.get("schema_match", True):
+                out.add(name)
+        return out
+
+    rounds.sort()
+    latest = _green(rounds[-1][1])
+    ever = set()
+    for _, p in rounds:
+        ever |= _green(p)
+    return latest, ever
+
+
+_CHECKED_LAST_ROUND, _EVER_CHECKED = _load_checked_last_round()
 
 
 def _apply_rotation() -> None:
-    order = [n for n in QUERIES if n not in _CHECKED_LAST_ROUND] + [
-        n for n in QUERIES if n in _CHECKED_LAST_ROUND
-    ]
+    """Three-tier fairness: never-driver-checked queries come absolutely
+    first (they have zero evidence), then queries whose most recent check is
+    stale (not in the latest round's green set), then the latest-round green
+    set. Within each tier, registration order."""
+    order = (
+        [n for n in QUERIES if n not in _EVER_CHECKED]
+        + [
+            n
+            for n in QUERIES
+            if n in _EVER_CHECKED and n not in _CHECKED_LAST_ROUND
+        ]
+        + [n for n in QUERIES if n in _CHECKED_LAST_ROUND]
+    )
     for d in (QUERIES, ORACLE):
         items = [(n, d[n]) for n in order if n in d]
         d.clear()
