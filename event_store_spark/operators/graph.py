@@ -1,0 +1,160 @@
+"""Distributed graph operators: connected components for duplicate-cluster
+resolution.
+
+The round-4 `dedup_clusters` used plain min-label propagation: correct, but
+rounds = component DIAMETER and every round layered join→agg→join→cache on
+the previous round's lineage — on a real near-dup graph (chains of
+boilerplate documents hundreds deep) that is the classic iterative-Spark
+failure mode (unbounded lineage + O(diameter) rounds).
+
+This module implements the two fixes the round-4 verdict named:
+
+* **Large-star / small-star alternation** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14 — public algorithm, also the
+  basis of GraphFrames' Spark implementation): each round rewires edges
+  toward per-neighborhood minima, which contracts path length
+  multiplicatively, so rounds are O(log n) in practice regardless of
+  diameter. Each round is two shuffles (a groupBy for the neighborhood min
+  and a join to rewire) — the same per-round cost as naive propagation but
+  exponentially fewer rounds on chain-shaped graphs.
+
+* **Periodic lineage truncation**: every `checkpoint_every` rounds the edge
+  DataFrame is `localCheckpoint(eager=True)`-ed, so plan depth (and with it
+  driver planning time and failure-recovery cost) stays bounded no matter
+  how many rounds run. Intermediate rounds are cached and explicitly
+  unpersisted once superseded.
+
+Semantics: undirected graph given as an edge list; returns one row per
+vertex with `cluster` = the minimum vertex id reachable from it. Vertices
+with no edges are their own cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both orientations of each edge, self-loops dropped."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionAll(rev).where(F.col("src") != F.col("dst"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(Γ(u) ∪ {u}).
+
+    Input: canonically oriented (src > dst) distinct edges. Output: (v, m)
+    pairs with v > m, canonically oriented, possibly with duplicates (the
+    round's single distinct runs in `_small_star`, halving the shuffles per
+    round).
+    """
+    sym = _symmetric(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_nbr_min"))
+    m: Column = F.least(F.col("src"), F.col("_nbr_min"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-neighbor of u (and u itself) to
+    m = min(Γ⁻(u) ∪ {u}).
+
+    Input: large→small oriented edges (large_star's output shape), dups
+    tolerated. Output: canonically oriented distinct edges — the loop-state
+    invariant.
+    """
+    oriented = edges
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
+    joined = oriented.join(mins, "src")
+    # (v, m) for every smaller neighbor v, plus (u, m) itself
+    nbrs = joined.select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    selfs = mins.select("src", F.col("_m").alias("dst"))
+    return (
+        nbrs.unionAll(selfs)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_rounds: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Min-id connected components via large-star/small-star alternation.
+
+    `vertices`: one column `doc_id` (any orderable type shared with edges).
+    `edges`: columns `src`, `dst` (undirected; orientation/self-loops/dups
+    are tolerated). Returns (doc_id, cluster) with cluster = min id of the
+    component.
+
+    Convergence: a round that changes nothing leaves the edge set fixed, so
+    we compare a per-round checksum (count + bit_xor of xxhash64 over the
+    canonical large→small distinct orientation — XOR never overflows under
+    ANSI mode, and over a DISTINCT set it is an order-independent set
+    hash). A collision would terminate one round early on a 64-bit
+    coincidence — acceptable for a fixpoint witness and far cheaper than an
+    anti-join equality check every round.
+
+    Scale posture: per round two shuffles over the current edge set, which
+    SHRINKS monotonically toward one star edge per non-root vertex; plan
+    lineage is cut by localCheckpoint every `checkpoint_every` rounds, so
+    the 100 TB chain-graph case (rounds ≈ log n ≈ 40) keeps bounded plans.
+    """
+    cur = (
+        _symmetric(edges)
+        .where(F.col("dst") < F.col("src"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _checksum(e: DataFrame):
+        # this agg is also the job that materializes the round's lazy
+        # localCheckpoint / cache — exactly ONE Spark action per round
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sum = _checksum(cur)
+    for rnd in range(1, max_rounds + 1):
+        nxt = _small_star(_large_star(cur))
+        if rnd % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        else:
+            nxt = nxt.cache()
+        new_sum = _checksum(nxt)  # materializes nxt
+        cur.unpersist()
+        cur = nxt
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "the graph is adversarial or max_rounds is set too low "
+            "(rounds needed ≈ log2(largest component size))"
+        )
+
+    # converged: edges are star edges (vertex → component root). min() per
+    # src guards the final round's possibly-unmerged duplicates.
+    labels = cur.groupBy(F.col("src").alias("doc_id")).agg(
+        F.min("dst").alias("cluster")
+    )
+    out = (
+        vertices.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", "doc_id").alias("cluster"),
+        )
+    )
+    return out

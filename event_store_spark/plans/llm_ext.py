@@ -149,19 +149,21 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over near-dup
-    candidate pairs (prefix-64 blocking), by iterative min-label
-    propagation — pairwise candidates alone under-merge when A~B and B~C
-    but A≁C; clusters are what dedup actually keeps one document of.
+    candidate pairs (prefix-64 blocking) — pairwise candidates alone
+    under-merge when A~B and B~C but A≁C; clusters are what dedup actually
+    keeps one document of.
 
-    Spark side: a driver loop of join+min aggregations until fixpoint
-    (components here are tiny, so 2–3 rounds); each round is two shuffles
-    on doc_id. At 100 TB-graph scale the same loop gets the
-    large-star/small-star optimization and checkpointing every few rounds —
-    the standard Spark connected-components recipe. The oracle runs a
+    Spark side: `operators.graph.connected_components` — large-star /
+    small-star alternation (O(log n) rounds regardless of component
+    diameter) with localCheckpoint lineage truncation every few rounds, the
+    production Spark connected-components recipe; round 4's naive min-label
+    propagation needed O(diameter) rounds and grew an unbounded cached
+    lineage on chain-shaped duplicate graphs. The oracle runs a
     recursive-CTE transitive closure (fine at oracle scale, quadratic in
     component size — another case where the engine plan, not the oracle
     plan, is the scalable one).
     """
+    from event_store_spark.operators.graph import connected_components
     from event_store_spark.plans.llm import DEDUP_MAX_BUCKET
 
     docs = load_table(spark, sf_dir, "documents")
@@ -191,39 +193,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = a.join(
         b, (F.col("a.p") == F.col("b.p")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    edges = cand.unionAll(cand.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.cache()
-
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster")).cache()
-    # min-label propagation strictly decreases every label it changes, so
-    # sum(cluster) is a monotone fixpoint witness — one scalar agg per round
-    # instead of a new-vs-old join
-    label_sum = labels.agg(F.sum("cluster")).first()[0]
-    while True:
-        msgs = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(msgs, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster"), F.coalesce("nbr_min", "cluster")).alias(
-                    "cluster"
-                ),
-            )
-            .cache()
-        )
-        new_sum = new_labels.agg(F.sum("cluster")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == label_sum:
-            break
-        label_sum = new_sum
-    # the loop is done with the edge set; only the (cached, label-sized)
-    # final `labels` stays pinned for the returned aggregate's consumption
-    edges.unpersist()
+    labels = connected_components(docs.select("doc_id"), cand)
     sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.agg(
         F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
