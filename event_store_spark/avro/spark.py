@@ -115,7 +115,10 @@ def from_confluent_avro(
         for b in col:
             if b is None:
                 # NULL payloads exist by design (crypto-shredded rows read
-                # as NULL data) — yield a null struct, don't crash the read
+                # as NULL data). A pandas struct-UDF can only emit a row of
+                # null FIELDS, so the placeholder emitted here is replaced
+                # by a genuine NULL struct in the F.when wrapper below —
+                # downstream `decoded IS NULL` does identify shredded rows.
                 rows.append({n: None for n, _ in reader_fields})
                 continue
             sid, body = unframe(bytes(b))
@@ -141,4 +144,7 @@ def from_confluent_avro(
             rows.append(row)
         return pd.DataFrame(rows, columns=[n for n, _ in reader_fields])
 
-    return de(data)
+    # a true null struct for NULL payloads (crypto-shredded rows): Arrow
+    # pandas UDFs cannot emit struct-level nulls themselves (only a struct
+    # of null fields), so the null-ness is restored declaratively here
+    return F.when(data.isNull(), F.lit(None).cast(out_type)).otherwise(de(data))

@@ -468,12 +468,16 @@ class EventStore:
         """Unordered event scan with optional keyset-resume predicate (F1)
         and, for day-partitioned topics, static partition pruning via
         ``start_day``/``end_day`` (ISO dates, inclusive)."""
+        # heal a half-finished compaction BEFORE shape validation: between
+        # compaction's two renames the topic dir is absent, and validating
+        # first would mis-report "not day-partitioned" forever (no retry
+        # could fix it until some other append/compact healed the dir)
+        self._recover_compaction(topic)
         if (start_day or end_day) and not self._is_day_partitioned(topic):
             raise ValueError(
                 f"topic {topic!r} is not day-partitioned; day-range reads "
                 "require append(..., partition_by_day=True)"
             )
-        self._recover_compaction(topic)
         df = self.spark.read.parquet(self.topic_path(topic))
         if start_day is not None:
             df = df.where(F.col("dt") >= F.lit(start_day).cast("date"))

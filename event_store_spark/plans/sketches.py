@@ -81,11 +81,16 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna order-price quartiles, audited by RANK error: GK
-    guarantees the returned element's rank is within n/accuracy of the
-    target rank, so the plan counts rows ≤ each estimate and checks that
-    count against the target rank ± (n/accuracy + 1) (the +1 absorbs the
-    discrete rank floor). The oracle pins all three verdicts TRUE.
+    """Greenwald-Khanna order-price quartiles, audited by RANK error.
+
+    GK guarantees the returned element COVERS some rank within n/accuracy
+    of the target — i.e. the interval [count(<v)+1, count(<=v)] of ranks
+    the value occupies overlaps [q·n − slack, q·n + slack]. With heavily
+    duplicated values at a quartile, count(<=v) alone can legitimately
+    exceed q·n + slack (the duplicate run extends past the window), so the
+    audit checks interval OVERLAP, not the one-sided count (ADVICE r4):
+    count(<v) <= q·n + slack AND count(<=v) >= q·n − slack. The oracle pins
+    all three verdicts TRUE.
 
     The audit is two aggregations composed in ONE plan (no driver loop):
     the 1-row quantile estimate broadcast-joins back onto the scan for the
@@ -99,16 +104,25 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audited = orders.crossJoin(F.broadcast(est)).agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") < F.col("_p25")).cast("long")).alias("_lt25"),
         F.sum((F.col("o_totalprice") <= F.col("_p25")).cast("long")).alias("_le25"),
+        F.sum((F.col("o_totalprice") < F.col("_p50")).cast("long")).alias("_lt50"),
         F.sum((F.col("o_totalprice") <= F.col("_p50")).cast("long")).alias("_le50"),
+        F.sum((F.col("o_totalprice") < F.col("_p75")).cast("long")).alias("_lt75"),
         F.sum((F.col("o_totalprice") <= F.col("_p75")).cast("long")).alias("_le75"),
     )
     slack = F.col("n") / F.lit(GK_ACCURACY) + F.lit(1)
 
-    def ok(le_col: str, q: float):
+    def ok(lt_col: str, le_col: str, q: float):
         target = F.col("n") * F.lit(q)
-        return (F.abs(F.col(le_col) - target) <= slack).alias(
-            f"ok{int(q * 100)}"
-        )
+        return (
+            (F.col(lt_col) <= target + slack)
+            & (F.col(le_col) >= target - slack)
+        ).alias(f"ok{int(q * 100)}")
 
-    return audited.select("n", ok("_le25", 0.25), ok("_le50", 0.5), ok("_le75", 0.75))
+    return audited.select(
+        "n",
+        ok("_lt25", "_le25", 0.25),
+        ok("_lt50", "_le50", 0.5),
+        ok("_lt75", "_le75", 0.75),
+    )

@@ -19,10 +19,17 @@ Steal protocol: an expired lease is broken by RENAMING it to a
 steal-private name — `os.rename` of one source path succeeds for exactly
 one caller, so concurrent breakers cannot both conclude they removed it;
 ownership of the fresh lease is then decided by the same `O_EXCL` create
-every acquirer races on (single winner, same as `TopicMutex`). On a
-shared filesystem (HDFS/NFS/object store with atomic rename) the same
-protocol holds; a real cluster deployment can swap in a DB advisory lock
-behind this interface unchanged.
+every acquirer races on (single winner, same as `TopicMutex`). The
+breaker then re-reads the grave and verifies the holder it buried is the
+stale holder it observed — if a release+fresh-acquire slipped in between
+the expiry check and the rename, the live lease is restored atomically
+(`os.link`, which cannot clobber a newer lease) and the steal aborts.
+Residual exposure: if a third acquirer creates a lease before the
+restore, the renamed victim holds a lost lock for at most one heartbeat
+interval (its next heartbeat sees a foreign holder and stops writing).
+On a shared filesystem (HDFS/NFS/object store with atomic rename) the
+same protocol holds; a real cluster deployment can swap in a DB advisory
+lock behind this interface unchanged.
 """
 
 from __future__ import annotations
@@ -79,6 +86,32 @@ class LockManager:
                     os.rename(self.path, grave)
                 except FileNotFoundError:
                     continue  # another breaker (or a release) beat us
+                # TOCTOU guard (ADVICE r4): between _expired() and the
+                # rename, the stale lease may have been released AND a
+                # fresh foreign lease created — then we just renamed a
+                # LIVE lease. The grave is steal-private, so its content
+                # is stable: verify it still names the stale holder we
+                # observed; if not, restore it atomically (os.link fails
+                # on an existing path, so a newer lease is never
+                # clobbered) and report the lock as held.
+                grave_holder = None
+                try:
+                    with open(grave) as f:
+                        grave_holder = f.read().strip()
+                except FileNotFoundError:
+                    pass
+                if grave_holder is not None and grave_holder != holder:
+                    try:
+                        os.link(grave, self.path)
+                    except FileExistsError:
+                        # a third acquirer already re-created the lease;
+                        # the renamed victim loses it and notices at its
+                        # next heartbeat (holder mismatch -> stop
+                        # writing) — the residual exposure is bounded by
+                        # one heartbeat interval
+                        pass
+                    os.unlink(grave)
+                    return False  # live foreign lease
                 os.unlink(grave)
                 continue  # compete for the fresh lease via O_EXCL
             return False  # live foreign lease

@@ -51,6 +51,40 @@ def test_expired_lease_is_stolen_and_old_owner_detects_loss(tmp_path):
     assert b.heartbeat() is True
 
 
+def test_steal_race_restores_live_lease(tmp_path, monkeypatch):
+    """TOCTOU guard (ADVICE r4): if, between the expiry check and the
+    rename, the stale lease is released and a FRESH foreign lease appears,
+    the breaker must detect it buried the wrong holder, restore the live
+    lease, and report failure — not hold the lock concurrently."""
+    breaker = LockManager(str(tmp_path), owner="breaker", lease_seconds=10)
+    stale = LockManager(str(tmp_path), owner="dead", lease_seconds=10)
+    assert stale.acquire()
+    os.utime(stale.path, (0, 0))  # looks expired to the breaker
+
+    orig_expired = LockManager._expired
+
+    def expired_then_swap(self):
+        out = orig_expired(self)
+        if out:
+            # simulate the race: the dead holder's lease is released and a
+            # live instance acquires, in the window before the rename
+            live = LockManager(str(tmp_path), owner="live", lease_seconds=10)
+            os.unlink(self.path)
+            assert live.acquire()
+        return out
+
+    monkeypatch.setattr(LockManager, "_expired", expired_then_swap)
+    assert breaker.acquire() is False  # live lease detected, not stolen
+    monkeypatch.undo()
+
+    # the live lease survived intact and still heartbeats
+    live = LockManager(str(tmp_path), owner="live", lease_seconds=10)
+    assert live.heartbeat() is True
+    # no grave litter left behind
+    leftovers = [p for p in os.listdir(tmp_path) if ".stale." in p]
+    assert leftovers == []
+
+
 def test_fresh_lease_is_not_stolen(tmp_path):
     a = LockManager(str(tmp_path), owner="a", lease_seconds=3600)
     b = LockManager(str(tmp_path), owner="b", lease_seconds=3600)

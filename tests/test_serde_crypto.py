@@ -337,15 +337,20 @@ def test_confluent_avro_nullable_long_none_roundtrip(spark):
     got = {r.text: r.p.n for r in back}
     assert got == {"a": 7, "b": None}
 
-    # NULL data -> null-field struct, not a crash
+    # NULL data -> an ACTUAL null struct (ADVICE r4): `p IS NULL` must
+    # identify crypto-shredded rows, not just a struct of null fields
     nulled = framed.withColumn(
         "data", F.when(F.col("text") == "b", F.lit(None)).otherwise(F.col("data"))
     )
-    back2 = nulled.select(
+    decoded = nulled.select(
         "text", from_confluent_avro(F.col("data"), schema, sid).alias("p")
-    ).collect()
-    got2 = {r.text: (r.p.text, r.p.n) for r in back2}
-    assert got2 == {"a": ("a", 7), "b": (None, None)}
+    )
+    back2 = decoded.collect()
+    got2 = {r.text: r.p for r in back2}
+    assert got2["a"] == ("a", 7)
+    assert got2["b"] is None
+    shredded = decoded.where(F.col("p").isNull()).collect()
+    assert [r.text for r in shredded] == ["b"]
 
 
 def test_salted_join_same_named_keys(spark):
