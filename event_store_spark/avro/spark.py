@@ -101,7 +101,14 @@ def from_confluent_avro(
     codecs.setdefault(schema_id, reader)
     reader_fields = list(reader.fields)
     defaults: dict[str, object] = {}
+    #: reader field → the writer-record keys that feed it: its own name
+    #: first, then declared aliases in order (Avro schema-resolution rule:
+    #: a reader field whose name is absent from the writer record matches a
+    #: writer field named by one of its aliases — the field-RENAME path of
+    #: the registry evolution matrix)
+    lookup_names: dict[str, list[str]] = {}
     for f in reader.schema["fields"]:
+        lookup_names[f["name"]] = [f["name"], *f.get("aliases", [])]
         if "default" in f:
             d = f["default"]
             base = f["type"][1] if isinstance(f["type"], list) else f["type"]
@@ -130,8 +137,11 @@ def from_confluent_avro(
             decoded = codec.decode(body)
             row = {}
             for name, t in reader_fields:
-                if name in decoded:
-                    row[name] = decoded[name]
+                src = next(
+                    (k for k in lookup_names[name] if k in decoded), None
+                )
+                if src is not None:
+                    row[name] = decoded[src]
                 elif name in defaults:
                     row[name] = defaults[name]
                 elif isinstance(t, list):  # nullable without explicit default
