@@ -219,6 +219,20 @@ class OffsetsTable(_AtomicJsonState):
     def get(self, topic: str, partition: int = 0) -> int:
         return self._read().get(f"{topic}/{partition}", {}).get("offset", -1)
 
+    def partitions(self, topic: str) -> list[int]:
+        """Every partition this table has recorded for ``topic``, sorted.
+
+        Consumers use this to dedupe-filter partitions DISCOVERED at
+        runtime (a topic that grew partitions after the subscription was
+        configured): the static partition list alone would leave a
+        newly-added partition's redeliveries unfiltered on later runs."""
+        prefix = f"{topic}/"
+        return sorted(
+            int(k[len(prefix):])
+            for k in self._read()
+            if k.startswith(prefix) and k[len(prefix):].isdigit()
+        )
+
     def get_cursor(self, topic: str, partition: int = 0) -> Cursor | None:
         c = self._read().get(f"{topic}/{partition}", {}).get("cursor")
         return Cursor.parse(c) if c else None

@@ -279,7 +279,14 @@ class Subscription:
         """
         part = F.decode(F.col("metadata")["partition"], "UTF-8").cast("int")
         off = F.decode(F.col("metadata")["offset"], "UTF-8").cast("long")
-        cursors = {p: self.offsets.get_cursor(topic, p) for p in self.partitions}
+        # dedupe cursors cover the CONFIGURED partitions plus every
+        # partition the offsets table has ever recorded: a partition added
+        # to the topic after configuration (broker repartition) is consumed
+        # on first contact (no cursor -> vacuous pass), recorded, and then
+        # dedupe-filtered on every later run even though the static list
+        # doesn't know it
+        known = set(self.partitions) | set(self.offsets.partitions(topic))
+        cursors = {p: self.offsets.get_cursor(topic, p) for p in known}
         keep = F.lit(True)
         for p, cur in cursors.items():
             if cur is not None:
