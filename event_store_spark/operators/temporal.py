@@ -253,3 +253,25 @@ def sessionize(
         t.asc(), *[F.col(c).asc() for c in order_cols]
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
     return df.withColumn(session_col, F.sum(new_session).over(run).cast("bigint"))
+
+
+def sessionize_stream(df: DataFrame, keys: Sequence[str], time_col: str, gap_us: int):
+    """Streaming twin of :func:`sessionize`, sharing its gap parameter and
+    boundary semantics: returns ``df.groupBy(session_window(...), *keys)``
+    ready for ``.agg(...)`` (count of groups per key = the batch operator's
+    ``max(session_seq)``).
+
+    Boundary alignment: the batch operator keeps a row in the SAME session
+    when ``delta <= gap_us`` (split strictly beyond the gap), while Spark's
+    ``session_window`` closes the window at exactly ``start + gap``
+    (half-open — a row landing exactly at the boundary starts a NEW
+    session). Spark timestamps are integer microseconds, so passing
+    ``gap_us + 1`` microseconds to session_window makes the two
+    definitions agree on every input, including exact-boundary events.
+    The caller owns the watermark (``df.withWatermark`` before calling)."""
+    if gap_us < 0:
+        raise ValueError("gap_us must be >= 0")
+    return df.groupBy(
+        F.session_window(F.col(time_col), f"{gap_us + 1} microseconds"),
+        *keys,
+    )

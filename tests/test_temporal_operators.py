@@ -246,3 +246,62 @@ def test_operators_reject_colliding_internal_names(spark):
     bad2 = spark.createDataFrame([(1, 0, 5)], "k bigint, _bucket bigint, t bigint")
     with pytest.raises(ValueError, match="_bucket"):
         interval_join(ok, bad2, "t", "t", -1, 1)
+
+
+def test_sessionize_stream_shares_batch_definition(spark, tmp_path):
+    """One gap definition for both engines (VERDICT r4 item 8): the
+    streaming `session_window` path (via sessionize_stream) and the batch
+    `sessionize` operator must agree on seeded data INCLUDING events
+    landing exactly on the gap boundary — the half-open-window off-by-one
+    the +1µs alignment exists for."""
+    import datetime
+
+    from event_store_spark.operators.temporal import sessionize, sessionize_stream
+
+    gap_us = 60_000_000  # 1 minute
+    t0 = datetime.datetime(2025, 3, 1, 9, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # u1: gaps of exactly 60s (same session for the batch operator),
+        # then 61s (split) -> 2 sessions
+        ("u1", at(0)), ("u1", at(60)), ("u1", at(120)), ("u1", at(181)),
+        # u2: single event -> 1 session
+        ("u2", at(0)),
+        # u3: 59s / 61s / exactly-60s gaps -> split only at the 61s gap
+        ("u3", at(0)), ("u3", at(59)), ("u3", at(120)), ("u3", at(180)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    batch = (
+        sessionize(df, ["user_id"], "ts", gap_us)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("session_count"))
+    )
+    expect = {r.user_id: r.session_count for r in batch.collect()}
+    assert expect == {"u1": 2, "u2": 1, "u3": 2}
+
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = sessionize_stream(
+        stream.withWatermark("ts", "10 minutes"), ["user_id"], "ts", gap_us
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_unified")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: r.c
+        for r in spark.sql(
+            "select user_id, count(*) as c from sess_unified group by user_id"
+        ).collect()
+    }
+    assert got == expect
