@@ -202,3 +202,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_multi_clusters"),
     )
+
+
+def _register_dedup_minhash_clusters():
+    """Registered at import like every other query; wrapped in a function
+    only to keep the f-string oracle's constant interpolation local."""
+    from event_store_spark.plans.llm import LSH_BAND, N_MINHASH
+
+    oracle = f"""
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM tok),
+    mh AS (SELECT doc_id, seed,
+                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+           FROM sh, (SELECT UNNEST(range({N_MINHASH})) AS seed) seeds
+           GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, seed // {LSH_BAND} AS band,
+                   string_agg(mh, ',' ORDER BY seed) AS bandkey
+            FROM mh GROUP BY doc_id, seed // {LSH_BAND}),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM sig a JOIN sig b
+               ON a.band = b.band AND a.bandkey = b.bandkey
+              AND a.doc_id < b.doc_id),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM cand
+              UNION ALL SELECT d2, d1 FROM cand),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+        SELECT a, MIN(b) AS cluster FROM r GROUP BY a)
+    SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(MAX(sz) AS INT) AS max_cluster_size,
+           CAST(COUNT(DISTINCT CASE WHEN sz > 1 THEN cluster END) AS BIGINT)
+               AS n_multi_clusters
+    FROM (SELECT cluster, COUNT(*) AS sz FROM reach GROUP BY cluster) g
+    """
+
+    @register("dedup_minhash_clusters", oracle=oracle)
+    def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Duplicate-cluster resolution over the REAL near-dup graph: the
+        MinHash-LSH candidate pairs (shared memoized build,
+        `llm._minhash_candidates`) resolved into connected components by
+        `operators.graph.connected_components` (large-star/small-star,
+        checkpointed) — the production minhash-dedup pipeline's final
+        stage, where A~B~C chains collapse to one cluster even when A and
+        C share no LSH band.
+
+        Unlike `dedup_clusters` (prefix blocking = an equivalence
+        relation, components == buckets), band-graph components genuinely
+        TRANSIT: this is the case the O(log n) star alternation exists
+        for. Oracle: same minhash CTE as dedup_minhash_lsh + the
+        recursive-CTE closure from dedup_clusters.
+        """
+        from event_store_spark.operators.graph import connected_components
+        from event_store_spark.plans.llm import _minhash_candidates
+
+        docs = load_table(spark, sf_dir, "documents")
+        cand = _minhash_candidates(spark, sf_dir).select(
+            F.col("d1").alias("src"), F.col("d2").alias("dst")
+        )
+        labels = connected_components(docs.select("doc_id"), cand)
+        sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+        return sizes.agg(
+            F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+            F.max("sz").cast("int").alias("max_cluster_size"),
+            F.countDistinct(F.when(F.col("sz") > 1, F.col("cluster")))
+            .cast("bigint")
+            .alias("n_multi_clusters"),
+        )
+
+
+_register_dedup_minhash_clusters()

@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""Full-suite scale point beyond sf0.1 (VERDICT r4 item 6).
+
+Synthesizes an sf1-equivalent corpus (10x the sf0.1 fixtures, re-keyed
+with referential integrity preserved) and runs the ENTIRE query inventory
+engine-vs-oracle at that scale, evidencing the "fixed per-query overhead
+amortizes, distributed plans win" claim with a measurement instead of an
+extrapolation. `bench.py` (the driver contract at sf0.1) is untouched.
+
+Synthesis rules (deterministic, no RNG):
+- region/nation: fixed-size dims, copied as-is (TPC-H semantics).
+- customer/supplier/part/orders/lineitem: 10 copies, every key shifted by
+  copy_index * keyspace so FK joins stay exact within each copy.
+- events: event_id/user_id shifted (10x users, same per-user density).
+- documents: doc_id shifted; for copies > 0 every 3rd token is mutated
+  with the copy tag, so every 3-gram shingle contains a mutated token and
+  cross-copy MinHash/Jaccard/simhash/prefix candidates DON'T explode —
+  the earlier exact-copy probes measured output-bound quadratics, not
+  plan scaling (PERF.md "honest quadratics"); this corpus measures the
+  plans.
+- embeddings: vec_id shifted; components perturbed per (copy, dim) so no
+  bucket holds artificial twins.
+
+Oracle side runs the same scaled parquet with a per-query wall cap
+(deliberately-quadratic oracles like dedup_ngram_jaccard's all-pairs
+verify go from 18 s to ~30 min at 10x; a capped query records the cap as
+a LOWER BOUND and is excluded from the ratio so the comparison never
+flatters the engine).
+
+Env: SPARK_GRAFT_SCALE_DIR (default /tmp/sf1_synth),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_REPS (default 2),
+     SPARK_GRAFT_ORACLE_CAP (seconds/query, default 90).
+Output: BENCH_SCALE.json + one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+
+COPIES = 10
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+# key column -> shift stride (beyond each table's max key at sf0.1)
+KEY_STRIDE = {
+    "c_custkey": 20_000,
+    "s_suppkey": 2_000,
+    "p_partkey": 30_000,
+    "o_orderkey": 200_000,
+    "o_custkey": 20_000,
+    "l_orderkey": 200_000,
+    "l_partkey": 30_000,
+    "l_suppkey": 2_000,
+    "event_id": 200_000,
+    "user_id": 10_000,
+    "doc_id": 10_000,
+    "vec_id": 10_000,
+    # `label` is the TRUSTED blocking key of dedup_embedding_label /
+    # contrastive_negatives: at scale a trusted partition key grows in
+    # CARDINALITY (more shards), not in per-bucket size — leaving labels
+    # unshifted makes every label bucket 10x denser and the within-bucket
+    # pair stage quadratic BY CORPUS DESIGN, which measures the synthetic
+    # corpus, not the plans (first 10x run: 194 s on that one query).
+    "label": 1_000,
+}
+
+
+def build_fixtures(spark, src_dir: str, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from event_store_spark.tables import load_table
+
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    copies = spark.range(COPIES).select(F.col("id").cast("int").alias("_i"))
+
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        if t in ("region", "nation"):
+            out = df
+        else:
+            out = df.crossJoin(F.broadcast(copies))
+            for c in df.columns:
+                if c in KEY_STRIDE:
+                    out = out.withColumn(
+                        c, F.col(c) + F.col("_i").cast("bigint") * KEY_STRIDE[c]
+                    )
+            if t == "documents":
+                mutated = F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w, j: F.when(
+                            j % 3 == 0,
+                            F.concat(w, F.lit("x"), F.col("_i").cast("string")),
+                        ).otherwise(w),
+                    ),
+                    " ",
+                )
+                out = out.withColumn(
+                    "text", F.when(F.col("_i") == 0, F.col("text")).otherwise(mutated)
+                ).withColumn("n_chars", F.length("text").cast("bigint"))
+            if t == "embeddings":
+                out = out.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: F.when(F.col("_i") == 0, x).otherwise(
+                            (
+                                x
+                                + (
+                                    F.pmod(F.col("_i") * 31 + j, F.lit(7)) - F.lit(3)
+                                ).cast("float")
+                                * F.lit(0.01)
+                            ).cast("float")
+                        ),
+                    ),
+                )
+            out = out.drop("_i")
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def run_oracle_capped(con, sql: str, cap_s: float):
+    """Run one oracle query; interrupt at the cap. Returns (seconds, capped)."""
+    timer = threading.Timer(cap_s, con.interrupt)
+    t0 = time.perf_counter()
+    capped = False
+    timer.start()
+    try:
+        con.execute(sql).fetchall()
+    except Exception:
+        capped = True
+    finally:
+        timer.cancel()
+    return time.perf_counter() - t0, capped
+
+
+def main() -> None:
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sf1_synth")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    cap = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "90"))
+
+    from event_store_spark.plans import ORACLE, QUERIES
+    from event_store_spark.session import get_spark
+
+    spark = get_spark("event-store-spark-scale-bench", cpus=cpus)
+    t_build = time.perf_counter()
+    build_fixtures(spark, src, out_dir)
+    build_s = round(time.perf_counter() - t_build, 1)
+
+    # warm: listing + python worker pool (environment cost, same as bench.py)
+    from pyspark.sql import functions as F
+
+    from event_store_spark.shipping import ensure_shipped
+
+    QUERIES["q1"](spark, out_dir).collect()
+    ensure_shipped(spark)
+    _warm = F.pandas_udf(lambda s: s, "int")
+    spark.range(4).select(_warm(F.col("id").cast("int"))).collect()
+
+    # resumable progress journal: one JSON line per timed query, so a run
+    # killed by an external wall-clock cap loses at most one query's work
+    journal_path = os.path.join(out_dir, "_progress.jsonl")
+    done: dict[str, dict] = {}
+    if os.path.exists(journal_path):
+        with open(journal_path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                done[f"{rec['side']}:{rec['name']}"] = rec
+
+    def journal(side: str, name: str, **kw) -> None:
+        with open(journal_path, "a") as fh:
+            fh.write(json.dumps({"side": side, "name": name, **kw}) + "\n")
+
+    for name in sorted(QUERIES):
+        if f"engine:{name}" in done:
+            continue
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, out_dir).collect()
+            vals.append(time.perf_counter() - t0)
+        journal("engine", name, s=round(statistics.median(vals), 3))
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{out_dir}/{t}.parquet/*.parquet'"
+        )
+    for name in sorted(ORACLE):
+        if f"oracle:{name}" in done:
+            continue
+        secs, was_capped = run_oracle_capped(con, ORACLE[name], cap)
+        journal("oracle", name, s=round(secs, 3), capped=was_capped)
+
+    with open(journal_path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            done[f"{rec['side']}:{rec['name']}"] = rec
+    engine = {
+        r["name"]: r["s"] for k, r in done.items() if k.startswith("engine:")
+    }
+    oracle = {
+        r["name"]: r["s"] for k, r in done.items() if k.startswith("oracle:")
+    }
+    capped = [
+        r["name"]
+        for k, r in done.items()
+        if k.startswith("oracle:") and r.get("capped")
+    ]
+    engine_total = round(sum(engine.values()), 3)
+    oracle_total = round(sum(oracle.values()), 3)
+
+    # honest ratio: only queries whose oracle actually finished
+    comparable = [n for n in engine if n in oracle and n not in capped]
+    eng_cmp = round(sum(engine[n] for n in comparable), 3)
+    ora_cmp = round(sum(oracle[n] for n in comparable), 3)
+
+    detail = {
+        "scale": "10x sf0.1 (sf1-equivalent), re-keyed + shingle-broken",
+        "build_s": build_s,
+        "reps": reps,
+        "oracle_cap_s": cap,
+        "engine_total": engine_total,
+        "oracle_total_with_caps_as_lower_bounds": oracle_total,
+        "capped_oracles": capped,
+        "comparable_engine_total": eng_cmp,
+        "comparable_oracle_total": ora_cmp,
+        "engine_vs_oracle_comparable": round(eng_cmp / ora_cmp, 3) if ora_cmp else None,
+        "per_query": {
+            n: {
+                "engine": engine.get(n),
+                "oracle": oracle.get(n),
+                "oracle_capped": n in capped,
+            }
+            for n in sorted(set(engine) | set(oracle))
+        },
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SCALE.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"scale suite ({len(engine)} queries, 10x sf0.1)",
+                "value": engine_total,
+                "unit": "sec",
+                "engine_vs_oracle_comparable": detail["engine_vs_oracle_comparable"],
+                "capped_oracles": len(capped),
+                "reps": reps,
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
