@@ -1,0 +1,57 @@
+"""epoch_shuffle + dedup_minhash_survivors (plans/pipeline4.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_store_spark.plans.pipeline4 import epoch_shuffle
+from event_store_spark.tables import load_table
+
+
+def _order(df):
+    """Global order as materialized: partition index, then position."""
+    return [
+        r.doc_id
+        for r in df.select("doc_id", F.spark_partition_id().alias("_p"))
+        .withColumn("_pos", F.monotonically_increasing_id())
+        .orderBy("_p", "_pos")
+        .collect()
+    ]
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    a = _order(epoch_shuffle(docs, 7, ["doc_id"]))
+    b = _order(epoch_shuffle(docs, 7, ["doc_id"]))
+    assert a == b  # same seed -> identical permutation
+    assert sorted(a) == sorted(r.doc_id for r in docs.collect())  # a permutation
+    c = _order(epoch_shuffle(docs, 8, ["doc_id"]))
+    assert sorted(c) == sorted(a)
+    assert c != a  # different seed -> different permutation
+
+
+def test_epoch_shuffle_matches_hash_order(spark, sf_smoke):
+    """The materialized partition-major order IS ascending hash order —
+    i.e. range partitioning + within-partition sort produced a true
+    global sort without a single-partition stage."""
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    shuffled = epoch_shuffle(docs, 7, ["doc_id"])
+    got = _order(shuffled)
+    want = [
+        r.doc_id
+        for r in docs.select(
+            "doc_id",
+            F.md5(F.concat_ws("|", F.lit("7"), F.col("doc_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_epoch_shuffle_plan_has_no_single_partition_sort(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    plan = epoch_shuffle(docs, 7, ["doc_id"])._jdf.queryExecution().executedPlan().toString()
+    # range partitioning, not a global Sort over SinglePartition
+    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
