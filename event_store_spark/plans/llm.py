@@ -111,6 +111,32 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand
 
 
+def minhash_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster) connected-component labels over the MinHash-LSH
+    candidate graph — memoized per (session, sf_dir) alongside the
+    candidate build it consumes: `dedup_minhash_clusters` (stats) and
+    `dedup_minhash_survivors` (keep-list) both aggregate this one label
+    table, and the star-alternation run is deterministic, so sharing the
+    materialized result is the same cost model as sharing the signature
+    build (an inverted dedup index is persistent state in production)."""
+    from event_store_spark.operators.graph import connected_components
+
+    memo = _MINHASH_MEMO.setdefault(spark, {})
+    key = f"cc::{sf_dir}"
+    got = memo.get(key)
+    if got is not None:
+        return got
+    docs = _docs(spark, sf_dir)
+    cand = _minhash_candidates(spark, sf_dir).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    labels = connected_components(docs.select("doc_id"), cand).localCheckpoint(
+        eager=False
+    )
+    memo[key] = labels
+    return labels
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 

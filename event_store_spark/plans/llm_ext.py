@@ -258,14 +258,9 @@ def _register_dedup_minhash_clusters():
         for. Oracle: same minhash CTE as dedup_minhash_lsh + the
         recursive-CTE closure from dedup_clusters.
         """
-        from event_store_spark.operators.graph import connected_components
-        from event_store_spark.plans.llm import _minhash_candidates
+        from event_store_spark.plans.llm import minhash_cc_labels
 
-        docs = load_table(spark, sf_dir, "documents")
-        cand = _minhash_candidates(spark, sf_dir).select(
-            F.col("d1").alias("src"), F.col("d2").alias("dst")
-        )
-        labels = connected_components(docs.select("doc_id"), cand)
+        labels = minhash_cc_labels(spark, sf_dir)
         sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
         return sizes.agg(
             F.countDistinct("cluster").cast("bigint").alias("n_clusters"),

@@ -117,14 +117,9 @@ def _register_dedup_minhash_survivors():
         the label table. The cluster label IS the min id (connected
         components' invariant), so no survivors join is needed.
         """
-        from event_store_spark.operators.graph import connected_components
-        from event_store_spark.plans.llm import _minhash_candidates
+        from event_store_spark.plans.llm import minhash_cc_labels
 
-        docs = load_table(spark, sf_dir, "documents")
-        cand = _minhash_candidates(spark, sf_dir).select(
-            F.col("d1").alias("src"), F.col("d2").alias("dst")
-        )
-        labels = connected_components(docs.select("doc_id"), cand)
+        labels = minhash_cc_labels(spark, sf_dir)
         return (
             labels.groupBy(F.col("cluster").alias("keep_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
