@@ -156,5 +156,12 @@ def connected_components(
             "doc_id",
             F.coalesce("cluster", "doc_id").alias("cluster"),
         )
+        # eagerly materialize the O(V) label table so the final round's
+        # cached edge set can be released NOW — without this, every call
+        # pinned one edge-set in executor storage for the session's
+        # lifetime (round-5 review finding); the label table itself must
+        # be materialized for any downstream use anyway
+        .localCheckpoint(eager=True)
     )
+    cur.unpersist()
     return out

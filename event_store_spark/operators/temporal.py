@@ -78,13 +78,14 @@ def asof_join(
     keys = list(keys)
     payload = list(payload)
     left_cols = [c for c in left.columns if c not in keys]
-    # a payload column sharing a name with a carried-through left column
-    # would produce DUPLICATE output column names — valid to Spark, but any
-    # downstream reference is ambiguous; fail loudly instead (ADVICE r4)
-    clash = sorted(set(payload) & set(left_cols))
+    # a payload column sharing a name with ANY output left column (join
+    # keys included — the output emits *keys too) would produce DUPLICATE
+    # output column names — valid to Spark, but any downstream reference
+    # is ambiguous; fail loudly instead (ADVICE r4)
+    clash = sorted(set(payload) & set(left.columns))
     if clash:
         raise ValueError(
-            f"payload column(s) {clash} collide with non-key left columns; "
+            f"payload column(s) {clash} collide with left output columns; "
             "rename or drop them on one side before asof_join"
         )
     right_types = dict(right.dtypes)

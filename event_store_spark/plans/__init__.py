@@ -67,9 +67,13 @@ def _load_checked_last_round():
             return set()
         out = set()
         for name, row in data.items():
-            if isinstance(row, dict) and not row.get("err") and row.get(
-                "rows_match"
-            ) and row.get("schema_match", True):
+            if (
+                isinstance(row, dict)
+                and not row.get("err")
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+            ):
                 out.add(name)
         return out
 

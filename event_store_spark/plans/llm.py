@@ -37,6 +37,44 @@ from event_store_spark.tables import load_table
 
 N_MINHASH = 12  # minhash signature length
 LSH_BAND = 3  # rows per band → 4 bands
+
+#: The DuckDB mirror of `_minhash_candidates` (shingle → seeded minhash →
+#: band keys → self-join), shared by every minhash-family oracle
+#: (dedup_minhash_lsh / _verified / _clusters / _survivors) so a future
+#: change to the shingling or banding scheme is edited in ONE place —
+#: three hand-copied variants drifting apart would make an oracle silently
+#: disagree with the shared Spark-side build. Ends with the `cand` CTE
+#: (columns d1 < d2); compose as f"WITH {MINHASH_CAND_CTE}, ...".
+MINHASH_CAND_CTE = """tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM tok),
+    mh AS (SELECT doc_id, seed,
+                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+           FROM sh, (SELECT UNNEST(range({n_minhash})) AS seed) seeds
+           GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, seed // {lsh_band} AS band,
+                   string_agg(mh, ',' ORDER BY seed) AS bandkey
+            FROM mh GROUP BY doc_id, seed // {lsh_band}),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM sig a JOIN sig b
+               ON a.band = b.band AND a.bandkey = b.bandkey
+              AND a.doc_id < b.doc_id)""".format(
+    n_minhash=N_MINHASH, lsh_band=LSH_BAND
+)
+
+#: recursive-closure suffix shared by the clusters/survivors oracles:
+#: undirected edges from `cand` + min-label transitive closure
+MINHASH_REACH_CTE = """edges AS (SELECT d1 AS src, d2 AS dst FROM cand
+              UNION ALL SELECT d2, d1 FROM cand),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+        SELECT a, MIN(b) AS cluster FROM r GROUP BY a)"""
 #: dedup_embedding's per-bucket pair-enumeration bound: a bucket larger than
 #: this fails fast instead of silently going quadratic (raise; the recovery
 #: is more planes — buckets shrink geometrically — or per-bucket sampling)
@@ -130,9 +168,10 @@ def minhash_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _minhash_candidates(spark, sf_dir).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
-    labels = connected_components(docs.select("doc_id"), cand).localCheckpoint(
-        eager=False
-    )
+    # connected_components returns an eagerly-checkpointed label table
+    # (it must materialize to release its edge-set cache), so the memo
+    # entry is already a storage-backed scan — no extra persist needed
+    labels = connected_components(docs.select("doc_id"), cand)
     memo[key] = labels
     return labels
 
@@ -238,22 +277,7 @@ def q31_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                 FROM documents),
-    sh AS (SELECT doc_id,
-                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-           FROM tok),
-    mh AS (SELECT doc_id, seed,
-                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-           FROM sh, (SELECT UNNEST(range({N_MINHASH})) AS seed) seeds
-           GROUP BY doc_id, seed),
-    sig AS (SELECT doc_id, seed // {LSH_BAND} AS band,
-                   string_agg(mh, ',' ORDER BY seed) AS bandkey
-            FROM mh GROUP BY doc_id, seed // {LSH_BAND}),
-    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-             FROM sig a JOIN sig b
-               ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id)
+    WITH {MINHASH_CAND_CTE}
     SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs FROM cand
     """,
 )
@@ -965,22 +989,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_verified",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                 FROM documents),
-    sh AS (SELECT doc_id,
-                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-           FROM tok),
-    mh AS (SELECT doc_id, seed,
-                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-           FROM sh, (SELECT UNNEST(range({N_MINHASH})) AS seed) seeds
-           GROUP BY doc_id, seed),
-    sig AS (SELECT doc_id, seed // {LSH_BAND} AS band,
-                   string_agg(mh, ',' ORDER BY seed) AS bandkey
-            FROM mh GROUP BY doc_id, seed // {LSH_BAND}),
-    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-             FROM sig a JOIN sig b
-               ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+    WITH {MINHASH_CAND_CTE},
     g AS (SELECT doc_id, list_distinct(list_transform(
               range(1, greatest(len(w) - 2, 0) + 1),
               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams

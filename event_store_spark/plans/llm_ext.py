@@ -207,34 +207,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_dedup_minhash_clusters():
     """Registered at import like every other query; wrapped in a function
     only to keep the f-string oracle's constant interpolation local."""
-    from event_store_spark.plans.llm import LSH_BAND, N_MINHASH
+    from event_store_spark.plans.llm import MINHASH_CAND_CTE, MINHASH_REACH_CTE
 
     oracle = f"""
-    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                 FROM documents),
-    sh AS (SELECT doc_id,
-                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-           FROM tok),
-    mh AS (SELECT doc_id, seed,
-                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-           FROM sh, (SELECT UNNEST(range({N_MINHASH})) AS seed) seeds
-           GROUP BY doc_id, seed),
-    sig AS (SELECT doc_id, seed // {LSH_BAND} AS band,
-                   string_agg(mh, ',' ORDER BY seed) AS bandkey
-            FROM mh GROUP BY doc_id, seed // {LSH_BAND}),
-    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-             FROM sig a JOIN sig b
-               ON a.band = b.band AND a.bandkey = b.bandkey
-              AND a.doc_id < b.doc_id),
-    edges AS (SELECT d1 AS src, d2 AS dst FROM cand
-              UNION ALL SELECT d2, d1 FROM cand),
-    reach AS (
-        WITH RECURSIVE r(a, b) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
-        SELECT a, MIN(b) AS cluster FROM r GROUP BY a)
+    WITH {MINHASH_CAND_CTE},
+    {MINHASH_REACH_CTE}
     SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
            CAST(MAX(sz) AS INT) AS max_cluster_size,
            CAST(COUNT(DISTINCT CASE WHEN sz > 1 THEN cluster END) AS BIGINT)

@@ -17,13 +17,30 @@ from event_store_spark.tables import load_table
 EPOCH_SEED = 7  # fixture seed for the registered query (callers pass their own)
 
 
+def _netstring(col) -> "F.Column":
+    """Length-prefixed string encoding (`len:value`): concatenating
+    netstrings is injective, so multi-column keys cannot collide the way
+    plain delimiter joins do (('x|y','z') vs ('x','y|z')). NULL ids are a
+    contract violation (the permutation would silently drop the segment)
+    and raise inside the executed plan."""
+    s = col.cast("string")
+    guarded = F.when(
+        s.isNull(),
+        F.raise_error(F.lit("epoch_shuffle: id column is NULL; ids must be non-null")),
+    ).otherwise(s)
+    return F.concat(F.length(guarded).cast("string"), F.lit(":"), guarded)
+
+
 def epoch_shuffle(df: DataFrame, seed: int, id_cols: list[str]) -> DataFrame:
     """Deterministic epoch-wide shuffle: a pseudo-random total order from
-    md5(seed || id), materialized WITHOUT a global sort bottleneck.
+    md5(seed || netstring(ids)), materialized WITHOUT a global sort
+    bottleneck.
 
     The dataloader op every epoch of large-scale training needs: same seed
-    -> identical permutation on any cluster layout (hash order is a pure
-    function of the data); different seed -> an independent permutation.
+    -> identical permutation on any cluster layout (the hash order is a
+    pure function of the data — id segments are length-prefixed so
+    distinct id tuples can never build the same key, and NULL ids fail
+    loudly); different seed -> an independent permutation.
 
     Scale: `repartitionByRange` on the hash samples range bounds (one
     lightweight pass) and gives disjoint, ORDERED partition ranges;
@@ -31,20 +48,32 @@ def epoch_shuffle(df: DataFrame, seed: int, id_cols: list[str]) -> DataFrame:
     ever collecting it to one partition — reading partitions in index
     order IS the permutation. A `Window.orderBy(hash)` row_number would
     move the corpus through a single partition (the classic mistake this
-    operator exists to avoid).
+    operator exists to avoid). Output columns == input columns (the
+    internal sort key is dropped; dropping is a projection, so the
+    per-partition order it established survives).
     """
-    h = F.md5(F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in id_cols]))
+    if "_shuffle_key" in df.columns:
+        raise ValueError(
+            "column '_shuffle_key' collides with epoch_shuffle's internal "
+            "sort key; rename it before shuffling"
+        )
+    h = F.md5(
+        F.concat(F.lit(f"{seed}|"), *[_netstring(F.col(c)) for c in id_cols])
+    )
     return (
         df.withColumn("_shuffle_key", h)
         .repartitionByRange("_shuffle_key")
         .sortWithinPartitions("_shuffle_key")
+        .drop("_shuffle_key")
     )
 
 
 @register(
     "epoch_shuffle_head",
     oracle=f"""
-    SELECT doc_id, md5('{EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    SELECT doc_id,
+           md5('{EPOCH_SEED}|' || length(CAST(doc_id AS VARCHAR)) || ':'
+               || CAST(doc_id AS VARCHAR)) AS shuffle_key
     FROM documents
     ORDER BY shuffle_key
     LIMIT 100
@@ -55,12 +84,15 @@ def epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The registered probe uses orderBy(limit) — Spark plans a TakeOrdered
     (per-partition top-k + k-way driver merge), never a global sort — and
-    pins the hash order byte-for-byte against the oracle, which pins the
-    full `epoch_shuffle` operator's order too (same key expression; the
-    operator itself is permutation-property-tested in
-    tests/test_pipeline4.py since its output is corpus-sized)."""
+    pins the hash order byte-for-byte against the oracle using the SAME
+    netstring key expression as `epoch_shuffle`, so the probe pins the
+    operator's order too (the operator itself is
+    permutation-property-tested in tests/test_pipeline4.py since its
+    output is corpus-sized)."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat_ws("|", F.lit(str(EPOCH_SEED)), F.col("doc_id").cast("string")))
+    h = F.md5(
+        F.concat(F.lit(f"{EPOCH_SEED}|"), _netstring(F.col("doc_id")))
+    )
     return (
         docs.select("doc_id", h.alias("shuffle_key"))
         .orderBy("shuffle_key")
@@ -69,34 +101,11 @@ def epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_dedup_minhash_survivors():
-    from event_store_spark.plans.llm import LSH_BAND, N_MINHASH
+    from event_store_spark.plans.llm import MINHASH_CAND_CTE, MINHASH_REACH_CTE
 
     oracle = f"""
-    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                 FROM documents),
-    sh AS (SELECT doc_id,
-                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-           FROM tok),
-    mh AS (SELECT doc_id, seed,
-                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-           FROM sh, (SELECT UNNEST(range({N_MINHASH})) AS seed) seeds
-           GROUP BY doc_id, seed),
-    sig AS (SELECT doc_id, seed // {LSH_BAND} AS band,
-                   string_agg(mh, ',' ORDER BY seed) AS bandkey
-            FROM mh GROUP BY doc_id, seed // {LSH_BAND}),
-    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-             FROM sig a JOIN sig b
-               ON a.band = b.band AND a.bandkey = b.bandkey
-              AND a.doc_id < b.doc_id),
-    edges AS (SELECT d1 AS src, d2 AS dst FROM cand
-              UNION ALL SELECT d2, d1 FROM cand),
-    reach AS (
-        WITH RECURSIVE r(a, b) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
-        SELECT a, MIN(b) AS cluster FROM r GROUP BY a)
+    WITH {MINHASH_CAND_CTE},
+    {MINHASH_REACH_CTE}
     SELECT CAST(cluster AS BIGINT) AS keep_id,
            CAST(COUNT(*) AS BIGINT) AS cluster_size,
            CAST(COUNT(*) - 1 AS BIGINT) AS dropped

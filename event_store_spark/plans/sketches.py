@@ -114,9 +114,12 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     slack = F.col("n") / F.lit(GK_ACCURACY) + F.lit(1)
 
     def ok(lt_col: str, le_col: str, q: float):
+        # v covers ranks [count(<v)+1, count(<=v)]; overlap with
+        # [target-slack, target+slack] requires the interval START
+        # (count(<v)+1) to sit at or below the upper bound
         target = F.col("n") * F.lit(q)
         return (
-            (F.col(lt_col) <= target + slack)
+            (F.col(lt_col) + 1 <= target + slack)
             & (F.col(le_col) >= target - slack)
         ).alias(f"ok{int(q * 100)}")
 

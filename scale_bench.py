@@ -130,18 +130,46 @@ def build_fixtures(spark, src_dir: str, out_dir: str) -> None:
 
 
 def run_oracle_capped(con, sql: str, cap_s: float):
-    """Run one oracle query; interrupt at the cap. Returns (seconds, capped)."""
-    timer = threading.Timer(cap_s, con.interrupt)
+    """Run one oracle query; interrupt at the cap.
+
+    Returns (seconds, capped, err). Only a duckdb InterruptException (or
+    an interrupt surfaced as a generic error mentioning it) counts as
+    capped — a genuinely erroring oracle is recorded as err, never
+    silently relabeled a wall-cap lower bound. After cancel(), a no-op
+    query absorbs a pending interrupt that fired in the window between
+    fetchall() returning and the cancel, so it cannot abort the NEXT
+    oracle query.
+    """
+    import duckdb
+
+    fired = threading.Event()
+
+    def _interrupt():
+        fired.set()
+        con.interrupt()
+
+    timer = threading.Timer(cap_s, _interrupt)
     t0 = time.perf_counter()
     capped = False
+    err = None
     timer.start()
     try:
         con.execute(sql).fetchall()
-    except Exception:
+    except duckdb.InterruptException:
         capped = True
+    except Exception as e:  # genuine oracle failure
+        if fired.is_set():
+            capped = True  # interrupt surfaced as a non-Interrupt error type
+        else:
+            err = f"{type(e).__name__}: {e}"
     finally:
         timer.cancel()
-    return time.perf_counter() - t0, capped
+        if fired.is_set():
+            try:  # absorb a late interrupt so it can't hit the next query
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
+    return time.perf_counter() - t0, capped, err
 
 
 def main() -> None:
@@ -202,8 +230,8 @@ def main() -> None:
     for name in sorted(ORACLE):
         if f"oracle:{name}" in done:
             continue
-        secs, was_capped = run_oracle_capped(con, ORACLE[name], cap)
-        journal("oracle", name, s=round(secs, 3), capped=was_capped)
+        secs, was_capped, err = run_oracle_capped(con, ORACLE[name], cap)
+        journal("oracle", name, s=round(secs, 3), capped=was_capped, err=err)
 
     with open(journal_path) as fh:
         for line in fh:
@@ -220,11 +248,18 @@ def main() -> None:
         for k, r in done.items()
         if k.startswith("oracle:") and r.get("capped")
     ]
+    errored = {
+        r["name"]: r["err"]
+        for k, r in done.items()
+        if k.startswith("oracle:") and r.get("err")
+    }
     engine_total = round(sum(engine.values()), 3)
     oracle_total = round(sum(oracle.values()), 3)
 
-    # honest ratio: only queries whose oracle actually finished
-    comparable = [n for n in engine if n in oracle and n not in capped]
+    # honest ratio: only queries whose oracle actually finished cleanly
+    comparable = [
+        n for n in engine if n in oracle and n not in capped and n not in errored
+    ]
     eng_cmp = round(sum(engine[n] for n in comparable), 3)
     ora_cmp = round(sum(oracle[n] for n in comparable), 3)
 
@@ -236,6 +271,7 @@ def main() -> None:
         "engine_total": engine_total,
         "oracle_total_with_caps_as_lower_bounds": oracle_total,
         "capped_oracles": capped,
+        "errored_oracles": errored,
         "comparable_engine_total": eng_cmp,
         "comparable_oracle_total": ora_cmp,
         "engine_vs_oracle_comparable": round(eng_cmp / ora_cmp, 3) if ora_cmp else None,

@@ -41,7 +41,14 @@ def test_epoch_shuffle_matches_hash_order(spark, sf_smoke):
         r.doc_id
         for r in docs.select(
             "doc_id",
-            F.md5(F.concat_ws("|", F.lit("7"), F.col("doc_id").cast("string"))).alias("h"),
+            F.md5(
+                F.concat(
+                    F.lit("7|"),
+                    F.length(F.col("doc_id").cast("string")).cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("h"),
         )
         .orderBy("h")
         .collect()
@@ -55,3 +62,25 @@ def test_epoch_shuffle_plan_has_no_single_partition_sort(spark, sf_smoke):
     # range partitioning, not a global Sort over SinglePartition
     assert "rangepartitioning" in plan.lower()
     assert "singlepartition" not in plan.lower()
+
+
+def test_epoch_shuffle_key_injective_and_guards(spark):
+    """Netstring segments: ('x|y','z') and ('x','y|z') must NOT collide;
+    NULL ids and a pre-existing _shuffle_key column fail loudly; output
+    columns equal input columns (internal key dropped)."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    df = spark.createDataFrame([("x|y", "z"), ("x", "y|z")], "a string, b string")
+    out = epoch_shuffle(df, 7, ["a", "b"])
+    assert out.columns == ["a", "b"]
+    rows = {(r.a, r.b) for r in out.collect()}
+    assert rows == {("x|y", "z"), ("x", "y|z")}  # both survive, distinct keys
+
+    nulled = spark.createDataFrame([("x", None)], "a string, b string")
+    with pytest.raises(Exception, match="NULL"):
+        epoch_shuffle(nulled, 7, ["a", "b"]).collect()
+
+    clashing = spark.createDataFrame([("x",)], "_shuffle_key string")
+    with pytest.raises(ValueError, match="_shuffle_key"):
+        epoch_shuffle(clashing, 7, ["_shuffle_key"])

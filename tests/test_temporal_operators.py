@@ -305,3 +305,18 @@ def test_sessionize_stream_shares_batch_definition(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_asof_join_rejects_payload_name_collisions(spark):
+    """Payload columns colliding with ANY left output column — non-key
+    carried columns AND join keys — must raise (review r5: the first guard
+    version exempted keys, which still produce duplicate output names)."""
+    import datetime
+
+    t = datetime.datetime(2025, 1, 1)
+    left = spark.createDataFrame([("k1", t, 1.0)], "k string, ts timestamp, v double")
+    right = spark.createDataFrame([("k1", t, 2.0)], "k string, ts timestamp, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", "ts", payload=["v"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", "ts", payload=["k"])
