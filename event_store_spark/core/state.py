@@ -94,6 +94,7 @@ class TopicMutex:
                 return
             except FileExistsError:
                 pass
+            observed = self._holder(path)
             try:
                 if (time.time() - os.path.getmtime(path)) > self.stale_seconds:
                     # orphaned lock (holder crashed mid-append, heartbeat
@@ -106,6 +107,21 @@ class TopicMutex:
                         os.rename(path, grave)
                     except FileNotFoundError:
                         continue  # another breaker (or a release) beat us
+                    # TOCTOU guard (same protocol as streaming.lock,
+                    # ADVICE r4): if a release + fresh acquire slipped in
+                    # between the staleness check and the rename, we just
+                    # buried a LIVE lock — verify the grave still names
+                    # the stale holder we observed, else restore it
+                    # atomically (os.link cannot clobber a newer lock)
+                    grave_holder = self._holder(grave)
+                    if grave_holder is not None and grave_holder != observed:
+                        try:
+                            os.link(grave, path)
+                        except FileExistsError:
+                            pass  # a third acquirer re-created; victim's
+                            # next heartbeat/owns() check notices
+                        os.unlink(grave)
+                        continue  # live lock: keep waiting for release
                     os.unlink(grave)
                     continue  # compete for the fresh lock via O_EXCL
             except FileNotFoundError:
@@ -144,6 +160,22 @@ class TopicMutex:
                 return f.read().strip()
         except (FileNotFoundError, OSError):
             return None
+
+    def owns(self, topic: str) -> bool:
+        """True iff the lock file still carries THIS instance's live
+        acquire token — the commit-point re-verification for multi-writer
+        coordination: a writer SIGSTOPped past ``stale_seconds`` can have
+        its lock stolen mid-append; re-checking ownership immediately
+        before the irrevocable step (the lsn ticket save) turns the
+        silent double-reservation into a loud abort. The residual window
+        (theft between this check and the save) is one filesystem op wide
+        versus ``stale_seconds`` for the heartbeat to lapse first —
+        the same verify-then-act structure as `LockMonitor.check_once`."""
+        with self._held_guard:
+            held = self._held.get(topic)
+        if held is None:
+            return False
+        return self._holder(self._path(topic)) == held[0]
 
     def release(self, topic: str) -> None:
         with self._held_guard:

@@ -252,6 +252,18 @@ class EventStore:
                     if ticket
                     else Cursor.zero()
                 )
+            # MERGE-guard (multi-writer coordination, PERF.md design made
+            # real): re-verify mutex ownership immediately before the
+            # irrevocable lsn reservation. A writer paused past the
+            # heartbeat (SIGSTOP, long GC) can have its lock stolen and a
+            # second writer reserve the SAME lsn; aborting here turns that
+            # silent cursor corruption into a loud retryable failure.
+            if not self._append_mutex.owns(topic):
+                raise RuntimeError(
+                    f"append lost the topic mutex for {topic!r} before the "
+                    "lsn reservation (stolen after a heartbeat lapse?); "
+                    "nothing was committed - retry the append"
+                )
             # Reserve the ticket BEFORE the data write: a crash in between
             # leaves an lsn gap (harmless), while write-then-save could
             # reissue the same lsn to two appends (cursor corruption). The
