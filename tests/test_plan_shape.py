@@ -212,3 +212,23 @@ def test_global_rank_tolerates_null_band(spark):
     got = {r.tag: r._rank for r in ranked.collect()}
     assert got["a"] == 1               # NULL ranks first (NULLS FIRST parity)
     assert got["b"] == 2 and got["d"] == 3 and got["c"] == 4
+
+
+def test_epoch_shuffle_head_is_take_ordered(spark, sf_correct):
+    """The permutation probe must plan TakeOrdered (per-partition top-k +
+    driver k-way merge), never a global sort feeding a limit."""
+    plan = _plan(spark, sf_correct, "epoch_shuffle_head")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_minhash_cluster_family_no_cartesian(spark, sf_correct):
+    """The CC-based cluster queries stay equi-join + aggregate all the way
+    down: no cartesian/nested-loop anywhere in their final plans, and the
+    memoized label table surfaces as a checkpointed scan (Scan ExistingRDD),
+    NOT a re-derived join tree per query."""
+    for name in ("dedup_minhash_clusters", "dedup_minhash_survivors"):
+        plan = _plan(spark, sf_correct, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "ExistingRDD" in plan, name  # consumes the shared label scan
