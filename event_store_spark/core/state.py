@@ -72,12 +72,25 @@ class TopicMutex:
         self.timeout_seconds = timeout_seconds
         self.stale_seconds = stale_seconds
         os.makedirs(lock_dir, exist_ok=True)
-        # per-topic (token, stop-event, thread) for locks THIS instance holds
-        self._held: dict[str, tuple[str, threading.Event, threading.Thread]] = {}
+        # (topic, thread-id) → (token, stop-event, thread) for locks THIS
+        # instance holds. Keyed per THREAD, not per topic (review r5): with
+        # a per-topic slot, a thread whose lock was stolen-and-released
+        # could have its entry clobbered by a sibling thread's fresh
+        # acquire, making the victim's owns() compare the thief's token
+        # against itself (guard bypassed) and its release() unlink the
+        # sibling's live lock. acquire/owns/release all run on the
+        # acquiring thread (append is synchronous), so thread identity
+        # scopes each acquire correctly.
+        self._held: dict[
+            tuple[str, int], tuple[str, threading.Event, threading.Thread]
+        ] = {}
         self._held_guard = threading.Lock()
 
     def _path(self, topic: str) -> str:
         return os.path.join(self.lock_dir, f"{topic}.lock")
+
+    def _held_key(self, topic: str) -> tuple[str, int]:
+        return (topic, threading.get_ident())
 
     def acquire(self, topic: str) -> None:
         import uuid
@@ -94,9 +107,20 @@ class TopicMutex:
                 return
             except FileExistsError:
                 pass
-            observed = self._holder(path)
             try:
                 if (time.time() - os.path.getmtime(path)) > self.stale_seconds:
+                    # read the holder we are about to judge, then RE-CHECK
+                    # staleness: observed must be captured at-or-before the
+                    # staleness judgment (a fresh lock swapped in between a
+                    # stale verdict and the holder read would make the
+                    # grave verification below vacuously pass and delete a
+                    # LIVE lock). The read happens only on the stale branch
+                    # — not once per 20 ms poll (review r5 efficiency).
+                    observed = self._holder(path)
+                    if observed is None:
+                        continue  # released under us — rejoin O_EXCL race
+                    if (time.time() - os.path.getmtime(path)) <= self.stale_seconds:
+                        continue  # refreshed/replaced after the first check
                     # orphaned lock (holder crashed mid-append, heartbeat
                     # dead): move it aside under a steal-private name —
                     # exactly one renamer can win because the source path
@@ -121,6 +145,12 @@ class TopicMutex:
                             pass  # a third acquirer re-created; victim's
                             # next heartbeat/owns() check notices
                         os.unlink(grave)
+                        # Residual (documented): if the live holder RELEASED
+                        # in the rename→link window, the link resurrects a
+                        # just-released lock as an orphan — a liveness cost
+                        # only (ages out after stale_seconds), never a
+                        # safety violation; the heartbeat's transient-miss
+                        # tolerance below keeps the restored holder alive.
                         continue  # live lock: keep waiting for release
                     os.unlink(grave)
                     continue  # compete for the fresh lock via O_EXCL
@@ -140,17 +170,27 @@ class TopicMutex:
             while not stop.wait(self.stale_seconds / 4.0):
                 try:
                     # refresh only if the file is still OUR lock (a thief's
-                    # lock must not be kept alive by a stale holder's beat)
+                    # lock must not be kept alive by a stale holder's beat).
+                    # A single miss is re-checked after a short pause: a
+                    # concurrent breaker's rename→verify→link restore makes
+                    # the file transiently absent even though ownership
+                    # survives — exiting on first miss would leave a live
+                    # long append heartbeat-less and genuinely stealable
+                    # (review r5).
+                    if self._holder(path) == token:
+                        os.utime(path)
+                        continue
+                    time.sleep(0.05)
                     if self._holder(path) == token:
                         os.utime(path)
                     else:
-                        return
+                        return  # confirmed foreign/gone: stop beating
                 except OSError:
                     return
 
         t = threading.Thread(target=beat, name=f"mutex-heartbeat-{topic}", daemon=True)
         with self._held_guard:
-            self._held[topic] = (token, stop, t)
+            self._held[self._held_key(topic)] = (token, stop, t)
         t.start()
 
     @staticmethod
@@ -170,16 +210,21 @@ class TopicMutex:
         silent double-reservation into a loud abort. The residual window
         (theft between this check and the save) is one filesystem op wide
         versus ``stale_seconds`` for the heartbeat to lapse first —
-        the same verify-then-act structure as `LockMonitor.check_once`."""
+        the same verify-then-act structure as `LockMonitor.check_once`.
+
+        Scoped to the CALLING thread's acquire (the bookkeeping is keyed
+        by (topic, thread)): a sibling thread's fresh acquire after this
+        thread's lock was stolen must not make the victim's check pass
+        against the sibling's token (review r5)."""
         with self._held_guard:
-            held = self._held.get(topic)
+            held = self._held.get(self._held_key(topic))
         if held is None:
             return False
         return self._holder(self._path(topic)) == held[0]
 
     def release(self, topic: str) -> None:
         with self._held_guard:
-            held = self._held.pop(topic, None)
+            held = self._held.pop(self._held_key(topic), None)
         if held is not None:
             token, stop, thread = held
             stop.set()

@@ -164,6 +164,10 @@ def run_oracle_capped(con, sql: str, cap_s: float):
             err = f"{type(e).__name__}: {e}"
     finally:
         timer.cancel()
+        # join the timer thread: cancel() is a no-op on an already-running
+        # callback, so without the join con.interrupt() could land AFTER
+        # the absorb query below and abort the NEXT oracle instead
+        timer.join()
         if fired.is_set():
             try:  # absorb a late interrupt so it can't hit the next query
                 con.execute("SELECT 1").fetchall()

@@ -49,7 +49,7 @@ def test_mutex_steal_race_restores_live_lock(tmp_path, monkeypatch):
     stale = TopicMutex(str(tmp_path), timeout_seconds=5, stale_seconds=10)
     stale.acquire("t_events")
     # silence the stale holder's heartbeat, then age the lock
-    stale._held["t_events"][1].set()
+    stale._held[stale._held_key("t_events")][1].set()
     path = stale._path("t_events")
     os.utime(path, (0, 0))
 
@@ -141,3 +141,36 @@ def test_two_threads_racing_appends_distinct_lsns(spark, tmp_path):
     assert len(rows) == 12
     assert len({r.lsn for r in rows}) == 6  # every append a distinct lsn
     assert len({(r.lsn, r.id) for r in rows}) == 12
+
+
+def test_owns_is_thread_scoped_after_theft(tmp_path):
+    """Review r5: with per-topic bookkeeping, a sibling thread's fresh
+    acquire after this thread's lock was stolen made the victim's owns()
+    compare the sibling's token against itself (guard bypassed) and its
+    release() unlink the sibling's LIVE lock. The bookkeeping is now
+    keyed per (topic, thread): the victim sees owns()==False and its
+    release leaves the sibling's lock intact."""
+    m = TopicMutex(str(tmp_path), timeout_seconds=5, stale_seconds=3600)
+    acquired = threading.Event()
+    proceed = threading.Event()
+    result: dict[str, object] = {}
+
+    def victim():
+        m.acquire("tv_events")
+        acquired.set()
+        proceed.wait(30)
+        result["owns"] = m.owns("tv_events")
+        m.release("tv_events")  # must NOT unlink the sibling's live lock
+
+    t = threading.Thread(target=victim)
+    t.start()
+    assert acquired.wait(10)
+    # external theft: the victim's lock vanishes and the MAIN thread (a
+    # sibling of the victim on the same instance) acquires fresh
+    os.unlink(m._path("tv_events"))
+    m.acquire("tv_events")
+    proceed.set()
+    t.join(30)
+    assert result["owns"] is False  # victim's guard fires
+    assert m.owns("tv_events") is True  # sibling's lock survived the release
+    m.release("tv_events")

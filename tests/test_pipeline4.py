@@ -69,7 +69,6 @@ def test_epoch_shuffle_key_injective_and_guards(spark):
     NULL ids and a pre-existing _shuffle_key column fail loudly; output
     columns equal input columns (internal key dropped)."""
     import pytest
-    from pyspark.sql.utils import AnalysisException  # noqa: F401
 
     df = spark.createDataFrame([("x|y", "z"), ("x", "y|z")], "a string, b string")
     out = epoch_shuffle(df, 7, ["a", "b"])
