@@ -148,53 +148,28 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster resolution: connected components over near-dup
-    candidate pairs (prefix-64 blocking) — pairwise candidates alone
-    under-merge when A~B and B~C but A≁C; clusters are what dedup actually
-    keeps one document of.
+    """Duplicate-cluster resolution over prefix-64 candidate pairs.
 
-    Spark side: `operators.graph.connected_components` — large-star /
-    small-star alternation (O(log n) rounds regardless of component
-    diameter) with localCheckpoint lineage truncation every few rounds, the
-    production Spark connected-components recipe; round 4's naive min-label
-    propagation needed O(diameter) rounds and grew an unbounded cached
-    lineage on chain-shaped duplicate graphs. The oracle runs a
-    recursive-CTE transitive closure (fine at oracle scale, quadratic in
-    component size — another case where the engine plan, not the oracle
-    plan, is the scalable one).
+    Key planning insight (round 5): "shares a 64-char prefix" is an
+    EQUIVALENCE relation — reflexive, symmetric, transitive — so the
+    transitive closure the oracle computes over the candidate graph is
+    exactly the prefix groups themselves. No pair enumeration, no
+    iteration, no bucket-size guard: ONE hash aggregate on the prefix
+    (cluster label = min doc_id per group) gives identical results to the
+    round-4 connected-components run at a fraction of the cost, and it
+    scales as a single shuffle at any corpus size. The general
+    `operators.graph.connected_components` (large-star/small-star,
+    checkpointed) remains for candidate graphs that genuinely TRANSIT —
+    non-equivalence blocking like MinHash bands — and is exercised by
+    `dedup_minhash_clusters` / `dedup_minhash_survivors`. The oracle
+    keeps the recursive-CTE closure, independently verifying the
+    equivalence-relation shortcut against real transitive reachability.
     """
-    from event_store_spark.operators.graph import connected_components
-    from event_store_spark.plans.llm import DEDUP_MAX_BUCKET
-
     docs = load_table(spark, sf_dir, "documents")
-    prefix = docs.select("doc_id", F.substring("text", 1, 64).alias("p"))
-    # fail-fast bucket guard (same contract as llm.DEDUP_MAX_BUCKET): a hot
-    # shared prefix (license banner, boilerplate header) would otherwise go
-    # quadratic in the pair join below with no bound — raise with a remedy
-    # instead of silently exploding
-    sizes_by_p = prefix.groupBy("p").agg(F.count(F.lit(1)).alias("_pn"))
-    guarded = prefix.join(sizes_by_p, "p").select(
-        "doc_id",
-        F.when(
-            F.col("_pn") > DEDUP_MAX_BUCKET,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"prefix group exceeds {DEDUP_MAX_BUCKET} docs; "
-                        "lengthen the blocking prefix or pre-dedup exact "
-                        "copies first: "
-                    ),
-                    F.col("p"),
-                )
-            ),
-        ).otherwise(F.col("p")).alias("p"),
+    sizes = (
+        docs.groupBy(F.substring("text", 1, 64).alias("p"))
+        .agg(F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("cluster"))
     )
-    a, b = guarded.alias("a"), guarded.alias("b")
-    cand = a.join(
-        b, (F.col("a.p") == F.col("b.p")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    labels = connected_components(docs.select("doc_id"), cand)
-    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.agg(
         F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
         F.max("sz").cast("int").alias("max_cluster_size"),
