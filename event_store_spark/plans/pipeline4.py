@@ -143,3 +143,59 @@ def _register_dedup_minhash_survivors():
 
 
 _register_dedup_minhash_survivors()
+
+
+@register(
+    "contamination_broadcast",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    sh AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(w) - 3),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                           || w[i+3] || ' ' || w[i+4])) AS g
+           FROM toks WHERE len(w) >= 5),
+    eval_sh AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+    train_sh AS (SELECT DISTINCT doc_id, g FROM sh WHERE source <> 'src0')
+    SELECT t.doc_id, COUNT(*) AS n_contaminated
+    FROM train_sh t JOIN eval_sh e USING (g)
+    GROUP BY t.doc_id
+    ORDER BY n_contaminated DESC, doc_id LIMIT 50
+    """,
+)
+def contamination_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan, BROADCAST formulation — identical
+    semantics to `contamination_ngram` (same oracle), different physical
+    strategy, registered because the two plans trade differently with
+    corpus size:
+
+    `contamination_ngram` shuffles every corpus gram once (groupBy on the
+    gram key). Here the EVAL side — small by nature: the held-out
+    benchmark — is made distinct (a shuffle of eval grams only) and
+    broadcast; the corpus side is a map-only explode + broadcast
+    semi-join probe, so the full training corpus NEVER crosses the
+    network. Only the contaminated survivors (tiny by construction — if
+    they weren't, training data IS the benchmark) are shuffled for the
+    per-(doc, gram) dedup and the per-doc count. At 100 TB this is the
+    decontamination plan: broadcast of benchmark-gram hashes ≈ the
+    runtime-filter/Bloom pattern, with exact semantics instead of a false
+    positive rate.
+    """
+    from event_store_spark.functions.text import whitespace_tokens, word_ngrams
+    from event_store_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", whitespace_tokens("text").alias("w")
+    ).select("doc_id", "source", F.explode(word_ngrams("w", 5)).alias("g"))
+    eval_grams = sh.where(F.col("source") == "src0").select("g").distinct()
+    train = sh.where(F.col("source") != "src0").select("doc_id", "g")
+    contaminated = train.join(F.broadcast(eval_grams), "g", "left_semi")
+    return (
+        contaminated.dropDuplicates(["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy(F.col("n_contaminated").desc(), "doc_id")
+        .limit(50)
+    )

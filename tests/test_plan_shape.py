@@ -232,3 +232,12 @@ def test_minhash_cluster_family_no_cartesian(spark, sf_correct):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "ExistingRDD" in plan, name  # consumes the shared label scan
+
+
+def test_contamination_broadcast_is_semi_join_no_corpus_shuffle(spark, sf_correct):
+    """The broadcast formulation's contract: the corpus probe is a
+    broadcast LEFT-SEMI hash join (benchmark grams broadcast), never a
+    shuffled join of the full gram stream."""
+    plan = _plan(spark, sf_correct, "contamination_broadcast")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
