@@ -199,3 +199,56 @@ def contamination_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_contaminated").desc(), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "interleave_sources",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+               (CAST(substr(source, 4) AS INT) % 3) + 1 AS weight
+        FROM documents)
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn,
+           CAST((10000 * (2*rn - 1)) // (2 * weight) AS BIGINT) AS sched_bp
+    FROM ranked
+    ORDER BY sched_bp, source, doc_id
+    LIMIT 200
+    """,
+)
+def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted round-robin interleave across sources — the
+    dataloader MIXING op: each source emits its rn-th document at stride
+    position (rn - 1/2) / weight (classic stride scheduling), so a
+    weight-3 source appears 3x as often as a weight-1 source in any
+    prefix of the interleaved stream, deterministically at any
+    parallelism. Weights here derive from the fixture source ordinal
+    (1 + N % 3) standing in for mixture_weights' learned values.
+
+    sched_bp is computed in INTEGER arithmetic (10000*(2rn-1)) div (2w) —
+    exact in both engines, no float rounding drift. Scale: one
+    per-source-partitioned window (never a global sort of the corpus) and
+    a TakeOrdered head; the full-stream materialization of the same order
+    is epoch_shuffle-style range partitioning on sched_bp.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    weight = (F.substring("source", 4, 10).cast("int") % 3) + 1
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        weight.alias("weight"),
+    )
+    return (
+        ranked.select(
+            "source",
+            "doc_id",
+            "rn",
+            F.expr("(10000 * (2*rn - 1)) div (2 * weight)").alias("sched_bp"),
+        )
+        .orderBy("sched_bp", "source", "doc_id")
+        .limit(200)
+    )

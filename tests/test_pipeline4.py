@@ -83,3 +83,29 @@ def test_epoch_shuffle_key_injective_and_guards(spark):
     clashing = spark.createDataFrame([("x",)], "_shuffle_key string")
     with pytest.raises(ValueError, match="_shuffle_key"):
         epoch_shuffle(clashing, 7, ["_shuffle_key"])
+
+
+def test_interleave_sources_prefix_respects_weights(spark, sf_smoke):
+    """In any prefix of the interleaved stream, a weight-w source appears
+    ~w times as often as a weight-1 source (stride scheduling contract),
+    and per-source documents appear in rn order."""
+    from event_store_spark.plans import QUERIES
+
+    rows = QUERIES["interleave_sources"](spark, sf_smoke).collect()
+    assert len(rows) == 200
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.rn)
+    for src, rns in by_source.items():
+        assert rns == sorted(rns), src  # emitted in per-source order
+        assert rns == list(range(1, len(rns) + 1)), src  # no skips
+    # weight groups: sources with N%3==2 (weight 3) must appear about 3x
+    # as often as N%3==0 (weight 1) in the prefix
+    def weight(src):
+        return int(src[3:]) % 3 + 1
+    counts = {w: [] for w in (1, 2, 3)}
+    for src, rns in by_source.items():
+        counts[weight(src)].append(len(rns))
+    avg = {w: sum(v) / len(v) for w, v in counts.items() if v}
+    assert avg[3] > avg[2] > avg[1]
+    assert 2.0 <= avg[3] / avg[1] <= 4.0  # ~3x, tolerant of edge truncation
