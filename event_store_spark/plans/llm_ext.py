@@ -166,16 +166,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence-relation shortcut against real transitive reachability.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sizes = (
-        docs.groupBy(F.substring("text", 1, 64).alias("p"))
-        .agg(F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("cluster"))
-    )
+    # NULL texts stay SINGLETON clusters (review r5, experimentally
+    # verified divergence): SQL equality never matches NULL = NULL, so the
+    # oracle's candidate join leaves NULL-text docs unpaired — but a bare
+    # groupBy would merge all NULL keys into one group. Grouping on
+    # (is_null, key) with key = doc_id for NULL rows keeps each one alone
+    # without any collision with real prefixes (the flag disambiguates).
+    sizes = docs.groupBy(
+        F.col("text").isNull().alias("_tn"),
+        F.when(F.col("text").isNull(), F.col("doc_id").cast("string"))
+        .otherwise(F.substring("text", 1, 64))
+        .alias("p"),
+    ).agg(F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("cluster"))
+    # `cluster` is unique per row of `sizes` (prefix groups are disjoint),
+    # so plain counts replace countDistinct — two distinct aggregates
+    # would force Catalyst's Expand-based multi-distinct plan and an extra
+    # exchange on a frame that can be corpus-sized (review r5)
     return sizes.agg(
-        F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.max("sz").cast("int").alias("max_cluster_size"),
-        F.countDistinct(F.when(F.col("sz") > 1, F.col("cluster")))
-        .cast("bigint")
-        .alias("n_multi_clusters"),
+        F.count(F.when(F.col("sz") > 1, 1)).cast("bigint").alias("n_multi_clusters"),
     )
 
 

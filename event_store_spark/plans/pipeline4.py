@@ -183,9 +183,8 @@ def contamination_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive rate.
     """
     from event_store_spark.functions.text import whitespace_tokens, word_ngrams
-    from event_store_spark.tables import load_table as _lt
 
-    docs = _lt(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", "source", whitespace_tokens("text").alias("w")
     ).select("doc_id", "source", F.explode(word_ngrams("w", 5)).alias("g"))

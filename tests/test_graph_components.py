@@ -127,3 +127,29 @@ def test_lineage_stays_bounded_on_deep_chain(spark):
     # NON-truncated 30-round run would show hundreds of Joins
     assert plan.count("Join") <= 16, plan[:2000]
     assert {r["cluster"] for r in out.collect()} == {0}
+
+
+def test_dedup_clusters_null_texts_stay_singletons(spark, tmp_path):
+    """Review r5 (experimentally verified divergence): SQL equality never
+    matches NULL = NULL, so NULL-text documents must stay singleton
+    clusters — a bare groupBy on the prefix would merge them all."""
+    import duckdb
+
+    from event_store_spark.plans import ORACLE
+    from event_store_spark.plans.llm_ext import dedup_clusters
+
+    rows = [(1, None, "xx", "s", None), (2, None, "xx", "s", None),
+            (3, "hello world", "xx", "s", 11), (4, "hello world", "xx", "s", 11)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = dedup_clusters(spark, sf).first()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(ORACLE["dedup_clusters"]).fetchone()
+    assert (got.n_clusters, got.max_cluster_size, got.n_multi_clusters) == want
+    assert got.n_clusters == 3 and got.n_multi_clusters == 1  # NULLs singleton

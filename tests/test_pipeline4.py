@@ -106,6 +106,9 @@ def test_interleave_sources_prefix_respects_weights(spark, sf_smoke):
     counts = {w: [] for w in (1, 2, 3)}
     for src, rns in by_source.items():
         counts[weight(src)].append(len(rns))
-    avg = {w: sum(v) / len(v) for w, v in counts.items() if v}
+    assert all(counts[w] for w in (1, 2, 3)), (
+        f"fixture must cover every weight class in the prefix; got {counts}"
+    )
+    avg = {w: sum(v) / len(v) for w, v in counts.items()}
     assert avg[3] > avg[2] > avg[1]
     assert 2.0 <= avg[3] / avg[1] <= 4.0  # ~3x, tolerant of edge truncation

@@ -241,3 +241,14 @@ def test_contamination_broadcast_is_semi_join_no_corpus_shuffle(spark, sf_correc
     plan = _plan(spark, sf_correct, "contamination_broadcast")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interleave_sources_window_partitioned_take_ordered(spark, sf_correct):
+    """The interleave's scale contract: the row_number window partitions by
+    source (never a corpus-wide single-reducer sort) and the head is
+    TakeOrdered."""
+    plan = _plan(spark, sf_correct, "interleave_sources")
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "WindowExec" in line:
+            assert "source" in line, f"unpartitioned window: {line}"
