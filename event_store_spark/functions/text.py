@@ -41,6 +41,24 @@ def word_ngrams(tokens_col: str = "w", n: int = 3) -> Column:
     )
 
 
+def word_ngram_hashes(tokens_col: str = "w", n: int = 3) -> Column:
+    """xxhash64 word n-grams over an existing tokens column.
+
+    Same shape as `word_ngrams` but each gram is the 64-bit hash of its
+    token slots instead of a concatenated string — for plans where the
+    gram is only a JOIN/GROUP key that never reaches the output (equality
+    of hashes ⇔ equality of grams up to 2^-64 collisions). Skips the
+    per-gram string allocation and shuffles 8-byte longs instead of
+    ~40-byte strings. xxhash64 folds its args (each value hashed with the
+    previous result as seed), so token boundaries are preserved without
+    building the joined string."""
+    parts = ", ".join(f"{tokens_col}[i + {j}]" for j in range(n))
+    expr = f"transform(sequence(0, size({tokens_col}) - {n}), i -> xxhash64({parts}))"
+    return F.when(F.size(F.col(tokens_col)) >= n, F.expr(expr)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def stopword_hits(tokens: Column, words: list[str]) -> Column:
     """Number of tokens contained in a (tiny, broadcast-as-literal) stopword list."""
     lit_array = F.array(*[F.lit(w) for w in words])

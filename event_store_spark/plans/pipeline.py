@@ -152,13 +152,23 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. The per-gram collect_set is bounded by gram→doc fan-out;
     a stop-phrase-grade gram shared by millions of docs would need the
     two-pass distinct-then-join form instead — at that point the gram is
-    noise and belongs on a deny list before this scan."""
-    from event_store_spark.functions.text import whitespace_tokens, word_ngrams
+    noise and belongs on a deny list before this scan.
+
+    Grams travel as xxhash64 longs, not strings (`word_ngram_hashes`):
+    the gram is only the shuffle key here, never output, so hashing is
+    invisible to the result (2^-64 collisions) and the explode+shuffle
+    moves 8-byte keys instead of ~40-byte strings."""
+    from event_store_spark.functions.text import (
+        whitespace_tokens,
+        word_ngram_hashes,
+    )
 
     sh = (
         _docs(spark, sf_dir)
         .select("doc_id", "source", whitespace_tokens("text").alias("w"))
-        .select("doc_id", "source", F.explode(word_ngrams("w", 5)).alias("g"))
+        .select(
+            "doc_id", "source", F.explode(word_ngram_hashes("w", 5)).alias("g")
+        )
     )
     per_gram = sh.groupBy("g").agg(
         F.max((F.col("source") == "src0").cast("int")).alias("in_eval"),
