@@ -1,0 +1,255 @@
+"""Training-pipeline operators, round 6: exact substring-duplication
+spans and scalar-quantized (int8) similarity search.
+
+- duplicate_spans: the signal behind exact-substring dedup ("Deduplicating
+  Training Data Makes Language Models Better", Lee et al. 2021): for each
+  document, how many token positions are covered by an 8-token span that
+  also occurs verbatim in another document. The reference implementation
+  builds a corpus-wide suffix array — a global sorted structure Spark
+  should NOT imitate. The Spark-native equivalent: fingerprint every
+  8-gram, find grams seen in >1 doc with one hash aggregation, and merge
+  the surviving per-doc position intervals with a window — every stage is
+  keyed (gram hash, then doc_id), nothing is corpus-global.
+- ann_sq8_topk: per-dimension scalar quantization of the embedding corpus
+  to int8 (the storage/IO play every vector store makes at scale: 4 bytes
+  → 1 byte per dim) and cosine top-k over the RECONSTRUCTED vectors —
+  measuring exactly what recall the compression costs, since the oracle
+  computes the identical quantize→reconstruct arithmetic.
+
+Same design rules as the rest of plans/: built-in Catalyst expressions,
+DuckDB-oracle-checked, no corpus-global single-partition stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.text import whitespace_tokens, word_ngram_hashes
+from event_store_spark.functions.vectors import as_double, cosine
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+#: span length (tokens) for exact-duplication detection — Lee et al. use
+#: 50 BPE tokens on web-scale corpora; 8 whitespace tokens is the same
+#: operator scaled to the fixture's ~50-token documents.
+SPAN_TOKENS = 8
+
+
+@register(
+    "duplicate_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    pos AS (SELECT doc_id, len(w) AS n,
+                   UNNEST(range(0, len(w) - {SPAN_TOKENS - 1})) AS p, w
+            FROM toks WHERE len(w) >= {SPAN_TOKENS}),
+    grams AS (SELECT doc_id, n, p,
+                     array_to_string(w[p + 1:p + {SPAN_TOKENS}], ' ') AS gram
+              FROM pos),
+    dup AS (SELECT gram FROM grams GROUP BY gram
+            HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (SELECT g.doc_id, g.n, g.p FROM grams g JOIN dup USING (gram)),
+    cov AS (SELECT doc_id, n, p,
+                   GREATEST(0, p + {SPAN_TOKENS} - GREATEST(p,
+                       COALESCE(MAX(p + {SPAN_TOKENS}) OVER (
+                           PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0))) AS c
+            FROM hits),
+    agg AS (SELECT doc_id, MAX(n) AS n_tokens, SUM(c) AS covered
+            FROM cov GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           CAST(FLOOR(10000.0 * covered / n_tokens) AS BIGINT) AS coverage_bp
+    FROM agg WHERE covered > 0
+    ORDER BY covered_tokens DESC, doc_id LIMIT 30
+    """,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token coverage by cross-document duplicated 8-grams —
+    the top-30 most exactly-duplicated documents.
+
+    Plan (suffix-array semantics, no suffix array):
+    1. one tokenize pass, posexplode the 8-gram xxhash64 fingerprints →
+       (doc_id, start_pos, gram_hash); grams travel as 8-byte longs
+       (`word_ngram_hashes` — the gram never reaches the output);
+    2. ONE hash aggregation by gram: carry MIN/MAX doc and the occurrence
+       list; grams seen in a single doc (MIN = MAX) are dropped, survivors
+       explode their occurrences back out — one corpus tokenization and
+       one shuffle, where the aggregate-then-join form tokenizes and
+       explodes the corpus twice (at sf0.1 the two differ little — 1.34 s
+       vs 1.41 s, the explode dominates both — but at 100 TB the second
+       full scan+tokenize is the cost that matters). The per-gram
+       occurrence list is bounded by gram fan-out, same contract (and
+       same stop-phrase caveat) as contamination_ngram;
+    4. interval union per doc: running MAX of span end over a doc_id
+       window ordered by start — overlapping spans contribute only their
+       uncovered suffix, so `covered` is exact union length, not a
+       double-count.
+
+    Scale: stages 1–3 are keyed by gram hash (cardinality ≈ corpus
+    positions — no skew beyond natural gram popularity, and a
+    stop-phrase-grade gram dropped by MIN<>MAX only after its partials
+    collapse map-side); stage 4 is keyed by doc_id and each doc's
+    positions fit a task by construction. Compare the reference dedup's
+    single-node suffix automaton (SURVEY §2 — reference has no substring
+    dedup at all; this is part of the LLM-pipeline surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", whitespace_tokens("text").alias("w"))
+        .where(F.size("w") >= SPAN_TOKENS)
+        .select(
+            "doc_id",
+            F.size("w").alias("n"),
+            F.posexplode(word_ngram_hashes("w", SPAN_TOKENS)).alias("p", "g"),
+        )
+    )
+    hits = (
+        grams.groupBy("g")
+        .agg(
+            F.min("doc_id").alias("_mn"),
+            F.max("doc_id").alias("_mx"),
+            F.collect_list(F.struct("doc_id", "n", "p")).alias("occs"),
+        )
+        .where(F.col("_mn") != F.col("_mx"))
+        .select(F.explode("occs").alias("o"))
+        .select("o.doc_id", "o.n", "o.p")
+    )
+    prev_end = F.max(F.col("p") + SPAN_TOKENS).over(
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("p")
+        + SPAN_TOKENS
+        - F.greatest(F.col("p"), F.coalesce(prev_end, F.lit(0))),
+    )
+    return (
+        hits.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("covered_tokens"),
+        )
+        .where(F.col("covered_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "covered_tokens",
+            F.floor(10000.0 * F.col("covered_tokens") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("coverage_bp"),
+        )
+        .orderBy(F.col("covered_tokens").desc(), "doc_id")
+        .limit(30)
+    )
+
+
+@register(
+    "ann_sq8_topk",
+    oracle="""
+    WITH dims AS (SELECT i,
+                         MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+                         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+                  FROM embeddings,
+                       UNNEST(range(1, len(embedding) + 1)) AS t(i)
+                  GROUP BY i),
+    lims AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+             FROM dims),
+    recon AS (SELECT vec_id,
+        list_transform(range(1, len(embedding) + 1), i ->
+            CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                 ELSE (FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                             / (mxs[i] - mns[i]) + 0.5) - 128 + 128)
+                      * (mxs[i] - mns[i]) / 255.0 + mns[i]
+            END) AS r
+        FROM embeddings, lims),
+    q AS (SELECT r AS qv FROM recon WHERE vec_id = 0),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, len(e.r) + 1),
+            i -> e.r[i] * q.qv[i]))
+        / (sqrt(list_sum(list_transform(range(1, len(e.r) + 1),
+            i -> e.r[i] * e.r[i])))
+         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+            i -> q.qv[i] * q.qv[i])))) AS sim
+        FROM recon e, q WHERE e.vec_id <> 0)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 to vec_id=0 over the int8 scalar-quantized corpus.
+
+    Per-dimension SQ8: codebook = (min_d, max_d) per dimension — one
+    posexplode + 64-row aggregation, folded to two broadcast arrays
+    in-plan (array_sort(collect_list) over 64 structs, no driver
+    round-trip). Quantize q_d = floor((x−mn)·255/(mx−mn) + 0.5) − 128
+    (exact half-up in both engines — `round()` differs between them),
+    stored as array<tinyint>: the 4×-smaller column is what a 100 TB
+    vector corpus ships and caches. The query scores RECONSTRUCTED
+    vectors, so the result measures true post-compression recall, and the
+    oracle runs the identical arithmetic (same IEEE-754 op order) rather
+    than pretending compression is lossless. Degenerate dims (mx = mn)
+    reconstruct to the constant.
+
+    Scale: codebook is O(dims) broadcast state like the IVF centroids
+    (plans/ivf.py); scoring stays brute-force-over-candidates by design —
+    compose with the LSH/IVF pruners for sublinear scans; top-5 is
+    TakeOrdered, never a global sort."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    lims = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "mn", "mx"))
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda e: e["mn"]).alias("mns"),
+            F.transform("s", lambda e: e["mx"]).alias("mxs"),
+        )
+    )
+    quant = emb.crossJoin(F.broadcast(lims)).select(
+        "vec_id",
+        "mns",
+        "mxs",
+        F.expr(
+            """
+            transform(sequence(0, size(v) - 1), i ->
+                CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS TINYINT)
+                     ELSE CAST(FLOOR((v[i] - mns[i]) * 255.0D
+                                     / (mxs[i] - mns[i]) + 0.5D) - 128
+                               AS TINYINT)
+                END)
+            """
+        ).alias("q"),
+    )
+    recon = quant.select(
+        "vec_id",
+        F.expr(
+            """
+            transform(sequence(0, size(q) - 1), i ->
+                CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                     ELSE (CAST(q[i] AS DOUBLE) + 128.0D)
+                          * (mxs[i] - mns[i]) / 255.0D + mns[i]
+                END)
+            """
+        ).alias("r"),
+    )
+    target = recon.where(F.col("vec_id") == 0).select(F.col("r").alias("qv"))
+    return (
+        recon.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select(
+            "vec_id", F.round(cosine(F.col("r"), F.col("qv")), 4).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
