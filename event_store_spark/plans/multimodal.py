@@ -118,3 +118,91 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("target_w").cast("bigint").alias("sum_w"),
         F.sum("target_h").cast("bigint").alias("sum_h"),
     )
+
+
+#: hex digit -> value, as portable SQL (mirrors _HEXBYTE's strpos trick)
+#: 24-bit stub hash: a real pHash is 64-bit, but the stub (sha-derived,
+#: not locality-sensitive) would then never produce a candidate pair on
+#: the fixture corpus and the verify path would go untested; 24 bits is
+#: sized so deterministic birthday collisions exercise block-join +
+#: Hamming verify end-to-end. The width is ONE constant.
+_PHASH_HEX_CHARS = 6
+_PHASH_BLOCKS = 3  # pigeonhole: distance <= 2 pairs share >= 1 block of 2
+
+
+def _duck_phash(col_sql: str) -> str:
+    """DuckDB integer from the first `_PHASH_HEX_CHARS` sha256 hex chars."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col_sql}, {p + 1}, 1)) - 1)::BIGINT"
+        f" * {16 ** (_PHASH_HEX_CHARS - 1 - p)}::BIGINT"
+        for p in range(_PHASH_HEX_CHARS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_duck_phash('sha256(text)')} AS ph
+               FROM documents),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     bit_count(xor(a.ph, b.ph)) AS hamming
+              FROM h a JOIN h b ON a.doc_id < b.doc_id)
+    SELECT d1, d2, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 2
+    ORDER BY hamming, d1, d2 LIMIT 50
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the binary media column
+    (Hamming distance ≤ 2 on the stub hash), the image-dedup step of a
+    multimodal ingest pipeline.
+
+    The pHash itself is the documented STUB: a real implementation decodes
+    the image and DCT-hashes the low frequencies (no codecs in this
+    sandbox); here the hash is the first 60 bits of sha256(content), so
+    only byte-identical media collide — which the fixture corpus has, and
+    which the oracle reproduces exactly. Everything around the stub is the
+    real scale plan, identical in shape to `dedup_simhash`: split the hash
+    into {_PHASH_BLOCKS} pigeonhole blocks of 2 hex chars (8 bits) — any
+    pair within Hamming ≤ 2 agrees on at least one whole block — equi-join
+    per (block_idx, block), distinct the candidate pairs, verify with one
+    `bit_count(xor)`. No all-pairs stage anywhere; swapping in a true DCT
+    pHash changes ONE projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs)
+    hashed = media.select(
+        "doc_id", F.sha2(F.col("content"), 256).alias("hex")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("hex", 1, _PHASH_HEX_CHARS), 16, 10)
+        .cast("long")
+        .alias("ph"),
+        F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BLOCKS - 1))).alias(
+            "block_idx"
+        ),
+        F.col("hex"),
+    ).withColumn("block", F.expr("substr(hex, block_idx * 2 + 1, 2)"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.ph").alias("ph1"),
+            F.col("b.ph").alias("ph2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2")))
+    return (
+        cand.select("d1", "d2", hamming.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= 2)
+        .orderBy("hamming", "d1", "d2")
+        .limit(50)
+    )

@@ -149,6 +149,53 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_pair_counts",
+    oracle="""
+    WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    pairs AS (SELECT w[i] AS t1, w[i + 1] AS t2
+              FROM toks, UNNEST(range(1, len(w))) AS u(i)
+              WHERE len(w) >= 2)
+    SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY t1, t2
+    ORDER BY n DESC, t1, t2 LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top 20 — the counting
+    step of one BPE merge round (the merge rule is argmax over exactly
+    this table), run at word level on the fixture corpus.
+
+    Tokenizer induction over a pretraining corpus is this aggregation
+    iterated: count pairs → pick argmax → re-segment → recount. The
+    Spark-native shape is explode + hash agg with map-side partials (the
+    classic word-count skeleton, keyed by pair, so the hot pairs collapse
+    before the shuffle); top-20 is TakeOrdered. The re-segment step would
+    be a broadcast of the merge table back over the corpus — same
+    broadcast-small-state pattern as the IVF centroids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(whitespace_tokens("text").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS t1, w[i + 1] AS t2))"
+                )
+            ).alias("p")
+        )
+    )
+    return (
+        pairs.select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2")
+        .limit(20)
+    )
+
+
+@register(
     "ann_sq8_topk",
     oracle="""
     WITH dims AS (SELECT i,
