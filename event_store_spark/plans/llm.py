@@ -5,12 +5,16 @@ cosine), similarity search (brute-force + LSH-bucketed ANN), and text
 analysis (lang-ID, quality scoring, token counting, fingerprinting) over the
 `documents` / `embeddings` fixtures.
 
-Every operator is expressed with built-in Catalyst expressions (split /
-transform / filter / aggregate / md5 / array ops) — no Python UDFs — so the
-hot path stays in whole-stage codegen. Hashing uses md5 hex strings because
-the ordering/equality semantics are identical in Spark and the DuckDB oracle
-(lexicographic on fixed-width hex == numeric), making every operator
-oracle-checkable.
+Operators are expressed with built-in Catalyst expressions (split /
+transform / filter / aggregate / md5 / array ops) wherever those are the
+fast path; the exceptions are deliberate, measured Arrow boundaries —
+`text_fingerprint`'s vectorized shingle hashing and the per-bucket matmul
+in `embedding_near_dup_pairs` — where Spark's higher-order functions
+(interpreted per element, not codegen'd) lose to batch numpy by 4–15×.
+Hashing uses md5 hex strings where the oracle must agree on ORDER
+(lexicographic on fixed-width hex == numeric) and exact int64 polynomial /
+xxhash64 keys where the hash never reaches the output, making every
+operator oracle-checkable either way.
 
 Scale notes (100 TB posture) are on each operator; the common theme: never
 enumerate O(n²) pairs globally — bucket first (LSH band, simhash block,
@@ -479,6 +483,7 @@ def embedding_near_dup_pairs(
     max_bucket: int | None = None,
     k: int = 10,
     block_col: str | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Top-k most-cosine-similar pairs with LSH-bucket blocking and an
     in-plan bucket-size guard.
@@ -496,7 +501,19 @@ def embedding_near_dup_pairs(
     ``block_col`` swaps the derived LSH bucket for a TRUSTED partition
     column already on ``emb`` (URL domain, shard, label) — the blocking
     key changes; the guard, norm precompute, pair join, tie-break, and
-    top-k stay this one implementation."""
+    top-k stay this one implementation.
+
+    ``vectorized=True`` replaces the within-bucket pair JOIN with one
+    `applyInPandas` per bucket: each vector crosses the Arrow boundary
+    ONCE (n·d doubles), the bucket's full similarity matrix is a single
+    BLAS matmul, and only each bucket's top candidates return to the JVM.
+    The join form moves both vectors per PAIR — for a bucket of n that is
+    n²·d values and n²·d interpreted fold steps, which is why the
+    vectorized form measured 4× faster on label-blocked buckets of ~200
+    (PERF.md). The `max_bucket` guard doubles as the applyInPandas memory
+    bound (a bucket must fit one task). Per-bucket results over-fetch
+    top-32 (> k) so a float-epsilon tie at the cut cannot change the
+    global top-k."""
     bucket = block_col or "bucket"
     if block_col is None:
         emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
@@ -521,6 +538,38 @@ def embedding_near_dup_pairs(
             .where(F.col("_guard") == 1)  # keeps the guard in the executed plan
             .drop("_bcnt", "_guard")
         )
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        def topk_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = pdf["vec_id"].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame({"v1": [], "v2": [], "sim": []}).astype(
+                    {"v1": "int64", "v2": "int64", "sim": "float64"}
+                )
+            V = np.stack(pdf["v"].to_numpy())
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            S = V @ V.T
+            iu = np.triu_indices(len(ids), k=1)
+            sims = S[iu] / (nrm[iu[0]] * nrm[iu[1]])
+            i1, i2 = ids[iu[0]], ids[iu[1]]
+            v1, v2 = np.minimum(i1, i2), np.maximum(i1, i2)
+            take = 32
+            if len(sims) > take:
+                sel = np.argpartition(-sims, take - 1)[:take]
+                v1, v2, sims = v1[sel], v2[sel], sims[sel]
+            return pd.DataFrame({"v1": v1, "v2": v2, "sim": sims})
+
+        pairs = emb.select("vec_id", "v", bucket).groupBy(bucket).applyInPandas(
+            topk_pairs, "v1 bigint, v2 bigint, sim double"
+        )
+        return (
+            pairs.select("v1", "v2", F.round("sim", 4).alias("sim"))
+            .orderBy(F.col("sim").desc(), "v1", "v2")
+            .limit(k)
+        )
+
     emb = emb.withColumn("nrm", norm(F.col("v")))
     a, b = emb.alias("a"), emb.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -590,7 +639,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical formula, so both sides bucket identically at any SF."""
     emb = _emb(spark, sf_dir).select("vec_id", as_double("embedding").alias("v"))
     planes = adaptive_planes(emb.count())
-    return embedding_near_dup_pairs(emb, planes=planes, max_bucket=DEDUP_MAX_BUCKET)
+    return embedding_near_dup_pairs(
+        emb, planes=planes, max_bucket=DEDUP_MAX_BUCKET, vectorized=True
+    )
 
 
 @register(
@@ -621,7 +672,7 @@ def dedup_embedding_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         as_double("embedding").alias("v"),
     )
-    return embedding_near_dup_pairs(emb, block_col="label")
+    return embedding_near_dup_pairs(emb, block_col="label", vectorized=True)
 
 
 # ------------------------------------------------------- similarity search
