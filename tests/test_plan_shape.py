@@ -252,3 +252,48 @@ def test_interleave_sources_window_partitioned_take_ordered(spark, sf_correct):
     for line in plan.splitlines():
         if line.strip().startswith("Window ") or "WindowExec" in line:
             assert "source" in line, f"unpartitioned window: {line}"
+
+
+def test_duplicate_spans_single_scan_keyed_window(spark, sf_correct):
+    """Round-6 substring-dup: one corpus tokenization (the group-carry
+    form), doc_id-partitioned interval-union window, no pair join."""
+    plan = _plan(spark, sf_correct, "duplicate_spans")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "WindowExec" in line:
+            assert "doc_id" in line, f"unpartitioned window: {line}"
+
+
+def test_ann_sq8_broadcasts_codebook_and_query(spark, sf_correct):
+    """SQ8: the per-dim codebook and the query vector ride as broadcast
+    one-row relations; the corpus is never shuffled; top-5 is
+    TakeOrdered, not a global sort."""
+    plan = _plan(spark, sf_correct, "ann_sq8_topk")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_phash_dedup_is_block_equi_join(spark, sf_correct):
+    plan = _plan(spark, sf_correct, "multimodal_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pair_counts_is_wordcount_shape(spark, sf_correct):
+    """Explode → hash agg with map-side partials → TakeOrdered: at most
+    the one aggregation exchange."""
+    plan = _plan(spark, sf_correct, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+
+
+def test_embedding_dedup_vectorized_no_pair_join(spark, sf_correct):
+    """The vectorized bucket path: similarity runs inside applyInPandas
+    (one Arrow pass per bucket) — the plan has NO self-join at all."""
+    for name in ("dedup_embedding", "dedup_embedding_label"):
+        plan = _plan(spark, sf_correct, name)
+        assert "FlatMapGroupsInPandas" in plan, name
+        assert "Join" not in plan or "BroadcastHashJoin" in plan, name
+        assert "TakeOrderedAndProject" in plan, name
