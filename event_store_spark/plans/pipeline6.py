@@ -1,0 +1,459 @@
+"""Event-analytics + pipeline operators, round 5 extension: funnel,
+cohort retention, gap-fill/forward-fill resampling, column profiling,
+weighted sampling, inter-arrival stats, equi-width histogram.
+
+These widen the analytics surface over the `events`/`orders`/`documents`
+fixtures with the operators a production event store is actually queried
+with (funnel/retention are THE two canonical product-analytics queries
+over an event log — the reference's consumers would run them against the
+replicated Kafka topics; here they run directly on the ordered store,
+`ReactorKafkaEventStore.java:95-118` subscribe semantics).
+
+Design rules as the rest of plans/: built-in Catalyst expressions only,
+one shuffle where one suffices, every query DuckDB-oracle-checked with
+identically aliased columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Funnel: view -> click -> purchase
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ct
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase.
+
+    A user converts a stage only with an event STRICTLY AFTER their first
+    event of the previous stage (the canonical product-analytics funnel;
+    unordered 'did all three ever' funnels overcount).
+
+    Plan shape: ONE shuffle on user_id, then three window passes over the
+    same partitioning (each stage's first-qualifying timestamp references
+    the previous stage's, so they are sequential selects — but Catalyst
+    sees the child already hash-partitioned by user_id and inserts no
+    further exchange), then a hash aggregate. The oracle's three
+    join-chained CTEs are the same dataflow; the window form avoids
+    re-scanning events per stage. At 100 TB: events are already keyed by
+    user in any real layout, and window state per user is three
+    timestamps — no skew risk beyond a single hot user's partition.
+    """
+    w = W.partitionBy("user_id")
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    staged = (
+        ev.withColumn(
+            "vt", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "ct",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("vt")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "pt",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ct")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("vt").alias("vt"), F.max("ct").alias("ct"), F.max("pt").alias("pt")
+    )
+    return per_user.agg(
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_click"),
+        F.count("pt").alias("n_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cw
+        FROM events WHERE event_type = 'signup' GROUP BY 1)
+    SELECT CAST(epoch_ms(s.cw) AS BIGINT) AS cohort_week_ms,
+           CAST((epoch_ms(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                 - epoch_ms(s.cw)) / 604800000 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.ts >= s.cw
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users who signed up in week W that
+    were active again in week W+k, for every (W, k).
+
+    Plan: the signup dimension is one hash-agg over the signup slice
+    (tiny vs the event log — broadcast to the activity join, so the only
+    shuffle over the full log is the final (cohort, offset) aggregate
+    with a distinct-user expand; at 100 TB swap COUNT(DISTINCT) for an
+    HLL sketch per `plans.sketches`). Week arithmetic is integer
+    epoch-ms — identical on both engines, no timezone dependence beyond
+    the shared session UTC.
+    """
+    ev = _events(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+        .select("user_id", F.date_trunc("week", "first_signup").alias("cw"))
+    )
+    joined = ev.join(F.broadcast(signups), "user_id").where(F.col("ts") >= F.col("cw"))
+    return (
+        joined.groupBy(
+            F.unix_millis("cw").alias("cohort_week_ms"),
+            (
+                (F.unix_millis(F.date_trunc("week", F.col("ts"))) - F.unix_millis("cw"))
+                / F.lit(604800000)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week_ms", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + forward-fill resample
+# ---------------------------------------------------------------------------
+
+RESAMPLE_THRESHOLD = 90.0  # value cut that leaves some (type, day) cells empty
+
+
+@register(
+    "resample_ffill",
+    oracle=f"""
+    WITH grid AS (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT CAST(UNNEST(generate_series(DATE '2024-01-01',
+                                               DATE '2024-01-30',
+                                               INTERVAL 1 DAY)) AS DATE) AS day) d),
+    obs AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(MAX(value), 2) AS v
+        FROM events WHERE value > {RESAMPLE_THRESHOLD}
+        GROUP BY 1, 2)
+    SELECT grid.event_type,
+           date_diff('day', DATE '1970-01-01', grid.day) AS day_idx,
+           last_value(obs.v IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid LEFT JOIN obs
+      ON grid.event_type = obs.event_type AND grid.day = obs.day
+    ORDER BY 1, 2
+    """,
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a sparse per-series daily metric onto a dense calendar
+    grid, forward-filling gaps (the time-series resample every monitoring
+    or feature-extraction pipeline needs; leading gaps stay NULL rather
+    than inventing a value).
+
+    Plan: observations are one hash-agg; the dense grid is generated
+    in-plan (`sequence` + explode — series x days rows, never collected);
+    the left join keys on (series, day); the forward fill is
+    `last(ignorenulls)` over a window PARTITIONED BY SERIES — each
+    series' fill is independent, so the stage parallelizes across series
+    and no global-order window appears. At 100 TB the grid is
+    |series| x |days| which is metadata-sized relative to the event log.
+    """
+    ev = _events(spark, sf_dir)
+    types = ev.select("event_type").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    grid = types.crossJoin(F.broadcast(days))
+    obs = (
+        ev.where(F.col("value") > RESAMPLE_THRESHOLD)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.max("value"), 2).alias("v"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(obs), ["event_type", "day"], "left")
+        .withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+        .select(
+            "event_type",
+            F.unix_date("day").cast("bigint").alias("day_idx"),
+            "v_filled",
+        )
+        .orderBy("event_type", "day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+@register(
+    "profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS ndv,
+               CAST(MIN({c}) AS DOUBLE) AS min_v,
+               CAST(MAX({c}) AS DOUBLE) AS max_v,
+               ROUND(AVG({c}), 2) AS avg_v
+        FROM lineitem
+        """
+        for c in PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column count/nulls/NDV/min/max/mean for the
+    lineitem measures, one row per column (the schema-quality report a
+    training pipeline emits before ingesting a new drop).
+
+    Plan: ONE aggregate computes every metric for every column in a
+    single scan (the multi-distinct triggers Catalyst's Expand — x4 rows
+    mid-plan, amortized by map-side partials), then the 1-row frame is
+    unpivoted driver-free with `stack`. At 100 TB swap the exact NDVs for
+    `approx_count_distinct` (one Expand branch disappears per column);
+    exact kept here for oracle comparability.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.round(F.avg(c), 2).alias(f"{c}__avg"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__ndv, {c}__min, {c}__max, {c}__avg"
+        for c in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, ndv, min_v, max_v, avg_v)"
+        )
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (A-ES / Efraimidis-Spirakis, derandomized)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SEED = 42
+WEIGHTED_K = 25
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{WEIGHTED_SEED}'),
+                     1, 8))::BIGINT + 1) / 4294967296.0) / n_chars AS akey
+        FROM documents)
+    ORDER BY akey DESC, doc_id LIMIT {WEIGHTED_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, k=25, weight = n_chars
+    (Efraimidis-Spirakis A-ES: key = u^(1/w) with u~U(0,1]; ordering by
+    ln(u)/w is the log-domain equivalent and avoids pow underflow).
+
+    Derandomized: u is md5(doc_id:seed)'s first 32 bits mapped to (0,1],
+    so the SAME k documents come out on every engine, run, and cluster
+    layout — the reproducibility contract sampling inside a training
+    pipeline must honor. Plan: map-side key computation +
+    TakeOrderedAndProject (per-partition top-k heaps merged on the
+    driver) — no global sort, no RNG state. doc_id tiebreak makes the
+    order total even under (impossible-in-fixture) key collisions.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{WEIGHTED_SEED}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("akey", F.log(u) / F.col("n_chars"))
+        .orderBy(F.col("akey").desc(), "doc_id")
+        .select("doc_id", "source", "n_chars")
+        .limit(WEIGHTED_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(LAG(ts) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                 ) AS TIMESTAMP)) AS gap_us
+        FROM events)
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           CAST(ROUND(AVG(gap_us) / 1000) AS BIGINT) AS avg_gap_ms,
+           CAST(FLOOR(MAX(gap_us) / 1000) AS BIGINT) AS max_gap_ms
+    FROM gaps GROUP BY event_type ORDER BY event_type
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream inter-arrival time statistics (the liveness/health
+    signal an event-store operator watches: `A1 replication lag` is this
+    query's streaming twin, `core/store.py:381`).
+
+    LAG over (event_type | ts, event_id) — the event_id tiebreak makes
+    the gap sequence deterministic under equal timestamps. One shuffle
+    (window and the aggregate share the event_type partitioning). Gap
+    math in integer microseconds end-to-end; the ms conversion divides
+    exact integers, so both engines round identically.
+    """
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1000).cast("bigint").alias("avg_gap_ms"),
+            F.floor(F.max("gap_us") / 1000).cast("bigint").alias("max_gap_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+@register(
+    "price_histogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) * {HIST_BINS}.0 / (hi - lo))
+                      AS INT), {HIST_BINS - 1}) AS bin,
+           COUNT(*) AS cnt,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM orders, bounds
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order totals (the distribution
+    profile behind outlier cuts and quantile sanity checks).
+
+    Two-pass by necessity (bounds, then binning), but pass one reduces to
+    a 1-row aggregate that is broadcast into pass two (the repo's
+    standard one-row crossJoin — no shuffle of the fact side beyond the
+    final per-bin agg). Bin arithmetic keeps the exact expression shape
+    `(x - lo) * B / (hi - lo)` so both engines evaluate identical IEEE
+    doubles; the LEAST clamp folds the hi endpoint into the last bin.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * F.lit(float(HIST_BINS))
+                / (F.col("hi") - F.col("lo"))
+            ).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin"),
+        "o_totalprice",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )

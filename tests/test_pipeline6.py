@@ -1,0 +1,170 @@
+"""Funnel / cohort / resample / profiling / weighted-sample semantics
+(plans/pipeline6.py).
+
+Oracle parity at sf0.01 is covered by test_oracle_parity; these pin the
+SEMANTICS on constructed inputs where the right answer is computable by
+hand — stage ordering in the funnel, week arithmetic, forward-fill vs
+leading gaps, A-ES weight monotonicity.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from unittest import mock
+
+import event_store_spark.plans.pipeline6 as p6
+
+EV_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+def _run(spark, fn, rows, schema=EV_SCHEMA):
+    df = spark.createDataFrame(rows, schema)
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df):
+        return fn(spark, "ignored").collect()
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+def test_funnel_requires_stage_order(spark):
+    """A purchase BEFORE the first click must not convert stage 3, and a
+    click at exactly the first-view timestamp must not convert stage 2
+    (strict ordering)."""
+    rows = [
+        # user 1: full ordered funnel
+        (1, _ts(1), 1, "view", 0.0),
+        (2, _ts(2), 1, "click", 0.0),
+        (3, _ts(3), 1, "purchase", 0.0),
+        # user 2: purchase precedes click -> stops at click
+        (4, _ts(1), 2, "view", 0.0),
+        (5, _ts(3), 2, "click", 0.0),
+        (6, _ts(2), 2, "purchase", 0.0),
+        # user 3: click ties the view timestamp -> stops at view
+        (7, _ts(1), 3, "view", 0.0),
+        (8, _ts(1), 3, "click", 0.0),
+        # user 4: clicks without ever viewing -> no stage at all
+        (9, _ts(1), 4, "click", 0.0),
+        (10, _ts(2), 4, "purchase", 0.0),
+    ]
+    [r] = _run(spark, p6.funnel_stages, rows)
+    assert (r.n_view, r.n_click, r.n_purchase) == (3, 2, 1)
+
+
+def test_funnel_uses_first_qualifying_event(spark):
+    """Stage anchors are the FIRST qualifying events: a second, later view
+    must not re-anchor the click requirement."""
+    rows = [
+        (1, _ts(1), 1, "view", 0.0),
+        (2, _ts(5), 1, "view", 0.0),
+        (3, _ts(2), 1, "click", 0.0),   # after first view -> converts
+        (4, _ts(3), 1, "purchase", 0.0),
+    ]
+    [r] = _run(spark, p6.funnel_stages, rows)
+    assert (r.n_view, r.n_click, r.n_purchase) == (1, 1, 1)
+
+
+def test_cohort_retention_week_offsets(spark):
+    """2024-01-01 is a Monday: signup that week + activity 0/1/3 weeks out
+    lands in offsets {0, 1, 3}; pre-signup-week activity is excluded."""
+    rows = [
+        (1, _ts(3), 1, "signup", 0.0),          # week of Jan 1
+        (2, _ts(4), 1, "click", 0.0),           # offset 0
+        (3, _ts(10), 1, "view", 0.0),           # offset 1
+        (4, _ts(24), 1, "purchase", 0.0),       # offset 3
+        (5, _ts(2), 2, "click", 0.0),           # pre-signup, same week -> INCLUDED (>= cw)
+        (6, _ts(9), 2, "signup", 0.0),          # week of Jan 8
+    ]
+    got = {
+        (r.cohort_week_ms, r.week_offset): r.n_users
+        for r in _run(spark, p6.cohort_retention, rows)
+    }
+    wk1 = int(dt.datetime(2024, 1, 1).timestamp() * 1000)
+    wk2 = int(dt.datetime(2024, 1, 8).timestamp() * 1000)
+    # user 1: signup + 3 activity rows in weeks 0,0,1,3 of wk1
+    assert got[(wk1, 0)] == 1 and got[(wk1, 1)] == 1 and got[(wk1, 3)] == 1
+    # user 2: signup week wk2; the Jan-2 click is before cw -> excluded
+    assert got[(wk2, 0)] == 1
+    assert (wk2, -1) not in got and len(got) == 4
+
+
+def test_resample_ffill_carries_and_leaves_leading_nulls(spark):
+    """One observation on Jan 3 and one on Jan 10: days 1-2 stay NULL,
+    days 3-9 carry the Jan-3 value, days 10+ carry the Jan-10 value."""
+    rows = [
+        (1, _ts(3), 1, "click", 95.0),
+        (2, _ts(10), 1, "click", 99.0),
+        (3, _ts(5), 1, "view", 10.0),  # below threshold -> view series all NULL
+    ]
+    out = _run(spark, p6.resample_ffill, rows)
+    by_series = {}
+    for r in out:
+        by_series.setdefault(r.event_type, {})[r.day_idx] = r.v_filled
+    click = by_series["click"]
+    jan = dt.date(2024, 1, 3).toordinal() - dt.date(1970, 1, 1).toordinal()
+    assert click[jan - 1] is None and click[jan - 2] is None
+    assert all(click[jan + k] == 95.0 for k in range(0, 7))
+    assert all(click[jan + 7 + k] == 99.0 for k in range(0, 5))
+    assert set(by_series["view"].values()) == {None}
+    assert len(click) == 30  # full grid
+
+
+def test_profile_columns_counts_nulls_and_ndv(spark):
+    rows = [(1.0, None), (2.0, 5.0), (2.0, 5.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, "l_discount double, l_tax double")
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df), mock.patch.object(
+        p6, "PROFILE_COLS", ["l_discount", "l_tax"]
+    ):
+        out = {r.col_name: r for r in p6.profile_columns(spark, "x").collect()}
+    d = out["l_discount"]
+    assert (d.n_rows, d.n_nulls, d.ndv, d.min_v, d.max_v) == (4, 1, 2, 1.0, 2.0)
+    assert abs(d.avg_v - round(5.0 / 3, 2)) < 1e-9
+    t = out["l_tax"]
+    assert (t.n_rows, t.n_nulls, t.ndv) == (4, 1, 2)
+
+
+def test_sample_weighted_prefers_heavy_docs_and_matches_reference_key(spark):
+    """With equal hash input, larger weight ⇒ larger (closer to 0) key; and
+    the Spark key must equal the Python-recomputed A-ES key exactly."""
+    rows = [(i, "s", 100 * (i + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df):
+        got = [r.doc_id for r in p6.sample_weighted(spark, "x").collect()]
+    assert len(got) == p6.WEIGHTED_K == len(set(got))
+
+    def akey(doc_id, w):
+        h = hashlib.md5(f"{doc_id}:{p6.WEIGHTED_SEED}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / 4294967296.0
+        return math.log(u) / w
+
+    expect = sorted(rows, key=lambda r: (-akey(r[0], r[2]), r[0]))[: p6.WEIGHTED_K]
+    assert got == [r[0] for r in expect]
+
+
+def test_interarrival_gap_math(spark):
+    """Gaps partition by type and tie-break on event_id; floor vs round
+    semantics on the ms conversions are pinned."""
+    rows = [
+        (1, _ts(1, 0, 0), 1, "click", 0.0),
+        (2, _ts(1, 0, 1), 1, "click", 0.0),    # 60_000 ms
+        (3, _ts(1, 0, 4), 1, "click", 0.0),    # 180_000 ms
+        (4, _ts(1), 1, "view", 0.0),           # lone event: no gap row
+    ]
+    out = {r.event_type: r for r in _run(spark, p6.interarrival_stats, rows)}
+    c = out["click"]
+    assert (c.n_gaps, c.avg_gap_ms, c.max_gap_ms) == (2, 120_000, 180_000)
+    assert out["view"].n_gaps == 0
+
+
+def test_price_histogram_bins_cover_and_clamp(spark):
+    """min lands in bin 0, max clamps into the last bin, counts total."""
+    rows = [(float(v),) for v in [0, 1, 2, 50, 99, 100]]
+    df = spark.createDataFrame(rows, "o_totalprice double")
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df):
+        out = {r.bin: r for r in p6.price_histogram(spark, "x").collect()}
+    assert out[0].cnt == 3 and out[0].bin_min == 0.0  # 0,1,2 in [0,5)
+    assert out[p6.HIST_BINS - 1].cnt == 2  # 99 and the clamped max 100
+    assert sum(r.cnt for r in out.values()) == 6
