@@ -297,3 +297,70 @@ def test_embedding_dedup_vectorized_no_pair_join(spark, sf_correct):
         assert "FlatMapGroupsInPandas" in plan, name
         assert "Join" not in plan or "BroadcastHashJoin" in plan, name
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_funnel_single_data_shuffle_user_windows(spark, sf_correct):
+    """Funnel: ONE hash exchange on user_id feeds all three stage windows
+    AND the per-user aggregate (partitioning reuse); the only other
+    exchange is the 1-row final rollup. No join anywhere."""
+    plan = _plan(spark, sf_correct, "funnel_stages")
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+    assert "Join" not in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "WindowExec" in line:
+            assert "user_id" in line, f"unpartitioned funnel window: {line}"
+
+
+def test_cohort_retention_broadcasts_signup_dim(spark, sf_correct):
+    """The signup dimension joins broadcast — the event log is never
+    shuffled for the join, only for the final (cohort, offset) agg."""
+    plan = _plan(spark, sf_correct, "cohort_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_ffill_series_partitioned_fill(spark, sf_correct):
+    """Forward fill parallelizes across series: the window partitions by
+    event_type, and grid/obs ride broadcast joins (no shuffled join)."""
+    plan = _plan(spark, sf_correct, "resample_ffill")
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "WindowExec" in line:
+            assert "event_type" in line, f"unpartitioned fill window: {line}"
+
+
+def test_interarrival_window_and_agg_share_partitioning(spark, sf_correct):
+    """LAG window and the per-type aggregate reuse one event_type
+    exchange; the second exchange is only the tiny ordered output."""
+    plan = _plan(spark, sf_correct, "interarrival_stats")
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "WindowExec" in line:
+            assert "event_type" in line, f"unpartitioned window: {line}"
+
+
+def test_profile_columns_is_single_scan(spark, sf_correct):
+    """All per-column metrics come from ONE lineitem scan (multi-distinct
+    Expand), unpivoted in-plan — no join, no re-scan per column."""
+    plan = _plan(spark, sf_correct, "profile_columns")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_sample_weighted_is_take_ordered_no_shuffle(spark, sf_correct):
+    """A-ES sampling: map-side key + TakeOrdered heaps — zero exchanges,
+    never a global sort."""
+    plan = _plan(spark, sf_correct, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0, plan.count("Exchange")
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_price_histogram_broadcasts_bounds(spark, sf_correct):
+    """The min/max bounds ride as a broadcast one-row aggregate; the fact
+    side shuffles only for the 20-bin final agg."""
+    plan = _plan(spark, sf_correct, "price_histogram")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
