@@ -457,3 +457,87 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (add-one smoothed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, lang,
+                        string_split_regex(trim(text), '\s+') AS t
+                 FROM documents),
+    uni AS (SELECT UNNEST(t) AS w FROM tok),
+    c1 AS (SELECT w, COUNT(*) AS cnt1 FROM uni GROUP BY w),
+    v AS (SELECT COUNT(*) AS vs FROM c1),
+    big AS (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+            FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY w1, w2),
+    scored AS (
+        SELECT b.doc_id, b.lang,
+               AVG(-LN((c2.cnt2 + 1.0) / (c1.cnt1 + v.vs))) AS nll
+        FROM big b
+        JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        JOIN c1 ON b.w1 = c1.w, v
+        GROUP BY b.doc_id, b.lang),
+    banded AS (SELECT lang, CAST(FLOOR(ROUND(nll, 6)) AS BIGINT) AS nll_band
+               FROM scored)
+    SELECT lang, nll_band, COUNT(*) AS n_docs
+    FROM banded GROUP BY lang, nll_band ORDER BY lang, nll_band
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram negative log-likelihood with add-one
+    smoothing (P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)), banded per lang — the
+    order-2 upgrade of `text_unigram_logprob`: repetitive boilerplate
+    scores much lower NLL under a bigram model than under unigrams, so
+    the two bands together separate fluent text / boilerplate / gibberish.
+
+    Plan: ONE tokenization feeds both count tables (bigram counts by
+    (w1,w2), unigram counts by w1) which join back onto the bigram stream
+    as broadcasts (Zipf: distinct n-grams << corpus n-grams; at a scale
+    where the bigram vocabulary outgrows broadcast, the (w1,w2) join
+    degrades gracefully to a shuffled equi-join — same plan, one more
+    exchange). V rides as a broadcast scalar. Banding (floor of the
+    6dp-rounded NLL) pins the parallel-summation last bits on both
+    engines, exactly as the unigram query does.
+    """
+    from event_store_spark.functions.text import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", whitespace_tokens("text").alias("t"))
+    uni = tok.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt1"))
+    v = c1.agg(F.count(F.lit(1)).alias("vs"))
+    big = tok.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.w1", "p.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    scored = (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(
+                -F.log((F.col("cnt2") + F.lit(1.0)) / (F.col("cnt1") + F.col("vs")))
+            ).alias("nll")
+        )
+    )
+    return (
+        scored.select(
+            "lang", F.floor(F.round("nll", 6)).cast("bigint").alias("nll_band")
+        )
+        .groupBy("lang", "nll_band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "nll_band")
+    )

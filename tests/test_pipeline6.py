@@ -168,3 +168,43 @@ def test_price_histogram_bins_cover_and_clamp(spark):
     assert out[0].cnt == 3 and out[0].bin_min == 0.0  # 0,1,2 in [0,5)
     assert out[p6.HIST_BINS - 1].cnt == 2  # 99 and the clamped max 100
     assert sum(r.cnt for r in out.values()) == 6
+
+
+def test_bigram_logprob_add_one_smoothing(spark):
+    """Bands recomputed from first principles: corpus bigram/unigram counts
+    with add-one smoothing, per-doc mean NLL, floor(round(.,6)) banding."""
+    docs = [
+        (1, "a b a b", "en"),
+        (2, "x y", "fr"),
+        (3, "b a", "en"),
+        (4, "solo", "en"),  # single token: no bigrams -> drops out
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df):
+        got = {
+            (r.lang, r.nll_band): r.n_docs
+            for r in p6.text_bigram_logprob(spark, "x").collect()
+        }
+
+    toks = {d: t.split() for d, t, _ in docs}
+    c1: dict = {}
+    c2: dict = {}
+    for t in toks.values():
+        for w in t:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    V = len(c1)
+    expect: dict = {}
+    for (d, _, lang) in docs:
+        t = toks[d]
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            continue
+        nll = sum(
+            -math.log((c2[(a, b)] + 1.0) / (c1[a] + V)) for a, b in pairs
+        ) / len(pairs)
+        band = math.floor(round(nll, 6))
+        key = (lang, band)
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
