@@ -15,6 +15,8 @@ import math
 
 from unittest import mock
 
+from pyspark.sql import functions as F
+
 import event_store_spark.plans.pipeline6 as p6
 
 EV_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
@@ -208,3 +210,73 @@ def test_bigram_logprob_add_one_smoothing(spark):
         key = (lang, band)
         expect[key] = expect.get(key, 0) + 1
     assert got == expect
+
+
+def test_streaming_funnel_matches_batch(spark, sf_smoke, tmp_path):
+    """Stateful streaming funnel == batch funnel on ordered multi-batch
+    delivery: events split into 4 time-ordered parquet files, streamed one
+    file per trigger; final per-user stages must aggregate to the batch
+    funnel's stage counts."""
+    from event_store_spark.streaming.funnel import streaming_funnel
+    from event_store_spark.tables import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "ordered_src")
+    # 4 contiguous time slices, written oldest-first so file mtime order
+    # == event-time order (the ordered-replay delivery contract)
+    import time
+
+    bounds = [r[0] for r in events.selectExpr(
+        "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
+    ).collect()][0]
+    import os
+
+    os.makedirs(src)
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = events
+        if lo is not None:
+            part = part.where(F.col("ts").cast("double") > lo)
+        if hi is not None:
+            part = part.where(F.col("ts").cast("double") <= hi)
+        part.coalesce(1).write.parquet(str(tmp_path / f"slice{i}"))
+        import glob
+        import shutil
+
+        [f] = glob.glob(str(tmp_path / f"slice{i}" / "*.parquet"))
+        shutil.copy(f, os.path.join(src, f"{i:02d}.parquet"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql(
+        "select user_id, max_by(stage, batch) as stage from "
+        "(select *, monotonically_increasing_id() as batch from funnel_out) "
+        "group by user_id"
+    ).collect()
+    # update-mode: the LAST emitted row per user is the final state; memory
+    # sink appends in batch order, so max_by over arrival order picks it
+    stages = [r.stage for r in rows]
+    got = (
+        sum(1 for s in stages if s >= 1),
+        sum(1 for s in stages if s >= 2),
+        sum(1 for s in stages if s >= 3),
+    )
+    import event_store_spark.plans.pipeline6 as mod6
+
+    [b] = mod6.funnel_stages(spark, sf_smoke).collect()
+    assert got == (b.n_view, b.n_click, b.n_purchase)
