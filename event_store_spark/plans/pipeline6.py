@@ -541,3 +541,75 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "nll_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source distribution drift (KL divergence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_token_drift",
+    oracle=r"""
+    WITH tok AS (SELECT source,
+                        UNNEST(string_split_regex(trim(text), '\s+')) AS t
+                 FROM documents),
+    st AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY source, t),
+    s AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+    ct AS (SELECT t, SUM(c_st) AS c_t FROM st GROUP BY t),
+    n AS (SELECT SUM(c_t) AS total FROM ct),
+    terms AS (
+        SELECT st.source,
+               (CAST(st.c_st AS DOUBLE) / s.n_s)
+               * LN((CAST(st.c_st AS DOUBLE) / s.n_s)
+                    / (CAST(ct.c_t AS DOUBLE) / n.total)) AS term
+        FROM st JOIN s ON st.source = s.source
+                JOIN ct ON st.t = ct.t, n)
+    SELECT source,
+           CAST(FLOOR(ROUND(SUM(term) * 100, 6)) AS BIGINT) AS kl_centinat_band
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: KL(P_source || P_corpus) over token
+    unigram distributions, per source, in centi-nat bands — the corpus-QA
+    signal that flags a domain whose language drifted from the mixture
+    (new crawl snapshot, broken extractor, spam influx) before it
+    contaminates a training run.
+
+    Plan: ONE tokenization; (source, token) counts are the only
+    corpus-scale aggregate, and every subsequent table (per-source
+    totals, corpus token counts, corpus total) REUSES that aggregate —
+    nothing re-scans documents. Token marginals join back broadcast
+    (Zipf-bounded vocabulary); per-source totals likewise (O(#sources)).
+    Banding (floor of the 6dp-rounded centi-nats) absorbs the
+    parallel-summation last bits on both engines, per the logprob
+    queries' idiom. KL is finite by construction: every (source, token)
+    pair is a subset of the corpus support, so q > 0 wherever p > 0.
+    """
+    from event_store_spark.functions.text import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(whitespace_tokens("text")).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    ct = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    n = ct.agg(F.sum("c_t").alias("total"))
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("total")
+    terms = (
+        st.join(F.broadcast(s), "source")
+        .join(F.broadcast(ct), "t")
+        .crossJoin(F.broadcast(n))
+        .select("source", (p * F.log(p / q)).alias("term"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.floor(F.round(F.sum("term") * 100, 6))
+            .cast("bigint")
+            .alias("kl_centinat_band")
+        )
+        .orderBy("source")
+    )

@@ -280,3 +280,41 @@ def test_streaming_funnel_matches_batch(spark, sf_smoke, tmp_path):
 
     [b] = mod6.funnel_stages(spark, sf_smoke).collect()
     assert got == (b.n_view, b.n_click, b.n_purchase)
+
+
+def test_source_token_drift_kl_math(spark):
+    """KL bands recomputed from first principles; a source matching the
+    corpus mix scores near zero, a skewed one scores positive."""
+    docs = [
+        (1, "a b a b", "s_mixed"),
+        (2, "a b", "s_mixed"),
+        (3, "z z z z z z", "s_skewed"),
+        (4, "a b a b", "s_mixed2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df):
+        got = {
+            r.source: r.kl_centinat_band
+            for r in p6.source_token_drift(spark, "x").collect()
+        }
+
+    st: dict = {}
+    for _, text, src in docs:
+        for w in text.split():
+            st[(src, w)] = st.get((src, w), 0) + 1
+    n_s: dict = {}
+    c_t: dict = {}
+    for (src, w), c in st.items():
+        n_s[src] = n_s.get(src, 0) + c
+        c_t[w] = c_t.get(w, 0) + c
+    total = sum(c_t.values())
+    expect: dict = {}
+    for src in n_s:
+        kl = sum(
+            (c / n_s[src]) * math.log((c / n_s[src]) / (c_t[w] / total))
+            for (s2, w), c in st.items()
+            if s2 == src
+        )
+        expect[src] = math.floor(round(kl * 100, 6))
+    assert got == expect
+    assert got["s_skewed"] > got["s_mixed"] >= 0
