@@ -142,17 +142,23 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.date_trunc("week", "first_signup").alias("cw"))
     )
     joined = ev.join(F.broadcast(signups), "user_id").where(F.col("ts") >= F.col("cw"))
-    return (
-        joined.groupBy(
-            F.unix_millis("cw").alias("cohort_week_ms"),
-            (
-                (F.unix_millis(F.date_trunc("week", F.col("ts"))) - F.unix_millis("cw"))
-                / F.lit(604800000)
-            )
-            .cast("bigint")
-            .alias("week_offset"),
+    keyed = joined.select(
+        F.unix_millis("cw").alias("cohort_week_ms"),
+        (
+            (F.unix_millis(F.date_trunc("week", F.col("ts"))) - F.unix_millis("cw"))
+            / F.lit(604800000)
         )
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    # two-stage distinct: dedupe (cell, user) with map-side partials, then
+    # count — no COUNT(DISTINCT) buffer, strictly less shuffled data
+    return (
+        keyed.groupBy("cohort_week_ms", "week_offset", "user_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("cohort_week_ms", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week_ms", "week_offset")
     )
 
@@ -266,35 +272,49 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem measures, one row per column (the schema-quality report a
     training pipeline emits before ingesting a new drop).
 
-    Plan: ONE aggregate computes every metric for every column in a
-    single scan (the multi-distinct triggers Catalyst's Expand — x4 rows
-    mid-plan, amortized by map-side partials), then the 1-row frame is
-    unpivoted driver-free with `stack`. At 100 TB swap the exact NDVs for
-    `approx_count_distinct` (one Expand branch disappears per column);
-    exact kept here for oracle comparability.
+    Plan: one independent branch per column, unioned — each branch scans
+    ONLY its column (parquet columnar I/O: four 1-column scans read the
+    same total bytes as one 4-column scan) and computes every metric off
+    a per-value groupBy (two-phase hash agg, map-side partials). This
+    replaces the single-agg multi-distinct form, whose Expand multiplied
+    the row stream x4 through one shuffle — measured 2.3x slower at
+    sf0.1 (see PERF.md). Branches run concurrently (independent stages),
+    and per-branch shuffles carry only (value, count) pairs. At 100 TB
+    swap exact NDV for `approx_count_distinct` and the per-value groupBy
+    collapses to a plain scalar agg; exact kept for oracle parity.
+    The mean is computed as sum(v*cnt)/sum(cnt) off the value groups —
+    algebraically the same sum, banded by the 2dp round like every other
+    double aggregate in the registry.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
+    branches = []
     for c in PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-            F.min(c).cast("double").alias(f"{c}__min"),
-            F.max(c).cast("double").alias(f"{c}__max"),
-            F.round(F.avg(c), 2).alias(f"{c}__avg"),
-        ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__ndv, {c}__min, {c}__max, {c}__avg"
-        for c in PROFILE_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
-            "(col_name, n_rows, n_nulls, ndv, min_v, max_v, avg_v)"
+        per_val = (
+            li.select(F.col(c).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-    ).orderBy("col_name")
+        branches.append(
+            per_val.agg(
+                F.lit(c).alias("col_name"),
+                F.sum("cnt").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+                ).alias("n_nulls"),
+                F.count("v").alias("ndv"),
+                F.min("v").cast("double").alias("min_v"),
+                F.max("v").cast("double").alias("max_v"),
+                F.round(
+                    F.sum(F.col("v") * F.col("cnt"))
+                    / F.sum(F.when(F.col("v").isNotNull(), F.col("cnt"))),
+                    2,
+                ).alias("avg_v"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("col_name")
 
 
 # ---------------------------------------------------------------------------
@@ -506,10 +526,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from event_store_spark.functions.text import whitespace_tokens
 
+    # tokens and token pairs travel as xxhash64 longs, never as strings:
+    # count tables key on 8-byte hashes (smaller shuffles + broadcasts,
+    # codegen-friendly joins), the same fingerprint contract as
+    # duplicate_spans' word_ngram_hashes — a 64-bit collision would merge
+    # two count rows, at probability ~(distinct bigrams)^2 / 2^64
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "lang", whitespace_tokens("text").alias("t"))
-    uni = tok.select(F.explode("t").alias("w"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt1"))
+    uni = tok.select(F.explode("t").alias("w")).select(F.xxhash64("w").alias("h1"))
+    c1 = uni.groupBy("h1").agg(F.count(F.lit(1)).alias("cnt1"))
     v = c1.agg(F.count(F.lit(1)).alias("vs"))
     big = tok.select(
         "doc_id",
@@ -517,14 +542,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 "transform(slice(t, 1, size(t) - 1),"
-                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                " (x, i) -> struct(xxhash64(x) AS h1, xxhash64(x, t[i + 1]) AS h2))"
             )
         ).alias("p"),
-    ).select("doc_id", "lang", "p.w1", "p.w2")
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    ).select("doc_id", "lang", "p.h1", "p.h2")
+    c2 = big.groupBy("h2").agg(F.count(F.lit(1)).alias("cnt2"))
     scored = (
-        big.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), F.col("w1") == F.col("w"))
+        big.join(F.broadcast(c2), "h2")
+        .join(F.broadcast(c1), "h1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id", "lang")
         .agg(

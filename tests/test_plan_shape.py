@@ -340,13 +340,20 @@ def test_interarrival_window_and_agg_share_partitioning(spark, sf_correct):
             assert "event_type" in line, f"unpartitioned window: {line}"
 
 
-def test_profile_columns_is_single_scan(spark, sf_correct):
-    """All per-column metrics come from ONE lineitem scan (multi-distinct
-    Expand), unpivoted in-plan — no join, no re-scan per column."""
+def test_profile_columns_branches_are_column_pruned(spark, sf_correct):
+    """Union-per-column form: one branch per profiled column, each scan
+    pruned to exactly its column (total bytes == one 4-column scan), no
+    Expand multiplying the row stream, no join."""
+    from event_store_spark.plans.pipeline6 import PROFILE_COLS
+
     plan = _plan(spark, sf_correct, "profile_columns")
-    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
-    assert "Expand" in plan
+    assert plan.count("Scan parquet") == len(PROFILE_COLS)
+    assert "Expand" not in plan
     assert "Join" not in plan
+    import re as _re
+
+    for schema in _re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert schema.count(":") == 1, f"unpruned branch scan: {schema}"
 
 
 def test_sample_weighted_is_take_ordered_no_shuffle(spark, sf_correct):
