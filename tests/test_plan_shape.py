@@ -371,3 +371,13 @@ def test_price_histogram_broadcasts_bounds(spark, sf_correct):
     plan = _plan(spark, sf_correct, "price_histogram")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_train_merges_stays_in_codegen(spark, sf_correct):
+    """Three unrolled merge rounds: argmaxes are TakeOrdered one-row
+    broadcasts, folds are Catalyst aggregate (no Python eval anywhere),
+    and no cartesian beyond the three one-row broadcast joins."""
+    plan = _plan(spark, sf_correct, "bpe_train_merges")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4  # one-row argmax rides
