@@ -638,3 +638,81 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection
+# ---------------------------------------------------------------------------
+
+ANOMALY_Z = 2.0
+
+
+@register(
+    "event_rate_anomalies",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n_days,
+               SUM(cnt) AS s1,
+               SUM(cnt * cnt) AS s2
+        FROM daily GROUP BY event_type),
+    scored AS (
+        SELECT d.event_type,
+               date_diff('day', DATE '1970-01-01', d.day) AS day_idx,
+               d.cnt,
+               (d.cnt - CAST(st.s1 AS DOUBLE) / st.n_days)
+               / sqrt((st.s2 - CAST(st.s1 AS DOUBLE) * st.s1 / st.n_days)
+                      / (st.n_days - 1)) AS z
+        FROM daily d JOIN stats st ON d.event_type = st.event_type
+        WHERE st.n_days > 1)
+    SELECT event_type, day_idx, cnt,
+           CAST(FLOOR(ROUND(z * 100, 6)) AS BIGINT) AS z_centi_band
+    FROM scored WHERE abs(z) > {ANOMALY_Z}
+    ORDER BY event_type, day_idx
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly days per event stream: daily counts more than
+    {ANOMALY_Z} sample standard deviations from that stream's mean — the
+    operational alarm (ingestion broke / a producer went rogue) an
+    event-store operator runs continuously; A1's lag gauge catches
+    stalls, this catches rate excursions.
+
+    Determinism: mean and stddev are derived from INTEGER sums
+    (sum, sum-of-squares, n) via the explicit textbook formula rather
+    than builtin stddev — integer sums are order-independent, so both
+    engines compute bit-identical doubles and the |z| > {ANOMALY_Z} cut
+    cannot straddle engines; the emitted z is banded anyway. Plan: one
+    (type, day) hash agg over the log; per-type stats are O(#types) rows
+    joined back broadcast.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = (
+        F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(F.col("n_days") > 1)
+        .withColumn("z", z)
+        .where(F.abs("z") > ANOMALY_Z)
+        .select(
+            "event_type",
+            F.unix_date("day").cast("bigint").alias("day_idx"),
+            "cnt",
+            F.floor(F.round(F.col("z") * 100, 6)).cast("bigint").alias("z_centi_band"),
+        )
+        .orderBy("event_type", "day_idx")
+    )

@@ -116,3 +116,63 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionAll(s)
     return out.orderBy("step")
+
+
+_ENCODE_ORACLE = (
+    r"""
+    WITH s0 AS (SELECT doc_id,
+                       chr(2) || array_to_string(
+                           string_split_regex(trim(text), '\s+'),
+                           chr(2) || ' ' || chr(2)) || chr(2) AS s
+                FROM documents),"""
+    + ",".join(_round_sql(i) for i in range(1, BPE_ROUNDS + 1))
+    + f"""
+    SELECT d.lang,
+           SUM(len(string_split_regex(trim(d.text), '\\s+'))) AS tokens_before,
+           SUM(len(string_split(s{BPE_ROUNDS}.s, ' '))) AS tokens_after
+    FROM documents d JOIN s{BPE_ROUNDS} ON d.doc_id = s{BPE_ROUNDS}.doc_id
+    GROUP BY d.lang ORDER BY d.lang"""
+)
+
+
+@register("bpe_encoded_stats", oracle=_ENCODE_ORACLE)
+def bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-inference effect: per-lang corpus token counts before and
+    after applying the 3 learned merges — the compression measurement that
+    decides whether a merge table is worth shipping.
+
+    Same in-plan round chain as `bpe_train_merges` (the merge table is
+    data-dependent, so encode = re-derive merges + apply); the final fold
+    output aggregates by lang in one hash agg. Token counts are exact
+    integers — no banding needed."""
+    from event_store_spark.functions.text import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", "lang", whitespace_tokens("text").alias("w"))
+    before = F.size("w")
+    cur = cur.withColumn("_before", before)
+    for _ in range(BPE_ROUNDS):
+        pairs = cur.select(F.explode(adjacent_pairs("w")).alias("p")).select(
+            "p.t1", "p.t2"
+        )
+        m = (
+            pairs.groupBy("t1", "t2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "t1", "t2")
+            .limit(1)
+            .select(F.col("t1").alias("_mt1"), F.col("t2").alias("_mt2"))
+        )
+        cur = cur.crossJoin(F.broadcast(m)).select(
+            "doc_id",
+            "lang",
+            "_before",
+            merge_pair(F.col("w"), F.col("_mt1"), F.col("_mt2")).alias("w"),
+        )
+    return (
+        cur.groupBy("lang")
+        .agg(
+            F.sum("_before").alias("tokens_before"),
+            F.sum(F.size("w")).alias("tokens_after"),
+        )
+        .orderBy("lang")
+    )

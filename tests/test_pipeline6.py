@@ -318,3 +318,24 @@ def test_source_token_drift_kl_math(spark):
         expect[src] = math.floor(round(kl * 100, 6))
     assert got == expect
     assert got["s_skewed"] > got["s_mixed"] >= 0
+
+
+def test_event_rate_anomalies_flags_spike_day(spark):
+    """Nine 10-count days and one 100-count day: only the spike exceeds
+    2 sample stddevs (z = (100-19)/28.46 ≈ 2.85 -> band 284); a stream
+    with a single day (undefined stddev) emits nothing."""
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        n = 100 if d == 10 else 10
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, _ts(d), 1, "click", 0.0))
+    rows.append((eid + 1, _ts(1), 1, "signup", 0.0))  # 1-day stream: skipped
+    out = _run(spark, p6.event_rate_anomalies, rows)
+    assert len(out) == 1
+    r = out[0]
+    spike_idx = dt.date(2024, 1, 10).toordinal() - dt.date(1970, 1, 1).toordinal()
+    assert (r.event_type, r.day_idx, r.cnt) == ("click", spike_idx, 100)
+    expected_z = (100 - 19) / math.sqrt((10900 - 190 * 190 / 10) / 9)
+    assert r.z_centi_band == math.floor(round(expected_z * 100, 6))
