@@ -716,3 +716,134 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel + transition matrix
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_DAYS = 7
+
+
+@register(
+    "funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ct
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vt
+          AND e.ts <= v.vt + INTERVAL {FUNNEL_WINDOW_DAYS} DAY GROUP BY 1),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct
+          AND e.ts <= c.ct + INTERVAL {FUNNEL_WINDOW_DAYS} DAY GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: each stage must convert within
+    {FUNNEL_WINDOW_DAYS} days of the previous stage's anchor (the form
+    product analytics actually reports — an unbounded funnel credits a
+    purchase a year after the view).
+
+    Same single-shuffle three-window plan as `funnel_stages`; the
+    deadline is one more predicate inside each stage's conditional min.
+    """
+    w = W.partitionBy("user_id")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    staged = (
+        ev.withColumn(
+            "vt", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "ct",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("vt"))
+                    & (F.col("ts") <= F.col("vt") + win),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "pt",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("ct"))
+                    & (F.col("ts") <= F.col("ct") + win),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("vt").alias("vt"), F.max("ct").alias("ct"), F.max("pt").alias("pt")
+    )
+    return per_user.agg(
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_click"),
+        F.count("pt").alias("n_purchase"),
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events),
+    t AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type),
+    tot AS (SELECT prev_type, SUM(cnt) AS row_total FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.cnt,
+           CAST(FLOOR(10000.0 * t.cnt / tot.row_total) AS BIGINT) AS p_bp
+    FROM t JOIN tot ON t.prev_type = tot.prev_type
+    ORDER BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts and row-normalized
+    probabilities (basis points) of consecutive event-type pairs per user
+    — the Markov/Sankey view of the event log.
+
+    Plan: ONE shuffle on user_id for the LAG window (deterministic
+    (ts, event_id) order), then a (prev, next) hash agg; row totals are
+    O(#types^2) rows aggregated from the transition counts themselves and
+    joined back broadcast — nothing re-scans the log. The basis-point
+    floor is integer-exact on both engines.
+    """
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("cnt").alias("row_total"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            F.floor(10000.0 * F.col("cnt") / F.col("row_total"))
+            .cast("bigint")
+            .alias("p_bp"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

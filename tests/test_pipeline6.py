@@ -339,3 +339,40 @@ def test_event_rate_anomalies_flags_spike_day(spark):
     assert (r.event_type, r.day_idx, r.cnt) == ("click", spike_idx, 100)
     expected_z = (100 - 19) / math.sqrt((10900 - 190 * 190 / 10) / 9)
     assert r.z_centi_band == math.floor(round(expected_z * 100, 6))
+
+
+def test_funnel_windowed_enforces_deadline(spark):
+    """A click 8 days after the first view misses the 7-day window; a
+    click 6 days after converts, and its purchase clock restarts."""
+    rows = [
+        (1, _ts(1), 1, "view", 0.0),
+        (2, _ts(9), 1, "click", 0.0),    # 8 days: too late
+        (3, _ts(1), 2, "view", 0.0),
+        (4, _ts(7), 2, "click", 0.0),    # 6 days: converts
+        (5, _ts(15), 2, "purchase", 0.0),  # 8 days after click: too late
+        (6, _ts(1), 3, "view", 0.0),
+        (7, _ts(5), 3, "click", 0.0),
+        (8, _ts(10), 3, "purchase", 0.0),  # 5 days after click: converts
+    ]
+    [r] = _run(spark, p6.funnel_windowed, rows)
+    assert (r.n_view, r.n_click, r.n_purchase) == (3, 2, 1)
+
+
+def test_event_transitions_counts_and_bp(spark):
+    """user 1: view->click->view; user 2: view->click. Transition rows:
+    view->click x2 (from row-total 2 -> 10000bp), click->view x1."""
+    rows = [
+        (1, _ts(1), 1, "view", 0.0),
+        (2, _ts(2), 1, "click", 0.0),
+        (3, _ts(3), 1, "view", 0.0),
+        (4, _ts(1), 2, "view", 0.0),
+        (5, _ts(2), 2, "click", 0.0),
+    ]
+    got = {
+        (r.prev_type, r.next_type): (r.cnt, r.p_bp)
+        for r in _run(spark, p6.event_transitions, rows)
+    }
+    assert got == {
+        ("view", "click"): (2, 10000),
+        ("click", "view"): (1, 10000),
+    }
