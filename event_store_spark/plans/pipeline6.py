@@ -348,6 +348,11 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition top-k heaps merged on the
     driver) — no global sort, no RNG state. doc_id tiebreak makes the
     order total even under (impossible-in-fixture) key collisions.
+
+    A non-positive weight would make the key NULL/degenerate — and the
+    two engines order NULLs on opposite ends under DESC — so it fails
+    loudly inside the executed plan instead (the epoch_shuffle guard
+    idiom).
     """
     u = (
         F.conv(
@@ -361,12 +366,64 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         + 1
     ) / F.lit(4294967296.0)
+    weight = F.when(
+        F.col("n_chars").isNull() | (F.col("n_chars") <= 0),
+        F.raise_error(
+            F.lit("sample_weighted: weight must be > 0 (got null or <= 0)")
+        ).cast("bigint"),
+    ).otherwise(F.col("n_chars"))
     return (
         load_table(spark, sf_dir, "documents")
-        .withColumn("akey", F.log(u) / F.col("n_chars"))
+        .withColumn("akey", F.log(u) / weight)
         .orderBy(F.col("akey").desc(), "doc_id")
         .select("doc_id", "source", "n_chars")
         .limit(WEIGHTED_K)
+    )
+
+
+@register(
+    "sample_weighted_stratified",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                 || ':{WEIGHTED_SEED}'), 1, 8))::BIGINT + 1)
+                             / 4294967296.0) / n_chars DESC, doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 10 ORDER BY lang, doc_id
+    """,
+)
+def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sample: the A-ES key of `sample_weighted`,
+    taken top-10 PER LANG via a lang-partitioned row_number — k weighted
+    picks from every stratum in one pass, reproducible at any
+    parallelism (the per-language balanced-selection step a multilingual
+    corpus build runs after quality gating).
+
+    Plan: map-side key + window partitioned by lang (parallel across
+    strata; rank-then-filter stops mattering past k, same posture note
+    as source_quota)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{WEIGHTED_SEED}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    w = W.partitionBy("lang").orderBy((F.log(u) / F.col("n_chars")).desc(), "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
     )
 
 

@@ -376,3 +376,43 @@ def test_event_transitions_counts_and_bp(spark):
         ("view", "click"): (2, 10000),
         ("click", "view"): (1, 10000),
     }
+
+
+def test_sample_weighted_raises_on_nonpositive_weight(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(1, "s", 100), (2, "s", 0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df):
+        with pytest.raises(Exception) as ei:
+            p6.sample_weighted(spark, "x").collect()
+    assert "weight must be > 0" in str(ei.value)
+
+
+def test_sample_weighted_stratified_topk_per_lang(spark):
+    """Every lang contributes exactly min(10, docs-in-lang) rows, and the
+    picks per lang are the top A-ES keys recomputed in Python."""
+    rows = [(i, ["en", "fr"][i % 2], 100 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df):
+        out = _run_df(spark, p6.sample_weighted_stratified)
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert all(len(v) == 10 for v in by_lang.values())
+
+    def akey(doc_id, w):
+        h = hashlib.md5(f"{doc_id}:{p6.WEIGHTED_SEED}".encode()).hexdigest()
+        return math.log((int(h[:8], 16) + 1) / 4294967296.0) / w
+
+    for lang in ("en", "fr"):
+        pool = [(i, n) for i, l, n in rows if l == lang]
+        want = sorted(
+            sorted(pool, key=lambda r: (-akey(r[0], r[1]), r[0]))[:10]
+        )
+        assert sorted(by_lang[lang]) == [i for i, _ in want]
+
+
+def _run_df(spark, fn):
+    return fn(spark, "ignored").collect()
