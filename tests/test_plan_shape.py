@@ -381,3 +381,16 @@ def test_bpe_train_merges_stays_in_codegen(spark, sf_correct):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 4  # one-row argmax rides
+
+
+def test_decorrelated_queries_never_rescan_or_degenerate(spark, sf_correct):
+    """q58/q59/q60: hand-decorrelated correlated subqueries — no
+    cartesian, no sort-merge (thresholds/dims ride broadcast), and q59's
+    per-part total is a window over its own aggregate lineage (exactly
+    ONE lineitem scan; the two-aggregation join form scanned it twice)."""
+    for name in ("q58", "q59", "q60"):
+        plan = _plan(spark, sf_correct, name)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+    q59 = _plan(spark, sf_correct, "q59")
+    assert q59.count("Scan parquet") == 2  # lineitem once + supplier
