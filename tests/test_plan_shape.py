@@ -373,14 +373,25 @@ def test_price_histogram_broadcasts_bounds(spark, sf_correct):
     assert "CartesianProduct" not in plan
 
 
-def test_bpe_train_merges_stays_in_codegen(spark, sf_correct):
-    """Three unrolled merge rounds: argmaxes are TakeOrdered one-row
-    broadcasts, folds are Catalyst aggregate (no Python eval anywhere),
-    and no cartesian beyond the three one-row broadcast joins."""
+def test_bpe_chain_is_checkpointed_and_shared(spark, sf_correct):
+    """The 3-round build is memoized per (session, sf_dir) and each
+    round is checkpointed, so (a) `bpe_train_merges` reads three one-row
+    checkpointed argmaxes — no corpus parquet rescan, no Python eval —
+    and (b) `bpe_encoded_stats` is ONE hash agg over the shared merged
+    corpus, not a re-derivation of the merge chain."""
+    from event_store_spark.plans import pipeline7 as p7
+
+    memo = p7._BPE_MEMO.get(spark)
+    if memo is not None:
+        memo.pop(sf_correct, None)  # force a fresh build
     plan = _plan(spark, sf_correct, "bpe_train_merges")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "TakeOrderedAndProject" in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 4  # one-row argmax rides
+    assert "Scan parquet" not in plan  # rides the checkpointed argmaxes
+    assert plan.count("Scan ExistingRDD") == 3
+    stats = _plan(spark, sf_correct, "bpe_encoded_stats")
+    assert "Scan parquet" not in stats  # memo hit: shared merged corpus
+    assert "Scan ExistingRDD" in stats
+    assert stats.count("HashAggregate") == 2  # partial + final, nothing else
 
 
 def test_decorrelated_queries_never_rescan_or_degenerate(spark, sf_correct):
@@ -394,3 +405,51 @@ def test_decorrelated_queries_never_rescan_or_degenerate(spark, sf_correct):
         assert "SortMergeJoin" not in plan, name
     q59 = _plan(spark, sf_correct, "q59")
     assert q59.count("Scan parquet") == 2  # lineitem once + supplier
+
+
+def test_pivot_has_no_domain_discovery_job(spark, sf_correct):
+    """pivot() is called with the explicit value list, so the plan is one
+    aggregation pipeline (base agg + pivotfirst) — no separate
+    distinct-collect job to discover the pivot domain, no Expand."""
+    plan = _plan(spark, sf_correct, "pivot_line_status")
+    assert "pivotfirst" in plan
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 3  # two agg stages + output sort
+
+
+def test_concurrency_peak_sweep_is_day_segmented(spark, sf_correct):
+    """The sweep line is the two-pass distributed prefix-sum: the
+    running-sum window partitions by (event_type, day) — never by
+    event_type alone over raw points — and the carry window runs over
+    the collapsed per-day table."""
+    plan = _plan(spark, sf_correct, "concurrency_peak")
+    windows = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert len(windows) == 2
+    point_sweep = [w for w in windows if "delta" in w]
+    assert point_sweep and all("day" in w for w in point_sweep), (
+        "point-level running sum must be day-segmented: %s" % point_sweep
+    )
+
+
+def test_twa_window_and_agg_share_partitioning(spark, sf_correct):
+    """time_weighted_avg: one exchange on event_type feeds both the LEAD
+    window and the final hash agg; sums are decimal (exact), no Python."""
+    plan = _plan(spark, sf_correct, "time_weighted_avg")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "decimal(38,0)" in plan
+
+
+def test_gap_islands_collapses_before_window(spark, sf_correct):
+    """gap_islands: the distinct (user, day) agg sits BELOW the
+    row_number window (events collapse before any per-user sort), and
+    the top-100 is TakeOrdered, not a global sort."""
+    plan = _plan(spark, sf_correct, "gap_islands")
+    assert "TakeOrderedAndProject" in plan
+    win = plan.index("windowspecdefinition")
+    # the (user_id, day) distinct exchange must appear below the window
+    below = plan[win:]
+    assert "Exchange hashpartitioning(user_id" in below
+    assert "day" in below[below.index("Exchange") :]
