@@ -1,10 +1,10 @@
 """Event-timeline analytics + OLAP pivot, round-5 extension.
 
-Four operators a production event store gets queried with that the
+Operators a production event store gets queried with that the
 inventory didn't yet cover:
 
-- `pivot_line_status` — a pivot table (wide conditional aggregation),
-  the one grouping-sets shape q12 (ROLLUP) / q13 (CUBE) didn't cover.
+- `pivot_line_status` — multi-measure pivot table (q38 covers the
+  single-measure form; this pins the two-aggregate pivotfirst path).
 - `concurrency_peak` — peak simultaneous activity via a SEGMENTED
   sweep-line: the classic "max concurrent sessions" query, implemented
   as the two-pass distributed prefix-sum (per-day local sweeps + an
@@ -14,6 +14,15 @@ inventory didn't yet cover:
   over-weights bursts).
 - `gap_islands` — per-user longest consecutive-day activity streak
   (gaps-and-islands), the canonical retention/engagement metric.
+- `ohlc_bars` — open/high/low/close candlestick resampling via
+  min_by/max_by on a total-order key (no window, one agg).
+- `ewma_value` — exponentially-weighted moving average as an identical
+  left fold in both engines (bit-exact doubles, no banding).
+- `rfm_scores` — recency/frequency/monetary segmentation against
+  broadcast exact-quartile thresholds (no global ntile sort).
+- `user_paths` — top first-3-event sequences per user (path mining).
+- `quartiles_exact` — exact per-group quartiles, the counterpart of
+  the GK sketch in `approx_price_quantiles`.
 
 Reference parity: these consume the ordered event log the reference
 exposes via subscribe (`ReactorKafkaEventStore.java:95-118`); the
@@ -280,4 +289,287 @@ def gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("longest_streak").desc(), "user_id")
         .limit(100)
+    )
+
+
+# ------------------------------------------------------------- OHLC bars
+
+@register(
+    "ohlc_bars",
+    oracle="""
+    WITH k AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+        FROM events)
+    SELECT event_type, day,
+           arg_min(value, sk) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, sk) AS close,
+           COUNT(*) AS volume,
+           ROUND(SUM(value), 2) AS turnover
+    FROM k GROUP BY event_type, day ORDER BY event_type, day
+    """,
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick resampling: per (event_type, day) the open (first
+    value), high, low, close (last value), volume and turnover — the
+    canonical time-series downsampling every monitoring/market store
+    ships as a built-in rollup.
+
+    First/last are argmin/argmax over a FIXED-WIDTH zero-padded
+    (epoch_us, event_id) string key, so lexicographic order equals
+    numeric order and ties are impossible (event_id is unique) — the
+    result is engine-independent without any window or sort: ONE hash
+    aggregate with map-side partials, no shuffle beyond it. At 100 TB
+    this is the shape you want — min_by/max_by fold in the combiner,
+    where a first_value window would sort every group."""
+    ev = _events(spark, sf_dir)
+    sk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "value",
+            sk.alias("sk"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", "sk").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "sk").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum("value"), 2).alias("turnover"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ----------------------------------------------------------------- EWMA
+
+@register(
+    "ewma_value",
+    oracle="""
+    SELECT event_type,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> 0.1 * x + 0.9 * acc) AS ewma,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 0.1) of `value` per
+    event_type, folded over the stream in timestamp order — the
+    smoothing step behind every alerting threshold.
+
+    EWMA is inherently sequential (e_i = αx_i + (1−α)e_{i−1}), so both
+    engines run the IDENTICAL left fold — Spark as a Catalyst
+    `aggregate` over the chronologically sorted value array, DuckDB as
+    `list_reduce` over `list(... ORDER BY)` — seeded with the first
+    element and applying `0.1*x + 0.9*acc` in the same order, giving
+    bit-identical doubles with no banding.
+
+    Scale posture: one shuffle on event_type, then collect_list holds
+    ONE series per group in memory — the same bounded-series contract
+    as `resample_ffill` (a series that doesn't fit one executor needs
+    the segmented-carry form: per-segment folds + an O(#segments)
+    recombination pass using ewma's affine composition)."""
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
+    )
+    vals = F.transform(F.col("_vals"), lambda s: s["v"])
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(arr.alias("_vals"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.aggregate(
+                F.slice(vals, 2, F.size(vals) - 1),
+                F.element_at(vals, 1),
+                lambda acc, x: F.lit(0.1) * x + F.lit(0.9) * acc,
+            ).alias("ewma"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------------------ RFM scores
+
+@register(
+    "rfm_scores",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS r,
+               COUNT(*) AS f,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m
+        FROM orders GROUP BY o_custkey),
+    q AS (
+        SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rq,
+               quantile_cont(f, [0.25, 0.5, 0.75]) AS fq,
+               quantile_cont(m, [0.25, 0.5, 0.75]) AS mq
+        FROM cust)
+    SELECT CAST(1 + (r > rq[1])::INT + (r > rq[2])::INT + (r > rq[3])::INT
+                AS INT) || '-' ||
+           CAST(1 + (f > fq[1])::INT + (f > fq[2])::INT + (f > fq[3])::INT
+                AS INT) || '-' ||
+           CAST(1 + (m > mq[1])::INT + (m > mq[2])::INT + (m > mq[3])::INT
+                AS INT) AS segment,
+           COUNT(*) AS n_customers
+    FROM cust, q
+    GROUP BY segment ORDER BY n_customers DESC, segment LIMIT 25
+    """,
+)
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer scored 1–4 on Recency (last order
+    day), Frequency (order count) and Monetary (lifetime cents), top
+    segments by population — the canonical CRM cohorting query.
+
+    Scored against exact QUARTILE THRESHOLDS broadcast to every row —
+    NOT a global ntile window, which at 100 TB is a single-reducer sort
+    over all customers. Quartile fracs are dyadic (0.25/0.5/0.75), so
+    the interpolation `a + (b−a)·f` over integer metrics is EXACT in
+    double for both engines — no FP divergence, no banding. Metrics are
+    integers (epoch days, counts, cents from per-order rounding).
+
+    Plan: one hash agg on o_custkey → one O(1)-row percentile aggregate
+    riding back as a broadcast → map-side scoring → one agg on the 64
+    possible segments."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))).alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("m"),
+    )
+    q = cust.agg(
+        F.expr("percentile(r, array(0.25D, 0.5D, 0.75D))").alias("rq"),
+        F.expr("percentile(f, array(0.25D, 0.5D, 0.75D))").alias("fq"),
+        F.expr("percentile(m, array(0.25D, 0.5D, 0.75D))").alias("mq"),
+    )
+
+    def score(col: str, th: str):
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + (F.col(col) > F.element_at(F.col(th), i)).cast("int")
+        return s.cast("int").cast("string")
+
+    return (
+        cust.crossJoin(F.broadcast(q))
+        .select(
+            F.concat_ws(
+                "-", score("r", "rq"), score("f", "fq"), score("m", "mq")
+            ).alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "segment")
+        .limit(25)
+    )
+
+
+# ------------------------------------------------------------ user paths
+
+@register(
+    "user_paths",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    p AS (
+        SELECT user_id,
+               string_agg(event_type, '->' ORDER BY rn) AS path,
+               COUNT(*) AS n
+        FROM r WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, COUNT(*) AS n_users
+    FROM p WHERE n = 3
+    GROUP BY path ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 10 opening event sequences: each user's first three events
+    (by timestamp, event_id tie-break) joined into a path string,
+    ranked by how many users share it — entry-path mining, the first
+    question asked of any product event log.
+
+    Plan: one shuffle on user_id for the row_number window, rows
+    beyond rank 3 dropped BEFORE the per-user aggregation (the
+    filter-early step that matters at 100 TB — the path agg sees at
+    most 3 rows per user), paths counted in one hash agg over ≤
+    |event_types|³ keys, top-10 via TakeOrdered."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    paths = (
+        first3.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", F.col("event_type").alias("et")))
+                    ),
+                    lambda s: s["et"],
+                ),
+                "->",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == 3)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------- exact quartiles
+
+@register(
+    "quartiles_exact",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_type,
+           quantile_cont(cents, 0.25) / 100.0 AS q1,
+           quantile_cont(cents, 0.5) / 100.0 AS median,
+           quantile_cont(cents, 0.75) / 100.0 AS q3,
+           COUNT(*) AS n
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type quartiles of `value` — the exact counterpart of
+    `approx_price_quantiles` (GK sketch): small-cardinality group-by
+    where exact sort-based percentiles are affordable, sketches where
+    they aren't.
+
+    Determinism: quartile fracs are dyadic, inputs are integer cents,
+    so linear interpolation is exact in double for both engines (same
+    argument as `rfm_scores`); the final /100 is one IEEE division of
+    identical doubles. Spark's `percentile` aggregates per group —
+    no window, one shuffle on event_type."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            (F.expr("percentile(cents, 0.25D)") / 100.0).alias("q1"),
+            (F.expr("percentile(cents, 0.5D)") / 100.0).alias("median"),
+            (F.expr("percentile(cents, 0.75D)") / 100.0).alias("q3"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
     )

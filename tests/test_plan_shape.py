@@ -453,3 +453,43 @@ def test_gap_islands_collapses_before_window(spark, sf_correct):
     below = plan[win:]
     assert "Exchange hashpartitioning(user_id" in below
     assert "day" in below[below.index("Exchange") :]
+
+
+def test_ohlc_bars_is_one_agg_no_window(spark, sf_correct):
+    """OHLC first/last ride min_by/max_by on a total-order key inside
+    ONE hash aggregate — no window sort anywhere in the plan."""
+    plan = _plan(spark, sf_correct, "ohlc_bars")
+    assert "windowspecdefinition" not in plan
+    assert "min_by" in plan and "max_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_fold_stays_in_codegen(spark, sf_correct):
+    """The EWMA left fold is a Catalyst aggregate over the sorted value
+    array — no Python eval, one shuffle on event_type."""
+    plan = _plan(spark, sf_correct, "ewma_value")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "aggregate(" in plan  # the Catalyst fold expression
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rfm_thresholds_ride_broadcast_no_ntile(spark, sf_correct):
+    """RFM scoring joins the one-row quartile aggregate by broadcast and
+    never sorts customers globally (no window at all)."""
+    plan = _plan(spark, sf_correct, "rfm_scores")
+    assert "windowspecdefinition" not in plan  # no global ntile sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_user_paths_window_partitioned_rank_filtered(spark, sf_correct):
+    """Path mining: the row_number window partitions by user_id, and the
+    rank-≤3 filter sits between window and aggregation (the agg never
+    sees more than 3 rows per user)."""
+    plan = _plan(spark, sf_correct, "user_paths")
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line, f"unpartitioned window: {line}"
+    win = plan.index("windowspecdefinition")
+    assert "Filter (rn" in plan[:win] or "_we0" in plan[:win]
