@@ -1,5 +1,6 @@
 """Reusable DataFrame-level operators (beyond per-query plans)."""
 
+from event_store_spark.operators.ewma import ewma_segmented
 from event_store_spark.operators.graph import connected_components
 from event_store_spark.operators.temporal import (
     asof_join,
@@ -11,6 +12,7 @@ from event_store_spark.operators.temporal import (
 __all__ = [
     "asof_join",
     "connected_components",
+    "ewma_segmented",
     "interval_join",
     "sessionize",
     "sessionize_stream",
