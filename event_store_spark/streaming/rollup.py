@@ -55,7 +55,18 @@ class ContinuousRollup:
     guarantee single ownership). Readers are always safe: they only follow
     the committed pointer, and ``_KEEP_VERSIONS`` superseded versions stay
     on disk for readers mid-swap.
+
+    Subclass hook: the maintained aggregate is whatever
+    :meth:`_aggregate` returns (any streaming aggregation whose state
+    merges in update mode), with ``_VALUE_COLS`` / ``_EMPTY_SCHEMA``
+    naming its output — see :class:`ContinuousOHLC`.
     """
+
+    #: value columns the rollup table carries beyond (win_start, event_type)
+    _VALUE_COLS = ["cnt", "sum_value"]
+    _EMPTY_SCHEMA = (
+        "win_start timestamp, event_type string, cnt bigint, sum_value double"
+    )
 
     def __init__(
         self,
@@ -107,9 +118,7 @@ class ContinuousRollup:
         elif version not in self.versions():
             raise ValueError(f"unknown rollup version {version!r}")
         if version is None:
-            return self.spark.createDataFrame(
-                [], "win_start timestamp, event_type string, cnt bigint, sum_value double"
-            )
+            return self.spark.createDataFrame([], self._EMPTY_SCHEMA)
         return self.spark.read.parquet(os.path.join(self.target_path, version))
 
     # ---------------------------------------------------------------- running
@@ -118,8 +127,7 @@ class ContinuousRollup:
         updates = batch_df.select(
             F.col("window.start").alias("win_start"),
             "event_type",
-            "cnt",
-            "sum_value",
+            *self._VALUE_COLS,
         )
         current = self._current_version()
         version = f"_v{batch_id}"
@@ -173,17 +181,7 @@ class ContinuousRollup:
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         stream = reader.parquet(self.source_path)
-        agg = (
-            stream.withWatermark("ts", self.watermark_delay)
-            .groupBy(
-                F.window("ts", self.window_duration).alias("window"),
-                "event_type",
-            )
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum("value").alias("sum_value"),
-            )
-        )
+        agg = self._aggregate(stream)
         writer = (
             agg.writeStream.outputMode("update")
             .option("checkpointLocation", self.checkpoint)
@@ -197,3 +195,63 @@ class ContinuousRollup:
         """Process everything currently in the source, then stop."""
         q = self.start(available_now=True)
         q.awaitTermination()
+
+    # ------------------------------------------------------------- aggregate
+
+    def _aggregate(self, stream: DataFrame) -> DataFrame:
+        """The maintained aggregation (q36 shape): override in subclasses
+        to maintain a different windowed aggregate — anything whose state
+        merges under update mode qualifies."""
+        return (
+            stream.withWatermark("ts", self.watermark_delay)
+            .groupBy(
+                F.window("ts", self.window_duration).alias("window"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+
+
+class ContinuousOHLC(ContinuousRollup):
+    """Incrementally-maintained OHLC candlestick bars — the streaming twin
+    of `plans.pipeline8.ohlc_bars` at window granularity.
+
+    Open/close are min_by/max_by over the same fixed-width zero-padded
+    (epoch_us, event_id) total-order key as the batch query, so first/last
+    are deterministic regardless of arrival or merge order — which is what
+    makes the aggregate safe to maintain incrementally: min_by/max_by
+    buffers merge associatively in the state store, so a bar's open/close
+    converge to the same values however the stream is micro-batched.
+    Inherits the versioned-parquet upsert, idempotent replay, and
+    watermark late-drop machinery unchanged."""
+
+    _VALUE_COLS = ["open", "high", "low", "close", "volume", "turnover"]
+    _EMPTY_SCHEMA = (
+        "win_start timestamp, event_type string, open double, high double, "
+        "low double, close double, volume bigint, turnover double"
+    )
+
+    def _aggregate(self, stream: DataFrame) -> DataFrame:
+        sk = F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        )
+        return (
+            stream.withWatermark("ts", self.watermark_delay)
+            .withColumn("_sk", sk)
+            .groupBy(
+                F.window("ts", self.window_duration).alias("window"),
+                "event_type",
+            )
+            .agg(
+                F.min_by("value", "_sk").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", "_sk").alias("close"),
+                F.count(F.lit(1)).alias("volume"),
+                F.sum("value").alias("turnover"),
+            )
+        )
