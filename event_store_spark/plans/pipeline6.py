@@ -274,41 +274,33 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one independent branch per column, unioned — each branch scans
     ONLY its column (parquet columnar I/O: four 1-column scans read the
-    same total bytes as one 4-column scan) and computes every metric off
-    a per-value groupBy (two-phase hash agg, map-side partials). This
-    replaces the single-agg multi-distinct form, whose Expand multiplied
-    the row stream x4 through one shuffle — measured 2.3x slower at
-    sf0.1 (see PERF.md). Branches run concurrently (independent stages),
-    and per-branch shuffles carry only (value, count) pairs. At 100 TB
-    swap exact NDV for `approx_count_distinct` and the per-value groupBy
-    collapses to a plain scalar agg; exact kept for oracle parity.
-    The mean is computed as sum(v*cnt)/sum(cnt) off the value groups —
-    algebraically the same sum, banded by the 2dp round like every other
-    double aggregate in the registry.
+    same total bytes as one 4-column scan) and computes every metric in
+    ONE scalar aggregate whose single `count_distinct` Catalyst rewrites
+    into the standard two-phase distinct aggregation (partial agg keyed
+    by value, then the scalar fold) — no Expand, because each branch has
+    exactly one distinct aggregate. The single-branch multi-distinct
+    form, whose Expand multiplied the row stream x4 through one shuffle,
+    measured 2.3x slower at sf0.1 (PERF.md); the previous hand-rolled
+    per-value-groupBy-then-fold form measured 0.73 s warm vs 0.64 s for
+    this one (5-rep medians — the rewrite fuses the fold into the final
+    aggregate instead of a separate stage). Branches run concurrently
+    (independent stages), and per-branch shuffles carry only (value,
+    partial) pairs. At 100 TB swap exact NDV for
+    `approx_count_distinct` and the branch collapses to a pure map-side
+    scalar agg; exact kept for oracle parity.
     """
     li = load_table(spark, sf_dir, "lineitem")
     branches = []
     for c in PROFILE_COLS:
-        per_val = (
-            li.select(F.col(c).alias("v"))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
         branches.append(
-            per_val.agg(
+            li.select(F.col(c).alias("v")).agg(
                 F.lit(c).alias("col_name"),
-                F.sum("cnt").alias("n_rows"),
-                F.coalesce(
-                    F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
-                ).alias("n_nulls"),
-                F.count("v").alias("ndv"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+                F.count_distinct(F.col("v")).alias("ndv"),
                 F.min("v").cast("double").alias("min_v"),
                 F.max("v").cast("double").alias("max_v"),
-                F.round(
-                    F.sum(F.col("v") * F.col("cnt"))
-                    / F.sum(F.when(F.col("v").isNotNull(), F.col("cnt"))),
-                    2,
-                ).alias("avg_v"),
+                F.round(F.avg("v"), 2).alias("avg_v"),
             )
         )
     out = branches[0]
