@@ -1,0 +1,132 @@
+"""Graph-analytics queries: PageRank over the event-type transition graph.
+
+The reference engine has no graph surface (SURVEY §2) — the repo's graph
+operators belong to the analytics/LLM-pipeline family: duplicate-cluster
+resolution uses `operators.graph.connected_components`, and the
+link-importance query below ranks the nodes of a weighted directed graph
+the way a crawl-frontier or source-prioritization pass ranks domains by
+citation structure.
+
+Determinism contract: PageRank runs a FIXED number of synchronous power
+steps (`operators.graph.pagerank`), so the oracle is the same recurrence
+unrolled into chained CTEs — identical IEEE products on both engines,
+differing only in summation order, which the `FLOOR(ROUND(rank*1e8, 4))`
+band absorbs (the registry's standard float-band idiom). The teleport term
+is written as the SAME float expression `(1.0 - 0.85)` on both sides so
+both engines evaluate the identical double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+#: fixed power-step count for the registered query — a production caller
+#: loops on the L1 delta between successive outputs instead (operator
+#: docstring)
+PR_ITERATIONS = 4
+PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled weighted power iteration as chained CTEs (DuckDB).
+
+    Mirrors `operators.graph.pagerank` term for term: uniform start,
+    out-weight row normalization, uniform redistribution of dangling mass
+    (nodes with no outgoing transitions — the scalar subquery evaluates to
+    0 when none exist, and adding +0.0 is an IEEE no-op, so the SQL stays
+    valid whether or not the engine takes its dangling branch).
+    """
+    sql = f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events),
+    t AS (SELECT prev_type AS src, event_type AS dst, COUNT(*) AS wt
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    n AS (SELECT src AS node FROM t UNION SELECT dst FROM t),
+    nn AS (SELECT COUNT(*) AS c FROM n),
+    deg AS (SELECT src, SUM(CAST(wt AS DOUBLE)) AS d FROM t GROUP BY src),
+    ew AS (SELECT t.src, t.dst, CAST(t.wt AS DOUBLE) / deg.d AS w
+           FROM t JOIN deg USING (src)),
+    dang AS (SELECT node FROM n
+             WHERE node NOT IN (SELECT src FROM t)),
+    r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM n)"""
+    for i in range(1, PR_ITERATIONS + 1):
+        sql += f""",
+    r{i} AS (SELECT n.node,
+                    (1.0 - {PR_DAMPING}) / (SELECT c FROM nn)
+                    + {PR_DAMPING} * (COALESCE(s.s, 0)
+                        + (SELECT COALESCE(SUM(r.rank), 0)
+                           FROM r{i - 1} r JOIN dang USING (node))
+                          / (SELECT c FROM nn)) AS rank
+             FROM n LEFT JOIN (
+                 SELECT ew.dst AS node, SUM(r{i - 1}.rank * ew.w) AS s
+                 FROM ew JOIN r{i - 1} ON ew.src = r{i - 1}.node
+                 GROUP BY ew.dst) s USING (node))"""
+    sql += f"""
+    SELECT node, CAST(FLOOR(ROUND(rank * 100000000, 4)) AS BIGINT) AS rank_e8
+    FROM r{PR_ITERATIONS}
+    ORDER BY rank_e8 DESC, node"""
+    return sql
+
+
+@register("pagerank_events", oracle=_pagerank_oracle())
+def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event types ranked by weighted PageRank over the user-journey
+    transition graph (every consecutive event pair per user is a directed
+    edge, weighted by its frequency — the same edge table
+    `event_transitions` reports as a matrix).
+
+    The stationary-importance view of the behavioral graph: an event type
+    is central if frequent transitions arrive from other central types —
+    first-order counts can't distinguish a type reached from everywhere
+    from one reached only via a single hub.
+
+    Plan: ONE shuffle on user_id for the LAG window builds the weighted
+    edge list, which is eagerly checkpointed ONCE (the operator derives
+    nodes / out-weights / dangling set from the checkpoint instead of
+    re-running the window three times); each power step is then a
+    broadcast join + tiny aggregate over the O(#types²) edge table. See
+    `operators.graph.pagerank` for the 100 TB contract (edge table built
+    once, per-step shuffle carries only partial sums, lineage truncated
+    every `checkpoint_every` steps); `tests/test_pagerank.py` pins the
+    operator against a NumPy power-iteration reference including dangling
+    redistribution, and exercises the million-edge bipartite ship graph.
+    """
+    from event_store_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    edges = (
+        seq.groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = pagerank(
+        edges,
+        damping=PR_DAMPING,
+        iterations=PR_ITERATIONS,
+        checkpoint_every=PR_ITERATIONS,
+    )
+    return (
+        ranks.select(
+            "node",
+            F.floor(F.round(F.col("rank") * F.lit(100000000.0), 4))
+            .cast("bigint")
+            .alias("rank_e8"),
+        )
+        .orderBy(F.col("rank_e8").desc(), "node")
+    )

@@ -1,0 +1,147 @@
+"""PageRank operator: exactness vs a NumPy power-iteration reference,
+dangling-mass redistribution, and bounded-lineage iteration.
+
+The operator's contract is EXACT fixed-iteration power steps (not
+approximate convergence), so the reference comparison uses a tight
+tolerance: both sides compute the same IEEE products, differing only in
+summation order (~1e-15 relative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(n, edge_list, damping, iterations):
+    """Dense reference: synchronous power iteration with uniform dangling
+    redistribution, from the uniform vector."""
+    out = {u: [] for u in range(n)}
+    for u, v in edge_list:
+        out[u].append(v)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dm = sum(r[u] for u in range(n) if not out[u])
+        nxt += damping * dm / n
+        for u in range(n):
+            if out[u]:
+                w = r[u] / len(out[u])
+                for v in out[u]:
+                    nxt[v] += damping * w
+        r = nxt
+    return r
+
+
+def _run(spark, n, edge_list, **kw):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, **kw).collect()}
+    return got
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    # 0->1->2->3 (3 dangling), plus 0->2 and a 4<->0 cycle back-edge
+    edge_list = [(0, 1), (1, 2), (2, 3), (0, 2), (4, 0), (0, 4)]
+    ref = _numpy_pagerank(5, edge_list, 0.85, 7)
+    got = _run(spark, 5, edge_list, damping=0.85, iterations=7)
+    assert set(got) == set(range(5))
+    for v in range(5):
+        assert got[v] == pytest.approx(ref[v], rel=1e-12)
+    # dangling redistribution keeps total mass at exactly 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_no_dangling_star(spark):
+    # undirected star, center 0, leaves 1..6: center outranks leaves and
+    # the leaf ranks are identical by symmetry
+    edge_list = []
+    for leaf in range(1, 7):
+        edge_list += [(0, leaf), (leaf, 0)]
+    ref = _numpy_pagerank(7, edge_list, 0.85, 6)
+    got = _run(spark, 7, edge_list, damping=0.85, iterations=6)
+    for v in range(7):
+        assert got[v] == pytest.approx(ref[v], rel=1e-12)
+    assert got[0] > got[1]
+    leaf_ranks = {round(got[v], 15) for v in range(1, 7)}
+    assert len(leaf_ranks) == 1
+
+
+def test_pagerank_deep_iteration_bounded_lineage(spark):
+    # 40-node directed ring, 24 iterations with checkpoints every 3: the
+    # eager localCheckpoints keep plan depth bounded (this test hangs or
+    # blows planning time if lineage accumulates across all 24 steps).
+    # On a ring every node has in/out degree 1, so PageRank is exactly
+    # uniform at every iteration — a closed form the output must hit.
+    n = 40
+    edge_list = [(i, (i + 1) % n) for i in range(n)]
+    got = _run(spark, n, edge_list, damping=0.85, iterations=24,
+               checkpoint_every=3)
+    for v in range(n):
+        assert got[v] == pytest.approx(1.0 / n, rel=1e-12)
+
+
+def test_pagerank_validates_parameters(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    # weighted edges: expand each weighted edge into w parallel unit edges
+    # for the NumPy reference (row-normalization is identical)
+    weighted = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5)]
+    expanded = [(u, v) for (u, v, w) in weighted for _ in range(w)]
+    ref = _numpy_pagerank(3, expanded, 0.85, 6)
+    edges = spark.createDataFrame(weighted, "src long, dst long, weight long")
+    from event_store_spark.operators.graph import pagerank as pr
+
+    got = {r["node"]: r["rank"] for r in
+           pr(edges, damping=0.85, iterations=6).collect()}
+    for v in range(3):
+        assert got[v] == pytest.approx(ref[v], rel=1e-12)
+
+
+def test_pagerank_ship_graph_bipartite(spark, sf_smoke):
+    # the million-edge-at-sf0.1 bipartite part<->supplier graph, at smoke
+    # scale: ranks sum to 1 (no dangling nodes in a symmetrized graph),
+    # suppliers (odd ids) out-rank parts (even ids) on average because
+    # each supplier ships many parts
+    from event_store_spark.operators.graph import pagerank as pr
+    from event_store_spark.tables import load_table
+
+    pairs = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    out = pr(edges, damping=0.85, iterations=3, checkpoint_every=2)
+    rows = out.collect()
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    sup = [r["rank"] for r in rows if r["node"] % 2 == 1]
+    part = [r["rank"] for r in rows if r["node"] % 2 == 0]
+    assert sup and part
+    assert sum(sup) / len(sup) > sum(part) / len(part)
+
+
+def test_pagerank_isolated_orientation_counts(spark):
+    # a node appearing only as dst is dangling; its mass recycles.
+    # 0->1, 2->1: ranks of 0 and 2 equal; 1 highest; sums to 1.
+    got = _run(spark, 3, [(0, 1), (2, 1)], damping=0.5, iterations=4)
+    ref = _numpy_pagerank(3, [(0, 1), (2, 1)], 0.5, 4)
+    for v in range(3):
+        assert got[v] == pytest.approx(ref[v], rel=1e-12)
+    assert got[0] == pytest.approx(got[2], rel=1e-12)
+    assert got[1] > got[0]
