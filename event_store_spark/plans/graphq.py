@@ -77,6 +77,101 @@ def _pagerank_oracle() -> str:
     return sql
 
 
+#: neighbors kept per vector in the kNN graph
+KNN_K = 3
+#: output truncation (the graph itself is O(n·k); the registered query
+#: pins the head of it deterministically)
+KNN_OUT = 60
+
+_COS_SIM_SQL = """list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+    WITH params AS (
+        SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT)) AS planes
+        FROM embeddings),
+    bucketed AS (SELECT vec_id, embedding,
+        array_to_string(list_transform(range(0, planes), p ->
+            CASE WHEN p < 4
+                 THEN (CASE WHEN embedding[16*p + 1] >= embedding[16*p + 9]
+                            THEN '1' ELSE '0' END)
+                 ELSE (CASE WHEN embedding[(11*p) % 64 + 1]
+                                 >= embedding[(11*p + 7) % 64 + 1]
+                            THEN '1' ELSE '0' END)
+            END), '') AS bucket
+        FROM embeddings, params),
+    p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+                 {_COS_SIM_SQL} AS sim
+          FROM bucketed a JOIN bucketed b
+            ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, nbr, sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, nbr) AS pos
+          FROM p)
+    SELECT vec_id, pos, nbr, ROUND(sim, 4) AS sim
+    FROM r WHERE pos <= {KNN_K}
+    ORDER BY vec_id, pos LIMIT {KNN_OUT}
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction over the embedding corpus: each vector's top-3
+    cosine neighbors WITHIN its hyperplane-LSH bucket (the candidate graph
+    that feeds near-dup clustering, diversity sampling, and label
+    propagation — `connected_components` and `pagerank` both consume
+    exactly this edge shape).
+
+    Plan: adaptive-plane sign bucketing (`adaptive_planes`, shared with
+    dedup_embedding so bucket occupancy tracks the corpus), ONE bucket
+    equi-self-join — pair enumeration bounded by the largest bucket — then
+    a per-vector ROW_NUMBER window that runs WITHIN the same shuffle's
+    key-space (vec_id is a prefix of no key here, so one extra exchange of
+    (vec_id, nbr, sim) triples only). Similarities are sequential JVM
+    folds (`functions.vectors.dot`) — bit-identical to the oracle's
+    list_sum order, so neighbor RANKS match exactly, not just rounded
+    values; the numpy/BLAS path trades that exactness for speed and is the
+    wrong choice where rank positions are the output.
+
+    At 100 TB: occupancy is held near DEDUP_TARGET_BUCKET by plane growth,
+    the pair join never leaves a bucket, and the window partitions by
+    vec_id — no global sort anywhere except the final LIMIT head.
+    """
+    from event_store_spark.functions.vectors import as_double, dot, norm
+    from event_store_spark.plans.llm import adaptive_planes, hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    planes = adaptive_planes(emb.count())
+    emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr"),
+        sim.alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nbr")
+    return (
+        pairs.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= KNN_K)
+        .select("vec_id", "pos", "nbr", F.round("sim", 4).alias("sim"))
+        .orderBy("vec_id", "pos")
+        .limit(KNN_OUT)
+    )
+
+
 @register("pagerank_events", oracle=_pagerank_oracle())
 def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event types ranked by weighted PageRank over the user-journey
