@@ -298,3 +298,72 @@ def pagerank(
     for c in cached:
         c.unpersist()
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    rounds: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Seeded majority-vote label propagation (weak supervision).
+
+    ``nodes``: columns ``node``, ``label`` — non-NULL labels are SEEDS and
+    stay clamped forever. ``edges``: columns ``src``, ``dst``; influence
+    flows src -> dst (symmetrize for undirected spreading). Each synchronous
+    round recomputes every non-seed node's label as the MAJORITY label among
+    its currently-labeled in-neighbors, ties broken by smallest label, NULL
+    when no in-neighbor is labeled — so a non-seed label can flip or vanish
+    as the neighborhood evolves, and the fixed round count (not a
+    convergence test) keeps the operator deterministic and oracle-able,
+    exactly like `pagerank`. All state is integer votes and label values —
+    no floats, so cross-engine parity is exact, not banded.
+
+    Plan, per round: labeled rows join the edge table (built once, eagerly
+    materialized), votes hash-aggregate by (dst, label) with map-side
+    partials, a per-dst ROW_NUMBER picks the winner inside the same
+    key-space, and one left join folds winners under the clamped seeds.
+    The label vector is O(V) rows, cached per round and lineage-truncated
+    every ``checkpoint_every`` rounds — the `connected_components` /
+    `pagerank` bounded-plan contract.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from pyspark.sql import Window
+
+    base = nodes.select(
+        "node", F.col("label").alias("_seed")
+    ).localCheckpoint(eager=True)
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    cur = base.select("node", F.col("_seed").alias("label"))
+    cached: list[DataFrame] = []
+    win_w = Window.partitionBy("dst").orderBy(
+        F.col("_c").desc(), F.col("label").asc()
+    )
+    for rnd in range(1, rounds + 1):
+        labeled = cur.where(F.col("label").isNotNull())
+        votes = (
+            e.join(labeled, e.src == labeled.node)
+            .groupBy(e.dst, "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        winners = (
+            votes.withColumn("_rn", F.row_number().over(win_w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("label").alias("_new"))
+        )
+        cur = base.join(winners, "node", "left").select(
+            "node", F.coalesce("_seed", "_new").alias("label")
+        )
+        if rnd % checkpoint_every == 0 or rnd == rounds:
+            cur = cur.localCheckpoint(eager=True)
+            for c in cached:
+                c.unpersist()
+            cached = []
+        else:
+            cur = cur.cache()
+            cached.append(cur)
+    for c in cached:
+        c.unpersist()
+    return cur

@@ -90,11 +90,10 @@ _COS_SIM_SQL = """list_sum(list_transform(range(1, len(a.embedding) + 1),
          * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
 
-
-@register(
-    "knn_graph",
-    oracle=f"""
-    WITH params AS (
+#: the ranked-kNN CTE prefix (params → bucketed → pairs → `r` with pos),
+#: shared by knn_graph and label_propagation_knn so the bucketing and
+#: ranking scheme is edited in ONE place (the MINHASH_CAND_CTE pattern)
+_KNN_RANKED_CTE = f"""params AS (
         SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT)) AS planes
         FROM embeddings),
     bucketed AS (SELECT vec_id, embedding,
@@ -114,7 +113,43 @@ _COS_SIM_SQL = """list_sum(list_transform(range(1, len(a.embedding) + 1),
     r AS (SELECT vec_id, nbr, sim,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                                     ORDER BY sim DESC, nbr) AS pos
-          FROM p)
+          FROM p)"""
+
+
+def _knn_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nbr, pos, sim) — every in-bucket pair ranked per vector.
+
+    The Spark-side twin of `_KNN_RANKED_CTE`; `knn_graph` truncates and
+    rounds it for display, `label_propagation_knn` consumes the top-K
+    rows as influence edges."""
+    from event_store_spark.functions.vectors import as_double, dot, norm
+    from event_store_spark.plans.llm import adaptive_planes, hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    planes = adaptive_planes(emb.count())
+    emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr"),
+        sim.alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nbr")
+    return pairs.withColumn("pos", F.row_number().over(w))
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+    WITH {_KNN_RANKED_CTE}
     SELECT vec_id, pos, nbr, ROUND(sim, 4) AS sim
     FROM r WHERE pos <= {KNN_K}
     ORDER BY vec_id, pos LIMIT {KNN_OUT}
@@ -142,29 +177,8 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join never leaves a bucket, and the window partitions by
     vec_id — no global sort anywhere except the final LIMIT head.
     """
-    from event_store_spark.functions.vectors import as_double, dot, norm
-    from event_store_spark.plans.llm import adaptive_planes, hyperplane_bucket
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
-    planes = adaptive_planes(emb.count())
-    emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
-    emb = emb.withColumn("nrm", norm(F.col("v")))
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("nbr"),
-        sim.alias("sim"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nbr")
     return (
-        pairs.withColumn("pos", F.row_number().over(w))
+        _knn_ranked(spark, sf_dir)
         .where(F.col("pos") <= KNN_K)
         .select("vec_id", "pos", "nbr", F.round("sim", 4).alias("sim"))
         .orderBy("vec_id", "pos")
@@ -224,4 +238,105 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_e8"),
         )
         .orderBy(F.col("rank_e8").desc(), "node")
+    )
+
+
+#: label-propagation rounds for the registered query (fixed → oracle-able)
+LP_ROUNDS = 2
+#: deterministic seed rule: every 5th vector keeps its true label
+LP_SEED_MOD = 5
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled clamped majority-vote rounds over the kNN edges (DuckDB).
+
+    Mirrors `operators.graph.label_propagation` exactly — integer votes,
+    smallest-label tie-break, seeds clamped — composed onto the shared
+    `_KNN_RANKED_CTE`. All-integer state means EXACT cross-engine parity,
+    no float banding anywhere.
+    """
+    sql = f"""
+    WITH {_KNN_RANKED_CTE},
+    e AS (SELECT nbr AS src, vec_id AS dst FROM r WHERE pos <= {KNN_K}),
+    base AS (SELECT vec_id AS node,
+                    CASE WHEN vec_id % {LP_SEED_MOD} = 0
+                         THEN CAST(label AS VARCHAR) END AS seed_label,
+                    CAST(label AS VARCHAR) AS true_label
+             FROM embeddings),
+    l0 AS (SELECT node, seed_label AS label FROM base)"""
+    for i in range(1, LP_ROUNDS + 1):
+        sql += f""",
+    l{i} AS (SELECT b.node, COALESCE(b.seed_label, w.lab) AS label
+             FROM base b LEFT JOIN (
+                 SELECT dst AS node, lab FROM (
+                     SELECT e.dst, l.label AS lab,
+                            ROW_NUMBER() OVER (PARTITION BY e.dst
+                                ORDER BY COUNT(*) DESC, l.label) AS rn
+                     FROM e JOIN l{i - 1} l ON e.src = l.node
+                     WHERE l.label IS NOT NULL
+                     GROUP BY e.dst, l.label) WHERE rn = 1) w
+             USING (node))"""
+    sql += f"""
+    SELECT COALESCE(l.label, '(unlabeled)') AS label,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(CASE WHEN l.label = b.true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matching
+    FROM l{LP_ROUNDS} l JOIN base b USING (node)
+    GROUP BY 1 ORDER BY 1"""
+    return sql
+
+
+@register("label_propagation_knn", oracle=_label_prop_oracle())
+def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision over the embedding corpus: clamp every 5th vector
+    to its true label, spread labels along the kNN graph for 2 clamped
+    majority-vote rounds, and report the per-label assignment count plus
+    how many propagated assignments agree with the held-back truth — the
+    label-spreading quality report a semi-supervised labeling pipeline
+    emits before training on the propagated labels.
+
+    Plan: the shared `_knn_ranked` build (bucketed pair join + per-vector
+    rank) emits the top-K influence edges, eagerly checkpointed ONCE so
+    the operator's per-round joins never re-run the pair enumeration;
+    each round is then an integer-vote hash aggregate + in-key-space
+    window + one left join (see `operators.graph.label_propagation` for
+    the bounded-lineage contract). All state is integers and label
+    strings — EXACT oracle parity, no float banding.
+    """
+    from event_store_spark.operators.graph import label_propagation
+
+    edges = (
+        _knn_ranked(spark, sf_dir)
+        .where(F.col("pos") <= KNN_K)
+        .select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    # labels travel as strings (the fixture column is numeric; a real
+    # weak-supervision label is categorical) — the smallest-label
+    # tie-break is then plain lexicographic order on both engines
+    truth = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node"),
+        F.col("label").cast("string").alias("true_label"),
+    )
+    nodes = truth.select(
+        "node",
+        F.when(
+            F.col("node") % LP_SEED_MOD == 0, F.col("true_label")
+        ).alias("label"),
+    )
+    final = label_propagation(nodes, edges, rounds=LP_ROUNDS)
+    return (
+        final.join(truth, "node")
+        .groupBy(
+            F.coalesce(F.col("label"), F.lit("(unlabeled)")).alias("label")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                F.when(F.col("label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matching"),
+        )
+        .orderBy("label")
     )

@@ -145,3 +145,81 @@ def test_pagerank_isolated_orientation_counts(spark):
         assert got[v] == pytest.approx(ref[v], rel=1e-12)
     assert got[0] == pytest.approx(got[2], rel=1e-12)
     assert got[1] > got[0]
+
+
+# ---------------------------------------------------------------- label prop
+
+def _py_label_prop(nodes, edges, rounds):
+    """Reference: synchronous clamped majority vote, smallest-label ties."""
+    seed = dict(nodes)
+    cur = dict(nodes)
+    for _ in range(rounds):
+        votes = {}
+        for u, v in edges:
+            lab = cur.get(u)
+            if lab is not None:
+                votes.setdefault(v, {}).setdefault(lab, 0)
+                votes[v][lab] += 1
+        nxt = {}
+        for n in cur:
+            if seed[n] is not None:
+                nxt[n] = seed[n]
+            elif n in votes:
+                nxt[n] = min(votes[n], key=lambda l: (-votes[n][l], l))
+            else:
+                nxt[n] = None
+        cur = nxt
+    return cur
+
+
+def _run_lp(spark, nodes, edges, rounds, **kw):
+    from event_store_spark.operators.graph import label_propagation
+
+    ndf = spark.createDataFrame(nodes, "node long, label string")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    out = label_propagation(ndf, edf, rounds=rounds, **kw)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_label_propagation_matches_reference(spark):
+    nodes = [(0, "a"), (1, None), (2, None), (3, "b"), (4, None), (5, None)]
+    # chain 0-1-2-3 (symmetric) + 4 fed by both sides, 5 isolated
+    sym = [(0, 1), (1, 2), (2, 3), (1, 4), (3, 4)]
+    edges = sym + [(v, u) for (u, v) in sym]
+    for rounds in (1, 2, 3):
+        ref = _py_label_prop(nodes, edges, rounds)
+        got = _run_lp(spark, nodes, edges, rounds)
+        assert got == ref, (rounds, got, ref)
+    # after 2 rounds both labels reach node 4; tie broken to 'a'
+    assert _run_lp(spark, nodes, edges, 2)[4] == "a"
+    # the isolated node never acquires a label
+    assert _run_lp(spark, nodes, edges, 3)[5] is None
+
+
+def test_label_propagation_seeds_clamped_and_flips(spark):
+    # node 2's majority flips as the frontier moves; seed 0 never changes
+    nodes = [(0, "x"), (1, None), (2, None), (3, "y"), (4, "y")]
+    edges = [(0, 1), (1, 2), (3, 2), (4, 2), (2, 1)]
+    for rounds in (1, 2, 4):
+        ref = _py_label_prop(nodes, edges, rounds)
+        got = _run_lp(spark, nodes, edges, rounds)
+        assert got == ref
+        assert got[0] == "x"
+
+
+def test_label_propagation_random_graphs_match_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    labels = ["a", "b", "c", None, None, None]
+    for trial in range(3):
+        n = 12
+        nodes = [(i, rng.choice(labels)) for i in range(n)]
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        edges = [(u, v) for (u, v) in edges if u != v]
+        rounds = rng.choice([1, 2, 3, 5])
+        ref = _py_label_prop(nodes, edges, rounds)
+        got = _run_lp(spark, nodes, edges, rounds, checkpoint_every=2)
+        assert got == ref, (trial, rounds)
