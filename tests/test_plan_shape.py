@@ -504,3 +504,26 @@ def test_user_paths_window_partitioned_rank_filtered(spark, sf_correct):
             assert "user_id" in line, f"unpartitioned window: {line}"
     win = plan.index("windowspecdefinition")
     assert "Filter (rn" in plan[:win] or "_we0" in plan[:win]
+
+
+def test_ann_pq_scan_is_join_free_codegen(spark, sf_correct):
+    """PQ-ADC scoring is the pure flat-scan shape: the ADC lookup table and
+    codebook ids ride as literals, so the top-5 plan over the encoded
+    corpus has ZERO joins and ZERO exchanges — one map-side fold per row
+    into TakeOrderedAndProject, and no Python anywhere. This is the shape
+    that scans a 100 TB code table without shuffling it."""
+    plan = _plan(spark, sf_correct, "ann_pq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_ann_ivfpq_prunes_cell_before_scoring(spark, sf_correct):
+    """IVFADC: the query-cell row is broadcast and the code table join is
+    an equi-join on vec_id/cell — no cartesian, no global sort, and the
+    ADC fold stays literal-driven (no extra shuffle for the table)."""
+    plan = _plan(spark, sf_correct, "ann_ivfpq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
