@@ -1,0 +1,179 @@
+"""Incremental corpus maintenance: probe a NEW batch of documents against
+the persisted MinHash index of the existing corpus.
+
+Batch dedup (`dedup_minhash_*`) self-joins the whole corpus; a production
+ingestion pipeline never re-deduplicates 100 TB per day — it keeps the LSH
+signature table as a persisted index and probes it with each arriving
+batch (daily crawl, new source dump). That probe is this module:
+
+- index side: `llm._minhash_signatures` — the cached signature table
+  (built once per corpus, written out in production, partitioned by
+  (band, bandkey prefix));
+- batch side (source = NEW_SOURCE stands in for "today's crawl"):
+  computes ITS OWN signatures with the identical formula, then
+  equi-joins the index on (band, bandkey) with the batch side BROADCAST
+  — the batch is orders of magnitude smaller than the corpus, so the
+  index table is never shuffled;
+- verification: exact 3-gram Jaccard on the candidate pairs only
+  (gram arrays fetched for candidates, never for the whole corpus at
+  probe time), threshold {JACCARD_MIN};
+- decision: a new doc with any verified match is a duplicate (reported
+  with its best match), the rest are admitted.
+
+Scale shape vs the self-join: O(|batch| x bucket-occupancy) probe work
+instead of O(|corpus|^2 / buckets); the only shuffle touching index-sized
+data is the (band, bandkey) hash lookup, which a bucketed/bucket-pruned
+index layout removes entirely at 100 TB.
+
+Reference parity: the reference (kagetech/event-store) has no dedup at
+all — this extends the LLM-pipeline surface (brief: "operations a
+large-scale training-data pipeline would need").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.text import whitespace_tokens, word_ngrams
+from event_store_spark.plans.llm import (
+    LSH_BAND,
+    N_MINHASH,
+    _docs,
+    _minhash_signatures,
+)
+from event_store_spark.plans.registry import register
+
+NEW_SOURCE = "src3"  # stands in for the arriving batch
+JACCARD_MIN = 0.5
+
+#: DuckDB mirror: the signature build carries source, candidates are the
+#: asymmetric (new x index) band join, verification is exact distinct-3-gram
+#: Jaccard — ends with the `best` CTE (new_id, idx_id, jac, rn).
+_INCREMENTAL_CTE = f"""tok AS (SELECT doc_id, source,
+                  string_split_regex(trim(text), '\\s+') AS w
+           FROM documents),
+    sh AS (SELECT doc_id, source,
+                  UNNEST(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM tok),
+    mh AS (SELECT doc_id, source, seed,
+                  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+           FROM sh, (SELECT UNNEST(range({N_MINHASH})) AS seed) seeds
+           GROUP BY doc_id, source, seed),
+    sig AS (SELECT doc_id, source, seed // {LSH_BAND} AS band,
+                   string_agg(mh, ',' ORDER BY seed) AS bandkey
+            FROM mh GROUP BY doc_id, source, seed // {LSH_BAND}),
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, x.doc_id AS idx_id
+             FROM sig n JOIN sig x
+               ON n.band = x.band AND n.bandkey = x.bandkey
+             WHERE n.source = '{NEW_SOURCE}' AND x.source <> '{NEW_SOURCE}'),
+    g AS (SELECT doc_id, list_distinct(list_transform(
+              range(1, greatest(len(w) - 2, 0) + 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+          FROM tok),
+    v AS (SELECT c.new_id, c.idx_id,
+                 len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+                     AS inter,
+                 len(ga.grams) + len(gb.grams)
+                   - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+                     AS uni
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.new_id
+          JOIN g gb ON gb.doc_id = c.idx_id),
+    j AS (SELECT new_id, idx_id, inter * 1.0 / uni AS jac
+          FROM v WHERE inter * 1.0 / uni >= {JACCARD_MIN}),
+    best AS (SELECT new_id, idx_id, jac,
+                    ROW_NUMBER() OVER (PARTITION BY new_id
+                                       ORDER BY jac DESC, idx_id) AS rn
+             FROM j)"""
+
+
+def _verified_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(new_id, idx_id, jac): batch-vs-index candidates, Jaccard-verified."""
+    sig = _minhash_signatures(spark, sf_dir)
+    batch_sig = sig.where(F.col("source") == NEW_SOURCE).select(
+        F.col("doc_id").alias("new_id"), "band", "bandkey"
+    )
+    index_sig = sig.where(F.col("source") != NEW_SOURCE).select(
+        F.col("doc_id").alias("idx_id"), "band", "bandkey"
+    )
+    cand = (
+        index_sig.join(F.broadcast(batch_sig), ["band", "bandkey"])
+        .select("new_id", "idx_id")
+        .distinct()
+    )
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", whitespace_tokens("text").alias("w"))
+        .select("doc_id", F.array_distinct(word_ngrams("w", 3)).alias("grams"))
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("new_id"), F.col("grams").alias("g_new")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("idx_id"), F.col("grams").alias("g_idx")
+    )
+    inter = F.size(F.array_intersect("g_new", "g_idx"))
+    uni = F.size("g_new") + F.size("g_idx") - inter
+    return (
+        cand.join(ga, "new_id")
+        .join(gb, "idx_id")
+        .select("new_id", "idx_id", (inter * F.lit(1.0) / uni).alias("jac"))
+        .where(F.col("jac") >= JACCARD_MIN)
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_INCREMENTAL_CTE}
+    SELECT new_id AS new_doc_id, idx_id AS match_doc_id,
+           ROUND(jac, 4) AS jaccard
+    FROM best WHERE rn = 1 ORDER BY new_doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch near-dups against the persisted corpus index: each
+    duplicate new doc with its best existing match (highest Jaccard,
+    ties to the lowest doc id)."""
+    w = Window.partitionBy("new_id").orderBy(F.col("jac").desc(), "idx_id")
+    return (
+        _verified_matches(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("new_doc_id"),
+            F.col("idx_id").alias("match_doc_id"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
+@register(
+    "dedup_incremental_admit",
+    oracle=f"""
+    WITH {_INCREMENTAL_CTE},
+    dups AS (SELECT DISTINCT new_id FROM j)
+    SELECT COUNT(*) AS n_batch,
+           COUNT(d.new_id) AS n_duplicate,
+           COUNT(*) - COUNT(d.new_id) AS n_admitted
+    FROM documents doc LEFT JOIN dups d ON doc.doc_id = d.new_id
+    WHERE doc.source = '{NEW_SOURCE}'
+    """,
+)
+def dedup_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admit decision for the batch: total / duplicate / admitted
+    counts. Admitted docs are the ones whose signatures (already
+    computed for the probe) get APPENDED to the index — the index grows
+    by exactly the admitted batch, never rebuilt."""
+    dups = _verified_matches(spark, sf_dir).select("new_id").distinct()
+    batch = _docs(spark, sf_dir).where(F.col("source") == NEW_SOURCE).select(
+        F.col("doc_id").alias("new_id")
+    )
+    return batch.join(F.broadcast(dups).withColumn("_dup", F.lit(1)), "new_id", "left").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count("_dup").alias("n_duplicate"),
+        (F.count(F.lit(1)) - F.count("_dup")).alias("n_admitted"),
+    )

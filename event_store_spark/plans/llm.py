@@ -103,24 +103,31 @@ _MINHASH_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 )
 
 
-def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct LSH candidate pairs (d1 < d2), cached: shingle → seeded md5
-    minhashes (one exploded pass, 12 min() partials on one shuffle) → band
-    keys → self-equi-join on (band, bandkey)."""
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH signature table (doc_id, source, band, bandkey), cached:
+    shingle → seeded md5 minhashes (one exploded pass, 12 min() partials
+    on one shuffle) → band keys. This IS the persisted MinHash index of a
+    production dedup service — `_minhash_candidates` self-joins it for
+    batch dedup, `plans.incremental.dedup_incremental` probes it with a
+    new batch's signatures. `source` rides through (functionally
+    dependent on doc_id) so the incremental probe can split index/batch
+    without a join back to documents."""
     memo = _MINHASH_MEMO.setdefault(spark, {})
-    got = memo.get(sf_dir)
+    got = memo.get(("sig", sf_dir))
     if got is not None:
         return got
     docs = _docs(spark, sf_dir)
-    shingles = docs.select("doc_id", whitespace_tokens("text").alias("w")).select(
-        "doc_id", F.explode(word_ngrams("w", 3)).alias("sh")
-    )
+    shingles = docs.select(
+        "doc_id", "source", whitespace_tokens("text").alias("w")
+    ).select("doc_id", "source", F.explode(word_ngrams("w", 3)).alias("sh"))
     hash_cols = [
         F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh"))).alias(f"h{seed}")
         for seed in range(N_MINHASH)
     ]
-    minhashes = shingles.select("doc_id", *hash_cols).groupBy("doc_id").agg(
-        *[F.min(f"h{seed}").alias(f"mh{seed}") for seed in range(N_MINHASH)]
+    minhashes = (
+        shingles.select("doc_id", "source", *hash_cols)
+        .groupBy("doc_id", "source")
+        .agg(*[F.min(f"h{seed}").alias(f"mh{seed}") for seed in range(N_MINHASH)])
     )
     n_bands = N_MINHASH // LSH_BAND
     band_entries = F.array(
@@ -134,9 +141,28 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(n_bands)
         ]
     )
-    sig = minhashes.select("doc_id", F.explode(band_entries).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bandkey").alias("bandkey")
+    sig = (
+        minhashes.select("doc_id", "source", F.explode(band_entries).alias("bk"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bandkey").alias("bandkey"),
+        )
+        .cache()
     )
+    memo[("sig", sf_dir)] = sig
+    return sig
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct LSH candidate pairs (d1 < d2), cached: the shared
+    signature table self-equi-joined on (band, bandkey)."""
+    memo = _MINHASH_MEMO.setdefault(spark, {})
+    got = memo.get(sf_dir)
+    if got is not None:
+        return got
+    sig = _minhash_signatures(spark, sf_dir).drop("source")
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
