@@ -276,3 +276,128 @@ def streaming_asof_enrich(left: DataFrame, right: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+NEARDUP_OUTPUT_SCHEMA = (
+    "doc_id bigint, band int, match_doc_id bigint, agreement double"
+)
+NEARDUP_STATE_SCHEMA = "doc_ids array<bigint>, sigs array<string>"
+
+
+def _lsh_bucket_probe(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(band, bandkey) bucket membership: each arriving doc is compared
+    against every PRIOR member of its bucket (earlier batches via state,
+    earlier docs of this batch via doc_id order), reporting the best
+    signature agreement, then joins the bucket."""
+    member_ids: list
+    member_sigs: list
+    if state.exists:
+        member_ids, member_sigs = state.get
+        member_ids, member_sigs = list(member_ids), list(member_sigs)
+    else:
+        member_ids, member_sigs = [], []
+    band = int(key[0])
+    rows = []
+    incoming = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    for doc_id, sig in zip(incoming["doc_id"], incoming["sig"]):
+        comps = sig.split(",")
+        best_id, best_agree = None, -1.0
+        for mid, msig in zip(member_ids, member_sigs):
+            agree = sum(
+                a == b for a, b in zip(comps, msig.split(","))
+            ) / float(len(comps))
+            # ties break to the EARLIEST (lowest) member doc_id
+            if agree > best_agree or (agree == best_agree and mid < best_id):
+                best_id, best_agree = int(mid), agree
+        rows.append(
+            (
+                int(doc_id),
+                band,
+                best_id,
+                best_agree if best_id is not None else None,
+            )
+        )
+        member_ids.append(int(doc_id))
+        member_sigs.append(sig)
+    state.update((member_ids, member_sigs))
+    yield pd.DataFrame(
+        rows, columns=["doc_id", "band", "match_doc_id", "agreement"]
+    )
+
+
+def streaming_neardup_lsh(docs_stream: DataFrame) -> DataFrame:
+    """Cross-batch NEAR-dup detection: the streaming twin of
+    `plans.incremental.dedup_incremental` — each arriving document probes
+    the live MinHash-LSH index held in the streaming state store.
+
+    Signatures are computed per-row with zero pre-aggregation (an
+    `array_min` over the shingle array per seed — the map-side form of the
+    batch build's min() aggregate, same md5 formula, identical values), so
+    the only stateful operator is the bucket probe itself: state is keyed
+    by (band, bandkey) and holds the bucket's member signatures, exactly
+    the persisted-index rows the batch probe reads. Emits one row per
+    (doc, band) with the best prior match's signature agreement (matched
+    minhash components / signature length); the per-doc near-dup verdict
+    is max(agreement) over its bands >= threshold, an O(#bands) rollup
+    the consumer runs on the sink (chaining a second stateful aggregation
+    onto this stream is the documented Spark multi-stateful restriction).
+
+    Docs with fewer than 3 tokens carry no signature (same as the batch
+    build, whose shingle explode drops them) and are filtered out.
+
+    Scale: state per bucket is its member list — the same O(corpus)
+    ledger the batch index persists, sharded by bucket key across
+    executors; a stop-phrase-grade hot bucket is visible as a hot key and
+    fails toward the same DEDUP_MAX_BUCKET-style guard batch dedup uses
+    (bound members per bucket when product semantics allow).
+    """
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.llm import LSH_BAND, N_MINHASH
+    from event_store_spark.functions.text import whitespace_tokens, word_ngrams
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped()
+    grams = docs_stream.select(
+        "doc_id", whitespace_tokens("text").alias("w")
+    ).where(F.size("w") >= 3).select("doc_id", word_ngrams("w", 3).alias("g"))
+    mh_cols = [
+        F.array_min(
+            F.transform(
+                F.col("g"), lambda sh: F.md5(F.concat(F.lit(f"{seed}|"), sh))
+            )
+        ).alias(f"mh{seed}")
+        for seed in range(N_MINHASH)
+    ]
+    sigs = grams.select("doc_id", *mh_cols)
+    n_bands = N_MINHASH // LSH_BAND
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{band * LSH_BAND + j}") for j in range(LSH_BAND)],
+                ).alias("bandkey"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    full_sig = F.concat_ws(",", *[F.col(f"mh{s}") for s in range(N_MINHASH)])
+    exploded = sigs.select(
+        "doc_id", full_sig.alias("sig"), F.explode(band_entries).alias("bk")
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bandkey").alias("bandkey"),
+    )
+    return exploded.groupBy("band", "bandkey").applyInPandasWithState(
+        _lsh_bucket_probe,
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

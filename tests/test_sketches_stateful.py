@@ -386,3 +386,82 @@ def test_streaming_asof_enrich_across_batches(spark, tmp_path):
     assert got[11] == (501, 200)   # t=250: version@200
     assert got[20] == (None, None)  # key 2 never versioned
     assert got[12] == (502, 300)   # batch-2 left sees batch-2 version@300
+
+
+def test_streaming_neardup_lsh_across_batches(spark, sf_smoke, tmp_path):
+    """Cross-batch NEAR-dup: batch 2 replays re-keyed copies of batch 1's
+    texts — every copy must report agreement 1.0 against a batch-1 doc in
+    every band it occupies, via the bucket state carried across
+    micro-batches. Batch-1 docs with unique texts report no match, and
+    the per-row streaming signatures must agree exactly with the batch
+    index build (`llm._minhash_signatures`)."""
+    from event_store_spark.plans.llm import _minhash_signatures
+    from event_store_spark.streaming.stateful import streaming_neardup_lsh
+
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        .limit(40)
+    )
+    src = str(tmp_path / "neardup_src")
+    docs.coalesce(1).write.parquet(src)
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    copies.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_neardup_lsh(stream)
+        .writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.sql("select * from neardup_out").collect()
+    n_bands = 4
+    n_docs = docs.count()
+    assert len(out) == 2 * n_docs * n_bands  # one row per (doc, band)
+
+    # every re-keyed copy matches its original at agreement 1.0 in EVERY band
+    copy_rows = [r for r in out if r.doc_id >= 1_000_000]
+    assert len(copy_rows) == n_docs * n_bands
+    for r in copy_rows:
+        assert r.agreement == 1.0, r
+        assert r.match_doc_id is not None and r.match_doc_id < 1_000_000, r
+
+    # batch-1 rows may only match LOWER batch-1 doc_ids (doc_id processing
+    # order within the micro-batch)
+    for r in out:
+        if r.doc_id < 1_000_000 and r.match_doc_id is not None:
+            assert r.match_doc_id < r.doc_id, r
+
+    # the per-row streaming signature build == the batch index build:
+    # bucket occupancy must be identical, so every batch-index band
+    # collision between the 40 docs appears as a streamed match row too
+    sig = _minhash_signatures(spark, sf_smoke).join(
+        docs.select("doc_id"), "doc_id"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    batch_pairs = {
+        (r.d, r.band)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d"), F.col("a.band").alias("band"))
+        .collect()
+    }
+    stream_pairs = {
+        (r.doc_id, r.band)
+        for r in out
+        if r.doc_id < 1_000_000 and r.match_doc_id is not None
+    }
+    assert stream_pairs == batch_pairs
