@@ -140,3 +140,116 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("_lt50", "_le50", 0.5),
         ok("_lt75", "_le75", 0.75),
     )
+
+
+#: Count-min sketch geometry: depth 4 seeded hash rows × width 256.
+#: eps = e / width ≈ 1.06% of the stream length, delta = e^-depth ≈ 1.8%.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+_CMS_EPS_NUM = 2.718281828459045  # e, as the same double literal both sides
+
+
+@register(
+    "approx_token_counts_cms",
+    oracle=f"""
+    WITH tok AS (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+                 FROM documents),
+    n AS (SELECT COUNT(*) AS total FROM tok),
+    pairs AS (SELECT t, seed,
+                     (('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || t),
+                        1, 8))::BIGINT % {CMS_WIDTH}) AS bucket
+              FROM tok, (SELECT UNNEST(range({CMS_DEPTH})) AS seed) s),
+    cms AS (SELECT seed, bucket, COUNT(*) AS c
+            FROM pairs GROUP BY seed, bucket),
+    exact AS (SELECT t, COUNT(*) AS exact_cnt FROM tok GROUP BY t
+              ORDER BY exact_cnt DESC, t LIMIT {CMS_TOPK}),
+    probes AS (SELECT e.t, e.exact_cnt, s.seed,
+                      (('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || e.t),
+                         1, 8))::BIGINT % {CMS_WIDTH}) AS bucket
+               FROM exact e, (SELECT UNNEST(range({CMS_DEPTH})) AS seed) s),
+    est AS (SELECT p.t, p.exact_cnt, MIN(c.c) AS est_cnt
+            FROM probes p JOIN cms c USING (seed, bucket)
+            GROUP BY p.t, p.exact_cnt)
+    SELECT t AS token, exact_cnt, est_cnt,
+           est_cnt >= exact_cnt AS no_underestimate,
+           est_cnt <= exact_cnt
+             + CAST(CEIL({_CMS_EPS_NUM} / {CMS_WIDTH} * n.total) AS BIGINT)
+               AS within_eps
+    FROM est, n ORDER BY exact_cnt DESC, token
+    """,
+)
+def approx_token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies, audited against exact counts.
+
+    Unlike the HLL/GK queries (engine-native sketches, only the accuracy
+    VERDICT is comparable), this CMS is built in-plan from deterministic
+    md5 row hashes, so the oracle reproduces the ESTIMATES bit-for-bit:
+    est_cnt itself is hash-checked, plus the two contract columns (CMS
+    never underestimates; overestimate ≤ ceil(e/width × stream length)
+    with prob 1−e^−depth — deterministically true here since both engines
+    compute the same table).
+
+    Plan: the sketch build is ONE explode (depth× the token stream) into
+    a hash aggregate whose output is the ≤ depth×width-row CMS table —
+    map-side partials collapse repeated tokens, so the shuffle carries
+    at most depth×width rows per task regardless of corpus size; that
+    table is the broadcast side of the probe join. The exact top-k pass
+    exists only as the audit (at 100 TB you keep the CMS table and probe
+    it; candidate tracking pairs it with a per-partition heap exactly
+    like `vocab_topk`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+
+    def bucket(seed_col, tok_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(seed_col.cast("string"), F.lit("|"), tok_col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(CMS_WIDTH),
+        )
+
+    seeds = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    pairs = tok.select(
+        F.explode(seeds).alias("seed"), F.col("t")
+    ).select("seed", bucket(F.col("seed"), F.col("t")).alias("bucket"))
+    cms = pairs.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "t")
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "t", "exact_cnt", F.explode(seeds).alias("seed")
+    ).select(
+        "t", "exact_cnt", "seed", bucket(F.col("seed"), F.col("t")).alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    slack = F.ceil(
+        F.lit(_CMS_EPS_NUM) / F.lit(CMS_WIDTH) * F.col("total")
+    ).cast("bigint")
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            F.col("t").alias("token"),
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("no_underestimate"),
+            (F.col("est_cnt") <= F.col("exact_cnt") + slack).alias("within_eps"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )

