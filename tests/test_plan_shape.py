@@ -557,3 +557,16 @@ def test_cms_table_is_broadcast_probe_side(spark, sf_correct):
     plan = _plan(spark, sf_correct, "approx_token_counts_cms")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_is_equi_join_oriented(spark, sf_correct):
+    """Triangle counting: edge construction is the WITHIN-ORDER self-join
+    (equi on l_orderkey), the wedge and closing joins are hash equi-joins
+    on part keys — no cartesian/nested-loop anywhere, and the edge list
+    is materialized once (InMemoryRelation) for its five consumers."""
+    plan = _plan(spark, sf_correct, "triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 2  # only the two one-row scalar combines
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
