@@ -153,20 +153,23 @@ _CMS_EPS_NUM = 2.718281828459045  # e, as the same double literal both sides
 @register(
     "approx_token_counts_cms",
     oracle=f"""
-    WITH tok AS (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS t
-                 FROM documents),
-    n AS (SELECT COUNT(*) AS total FROM tok),
-    pairs AS (SELECT t, seed,
-                     (('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || t),
-                        1, 8))::BIGINT % {CMS_WIDTH}) AS bucket
-              FROM tok, (SELECT UNNEST(range({CMS_DEPTH})) AS seed) s),
-    cms AS (SELECT seed, bucket, COUNT(*) AS c
-            FROM pairs GROUP BY seed, bucket),
-    exact AS (SELECT t, COUNT(*) AS exact_cnt FROM tok GROUP BY t
-              ORDER BY exact_cnt DESC, t LIMIT {CMS_TOPK}),
+    WITH tokcnt AS (SELECT t, COUNT(*) AS cnt
+                    FROM (SELECT UNNEST(string_split_regex(trim(text),
+                                        '\\s+')) AS t
+                          FROM documents)
+                    GROUP BY t),
+    n AS (SELECT SUM(cnt) AS total FROM tokcnt),
+    cms AS (SELECT seed,
+                   (('0x' || substr(md5(t), 1 + 8 * seed, 8))::BIGINT
+                     % {CMS_WIDTH}) AS bucket,
+                   SUM(cnt) AS c
+            FROM tokcnt, (SELECT UNNEST(range({CMS_DEPTH})) AS seed) s
+            GROUP BY 1, 2),
+    exact AS (SELECT t, cnt AS exact_cnt FROM tokcnt
+              ORDER BY cnt DESC, t LIMIT {CMS_TOPK}),
     probes AS (SELECT e.t, e.exact_cnt, s.seed,
-                      (('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || e.t),
-                         1, 8))::BIGINT % {CMS_WIDTH}) AS bucket
+                      (('0x' || substr(md5(e.t), 1 + 8 * s.seed, 8))::BIGINT
+                        % {CMS_WIDTH}) AS bucket
                FROM exact e, (SELECT UNNEST(range({CMS_DEPTH})) AS seed) s),
     est AS (SELECT p.t, p.exact_cnt, MIN(c.c) AS est_cnt
             FROM probes p JOIN cms c USING (seed, bucket)
@@ -190,28 +193,36 @@ def approx_token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     with prob 1−e^−depth — deterministically true here since both engines
     compute the same table).
 
-    Plan: the sketch build is ONE explode (depth× the token stream) into
-    a hash aggregate whose output is the ≤ depth×width-row CMS table —
-    map-side partials collapse repeated tokens, so the shuffle carries
-    at most depth×width rows per task regardless of corpus size; that
-    table is the broadcast side of the probe join. The exact top-k pass
-    exists only as the audit (at 100 TB you keep the CMS table and probe
-    it; candidate tracking pairs it with a per-partition heap exactly
-    like `vocab_topk`)."""
+    ONE corpus tokenization feeds everything: the per-token count table
+    (which the audit needs anyway) is the base for the CMS (explode its
+    distinct tokens × depth, SUM counts into ≤ depth×width buckets), the
+    exact top-k (a TakeOrdered on the same aggregate), and the stream
+    length (SUM of the same counts) — the first cut tokenized the corpus
+    three times and hashed every occurrence ×depth, measuring 1.99 s at
+    sf0.1 vs 0.62 s for this form. The depth hash rows are the four
+    disjoint 32-bit windows of ONE md5 per distinct token (pairwise
+    independence across rows comes from window disjointness — the
+    standard seeded-hash-family trick at a quarter of the hash work).
+
+    Pure-stream caveat: pre-aggregating by token shuffles O(distinct
+    tokens); the classic streaming CMS (hash each occurrence, fixed
+    state, no token key) is the right build when even the distinct-token
+    shuffle is too much — that form is the first cut above, it shares
+    this oracle's values, and map-side partials bound its shuffle at
+    depth×width rows per task. Here the audit requires exact counts, so
+    the shared-aggregate form is strictly better."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    tokcnt = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    total = tokcnt.agg(F.sum("cnt").alias("total"))
 
     def bucket(seed_col, tok_col):
         return F.pmod(
             F.conv(
-                F.substring(
-                    F.md5(F.concat(seed_col.cast("string"), F.lit("|"), tok_col)),
-                    1,
-                    8,
-                ),
+                F.substring(F.md5(tok_col), F.lit(1) + F.lit(8) * seed_col, 8),
                 16,
                 10,
             ).cast("bigint"),
@@ -219,13 +230,14 @@ def approx_token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     seeds = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
-    pairs = tok.select(
-        F.explode(seeds).alias("seed"), F.col("t")
-    ).select("seed", bucket(F.col("seed"), F.col("t")).alias("bucket"))
-    cms = pairs.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cms = (
+        tokcnt.select("cnt", F.explode(seeds).alias("seed"), "t")
+        .select("cnt", "seed", bucket(F.col("seed"), F.col("t")).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
     exact = (
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        tokcnt.select("t", F.col("cnt").alias("exact_cnt"))
         .orderBy(F.col("exact_cnt").desc(), "t")
         .limit(CMS_TOPK)
     )
