@@ -570,3 +570,13 @@ def test_triangle_count_is_equi_join_oriented(spark, sf_correct):
         "BroadcastNestedLoopJoin"
     ) <= 2  # only the two one-row scalar combines
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_zorder_layout_is_map_side_no_global_sort(spark, sf_correct):
+    """Z-order pruning stats: the z-value is a flat codegen expression and
+    file assignment is a z-prefix — NO global sort, no window, no
+    row_number; the only joins are the one-row scalar combines."""
+    plan = _plan(spark, sf_correct, "zorder_pruning")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
