@@ -164,3 +164,30 @@ def test_zorder_write_bounds_files_touched_by_box_predicate(spark, sf_correct, t
     n_nat, n_z = files_touched(nat), files_touched(zp)
     assert n_z <= 2  # one cell -> one file (+1 for a boundary straddle)
     assert n_z * 4 <= n_nat  # scattered everywhere under insertion order
+
+
+def test_zvalue_interleave_properties(spark):
+    """Morton-key algebra, property-checked through the actual Catalyst
+    expression: interleaving is a bijection (distinct inputs -> distinct
+    z), reconstructible (de-interleaving the bits recovers both keys),
+    and prefix-monotone (the cell prefix bounds both coordinates —
+    the guarantee zorder_pruning's spans rest on)."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.layout import zvalue
+
+    df = spark.range(0, 512).select(
+        (F.col("id") % 32).alias("a"), (F.col("id") / 32).cast("bigint").alias("b")
+    )
+    out = df.select("a", "b", zvalue(F.col("a"), F.col("b"), bits=5).alias("z")).collect()
+    assert len({r.z for r in out}) == 512  # bijection on the 32x32 grid
+    for r in out:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(5))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(5))
+        assert (a, b) == (r.a, r.b)  # exact de-interleave
+        # prefix cell (top 2+2 bits) bounds both coordinates in an 8-wide box
+        cell = r.z >> 6
+        ca = sum(((cell >> (2 * i)) & 1) << i for i in range(2))
+        cb = sum(((cell >> (2 * i + 1)) & 1) << i for i in range(2))
+        assert ca * 8 <= r.a < (ca + 1) * 8
+        assert cb * 8 <= r.b < (cb + 1) * 8
