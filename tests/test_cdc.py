@@ -1,0 +1,127 @@
+"""Debezium CDC materializer (`streaming/cdc.py`): envelope parsing,
+per-key winner folding, cross-batch ordering, tombstone semantics,
+pointer versioning, and replay idempotence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.streaming.cdc import CdcMaterializer
+
+ROW = "id bigint, name string, amount bigint"
+
+
+def _env(op, ts, seq, row=None, before=None):
+    return json.dumps(
+        {"op": op, "ts_ms": ts, "seq": seq, "after": row, "before": before}
+    )
+
+
+def _mat(spark, tmp_path):
+    return CdcMaterializer(
+        spark,
+        row_schema=ROW,
+        keys=["id"],
+        target_path=str(tmp_path / "tbl"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+
+
+def _write_batch(spark, src, rows, part):
+    spark.createDataFrame([(r,) for r in rows], "value string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+
+def _run(spark, mat, src):
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = mat.start(mat.parse(stream))
+    q.awaitTermination(240)
+
+
+def test_cdc_materializes_inserts_updates_deletes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batch1 = [
+        _env("c", 100, 1, {"id": 1, "name": "a", "amount": 10}),
+        _env("c", 100, 2, {"id": 2, "name": "b", "amount": 20}),
+        _env("c", 100, 3, {"id": 3, "name": "c", "amount": 30}),
+        # out-of-order WITHIN the batch: the ts=120 update must win
+        _env("u", 120, 5, {"id": 2, "name": "b2", "amount": 22}),
+        _env("u", 110, 4, {"id": 2, "name": "b1", "amount": 21}),
+    ]
+    batch2 = [
+        _env("d", 200, 6, before={"id": 1, "name": "a", "amount": 10}),
+        _env("u", 210, 7, {"id": 3, "name": "c2", "amount": 33}),
+        # LATE update for the deleted key, stamped BEFORE the delete:
+        # must NOT resurrect id=1 (tombstone outranks it)
+        _env("u", 150, 8, {"id": 1, "name": "zombie", "amount": 99}),
+        _env("c", 220, 9, {"id": 4, "name": "d", "amount": 40}),
+    ]
+    _write_batch(spark, src, batch1, 0)
+    _write_batch(spark, src, batch2, 1)
+    mat = _mat(spark, tmp_path)
+    _run(spark, mat, src)
+
+    rows = {r["id"]: r for r in mat.table().select("id", "_row.*", "ts_ms").collect()}
+    assert set(rows) == {2, 3, 4}
+    assert rows[2]["name"] == "b2" and rows[2]["amount"] == 22
+    assert rows[3]["name"] == "c2"
+    assert rows[4]["name"] == "d"
+    # the tombstone is retained (full version dir), only filtered on read
+    current = mat._current_version()
+    full = {r["id"]: r for r in mat._full(current).collect()}
+    assert full[1]["_deleted"] and full[1]["ts_ms"] == 200
+
+
+def test_cdc_replay_is_idempotent_and_versions_flip(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark, src, [_env("c", 1, 1, {"id": 7, "name": "x", "amount": 1})], 0
+    )
+    mat = _mat(spark, tmp_path)
+    _run(spark, mat, src)
+    v1 = mat._current_version()
+    before = sorted(tuple(r) for r in mat.table().collect())
+
+    # a SECOND query instance over the same checkpoint re-processes
+    # nothing; state unchanged
+    _run(spark, mat, src)
+    assert mat._current_version() == v1
+    assert sorted(tuple(r) for r in mat.table().collect()) == before
+
+    # a new change flips to a new version and merges only the touched key
+    _write_batch(
+        spark, src, [_env("u", 2, 2, {"id": 7, "name": "y", "amount": 2})], 1
+    )
+    _run(spark, mat, src)
+    assert mat._current_version() != v1
+    got = mat.table().select("_row.name").collect()
+    assert [r["name"] for r in got] == ["y"]
+
+
+def test_cdc_empty_table_has_parse_schema(spark, tmp_path):
+    mat = _mat(spark, tmp_path)
+    t = mat.table()
+    assert t.count() == 0
+    assert "id" in t.columns and "_row" in t.columns and "ts_ms" in t.columns
+
+
+def test_cdc_malformed_envelope_fails_loudly(spark, tmp_path):
+    src = str(tmp_path / "bad")
+    _write_batch(spark, src, ['{"op": "z", "ts_ms": 1}'], 0)
+    mat = _mat(spark, tmp_path)
+    with pytest.raises(Exception, match="malformed|StreamingQuery"):
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = mat.start(mat.parse(stream))
+        q.awaitTermination(240)
