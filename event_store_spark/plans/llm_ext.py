@@ -234,3 +234,40 @@ def _register_dedup_minhash_clusters():
 
 
 _register_dedup_minhash_clusters()
+
+
+def _register_dedup_cluster_histogram():
+    from event_store_spark.plans.llm import MINHASH_CAND_CTE, MINHASH_REACH_CTE
+
+    oracle = f"""
+    WITH {MINHASH_CAND_CTE},
+    {MINHASH_REACH_CTE}
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (SELECT cluster, COUNT(*) AS sz FROM reach GROUP BY cluster) g
+    GROUP BY sz ORDER BY sz
+    """
+
+    @register("dedup_cluster_histogram", oracle=oracle)
+    def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cluster-SIZE distribution of the MinHash near-dup graph — the
+        report that tells a dedup pipeline whether duplication is
+        long-tail boilerplate (many small clusters) or a few mega-groups
+        (template farms), which decides survivor policy and whether the
+        connected-components round budget is adequate. Rides the same
+        memoized candidate build + component labels as
+        `dedup_minhash_clusters`; one extra O(#clusters) aggregate."""
+        from event_store_spark.plans.llm import minhash_cc_labels
+
+        labels = minhash_cc_labels(spark, sf_dir)
+        return (
+            labels.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+            .select(F.col("cluster_size").cast("bigint"), "n_clusters")
+            .orderBy("cluster_size")
+        )
+
+
+_register_dedup_cluster_histogram()
