@@ -191,3 +191,42 @@ def test_zvalue_interleave_properties(spark):
         cb = sum(((cell >> (2 * i + 1)) & 1) << i for i in range(2))
         assert ca * 8 <= r.a < (ca + 1) * 8
         assert cb * 8 <= r.b < (cb + 1) * 8
+
+
+def test_parquet_aggregate_pushdown_under_dsv2(spark, sf_correct):
+    """Scan-efficiency escape hatch, pinned: with the parquet DSv2 reader
+    and spark.sql.parquet.aggregatePushdown on, MIN/MAX/COUNT aggregates
+    compile to a PushedAggregation scan — answered from parquet footer
+    statistics without reading data pages (metadata-speed at 100 TB).
+    The repo's default session keeps the battle-tested v1 reader for
+    general queries; this pins that the stats-only path is available and
+    correct when a stats query opts in."""
+    from pyspark.sql import functions as F
+
+    v1_key = "spark.sql.sources.useV1SourceList"
+    pd_key = "spark.sql.parquet.aggregatePushdown"
+    old_v1, old_pd = spark.conf.get(v1_key), spark.conf.get(pd_key)
+    try:
+        spark.conf.set(v1_key, "")  # parquet via DSv2
+        spark.conf.set(pd_key, "true")
+        df = (
+            spark.read.parquet(f"{sf_correct}/orders.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("mn"),
+                F.max("o_orderkey").alias("mx"),
+            )
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan
+        row = df.head()
+        # values must agree with the data-page path
+        full = spark.read.parquet(f"{sf_correct}/orders.parquet")
+        assert (row["n"], row["mn"], row["mx"]) == (
+            full.count(),
+            full.agg(F.min("o_orderkey")).head()[0],
+            full.agg(F.max("o_orderkey")).head()[0],
+        )
+    finally:
+        spark.conf.set(v1_key, old_v1)
+        spark.conf.set(pd_key, old_pd)
