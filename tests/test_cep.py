@@ -1,0 +1,144 @@
+"""`operators.cep.match_pattern` semantics, brute-force-verified: the
+Arrow DFA fold must agree exactly with a pure-Python reference over
+seeded random streams, overlapping predicates, ties, and bounds."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.operators.cep import match_pattern
+
+BASE = datetime.datetime(2025, 1, 1)
+
+
+def _reference(rows, step_preds, within_us):
+    """The documented semantics, independently: skip-till-next-match,
+    non-overlapping, greedy anchor, stale drop before testing."""
+    out = []
+    step, start = 0, 0
+    for us, flags in rows:
+        if step > 0 and us - start > within_us:
+            step = 0
+        if step == 0:
+            if flags[0]:
+                step, start = 1, us
+                if len(step_preds) == 1:
+                    out.append((len(out) + 1, us, us))
+                    step = 0
+        elif flags[step]:
+            step += 1
+            if step == len(step_preds):
+                out.append((len(out) + 1, start, us))
+                step = 0
+    return out
+
+
+def _run(spark, events, steps, within_us):
+    df = spark.createDataFrame(
+        events, "user_id bigint, event_id bigint, ts timestamp, t string"
+    )
+    got = match_pattern(
+        df,
+        keys=["user_id"],
+        time_col="ts",
+        order_cols=["event_id"],
+        steps=steps,
+        within_us=within_us,
+    ).collect()
+    by_key: dict = {}
+    for r in got:
+        by_key.setdefault(r.user_id, []).append(
+            (r.match_idx, r.start_us, r.end_us)
+        )
+    return {k: sorted(v) for k, v in by_key.items()}
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_match_pattern_agrees_with_reference_fold(spark, seed):
+    rng = random.Random(seed)
+    alphabet = "abcd"
+    pred_sets = [
+        [lambda t: t == "a", lambda t: t == "b", lambda t: t == "c"],
+        [lambda t: t in "ab", lambda t: t == "b"],  # overlapping predicates
+        [lambda t: t == "d"],  # single step
+    ]
+    col_sets = [
+        [F.col("t") == "a", F.col("t") == "b", F.col("t") == "c"],
+        [F.col("t").isin("a", "b"), F.col("t") == "b"],
+        [F.col("t") == "d"],
+    ]
+    within = 50_000_000  # 50 s
+    events, expected = [], {}
+    for user in range(12):
+        n = rng.randint(0, 40)
+        us_list = sorted(rng.randint(0, 200_000_000) for _ in range(n))
+        types = [rng.choice(alphabet) for _ in range(n)]
+        for i, (us, t) in enumerate(zip(us_list, types)):
+            events.append(
+                (user, i, BASE + datetime.timedelta(microseconds=us), t)
+            )
+        expected[user] = (us_list, types)
+    base_us = int(
+        spark.createDataFrame([(BASE,)], "ts timestamp")
+        .select(F.unix_micros("ts"))
+        .head()[0]
+    )
+    for preds, cols in zip(pred_sets, col_sets):
+        got = _run(spark, events, cols, within)
+        for user, (us_list, types) in expected.items():
+            rows = [
+                (base_us + us, [p(t) for p in preds])
+                for us, t in zip(us_list, types)
+            ]
+            ref = _reference(rows, preds, within)
+            assert got.get(user, []) == ref, (user, preds)
+
+
+def test_match_pattern_tie_break_and_nonoverlap(spark):
+    """Equal timestamps resolve by event_id; completed matches consume
+    their events (second 'a b c' needs fresh events)."""
+    ts = BASE
+    events = [
+        (1, 1, ts, "a"),
+        (1, 2, ts, "b"),  # same timestamp: event_id orders it after 'a'
+        (1, 3, ts, "c"),
+        (1, 4, ts, "b"),  # leftover: no open candidate
+        (1, 5, ts, "a"),
+        (1, 6, ts, "c"),  # wrong step for the new candidate: ignored
+    ]
+    got = _run(
+        spark,
+        events,
+        [F.col("t") == "a", F.col("t") == "b", F.col("t") == "c"],
+        10**9,
+    )
+    assert len(got[1]) == 1 and got[1][0][0] == 1
+
+
+def test_match_pattern_timeout_reanchors_current_event(spark):
+    """A stale candidate is dropped and the dropping event itself may
+    anchor the next match."""
+    us = lambda x: BASE + datetime.timedelta(microseconds=x)
+    events = [
+        (1, 1, us(0), "a"),
+        (1, 2, us(30_000_000), "a"),  # candidate from 0 still open (30s < 40s)
+        (1, 3, us(100_000_000), "a"),  # 100s: stale -> drop, re-anchor HERE
+        (1, 4, us(110_000_000), "b"),
+        (1, 5, us(120_000_000), "c"),
+    ]
+    got = _run(
+        spark,
+        events,
+        [F.col("t") == "a", F.col("t") == "b", F.col("t") == "c"],
+        40_000_000,
+    )
+    base_us = int(
+        spark.createDataFrame([(BASE,)], "ts timestamp")
+        .select(F.unix_micros("ts"))
+        .head()[0]
+    )
+    assert got[1] == [(1, base_us + 100_000_000, base_us + 120_000_000)]
