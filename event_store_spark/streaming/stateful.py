@@ -401,3 +401,82 @@ def streaming_neardup_lsh(docs_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CEP_OUTPUT_SCHEMA = "user_id bigint, match_idx int, start_us bigint, end_us bigint"
+CEP_STATE_SCHEMA = "step int, start_us bigint, n_matches int"
+
+
+def _cep_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The `operators.cep.match_pattern` DFA with its (step, anchor)
+    carried in the state store across micro-batches."""
+    n_steps = None
+    step, start, n_matches = (state.get if state.exists else (0, 0, 0))
+    incoming = pd.concat(list(pdfs), ignore_index=True)
+    n_steps = sum(1 for c in incoming.columns if c.startswith("_s"))
+    incoming = incoming.sort_values(["_us", "_ord"], kind="mergesort")
+    within = int(incoming["_within"].iloc[0])
+    flags = [incoming[f"_s{i}"].fillna(False).to_numpy() for i in range(n_steps)]
+    us = incoming["_us"].to_numpy()
+    rows = []
+    for j in range(len(us)):
+        t = int(us[j])
+        if step > 0 and t - start > within:
+            step = 0
+        if step == 0:
+            if flags[0][j]:
+                step, start = 1, t
+                if n_steps == 1:
+                    n_matches += 1
+                    rows.append((int(key[0]), n_matches, t, t))
+                    step = 0
+        elif flags[step][j]:
+            step += 1
+            if step == n_steps:
+                n_matches += 1
+                rows.append((int(key[0]), n_matches, start, t))
+                step = 0
+    state.update((int(step), int(start), int(n_matches)))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "match_idx", "start_us", "end_us"]
+    )
+
+
+def streaming_match_pattern(
+    events_stream: DataFrame, steps, within_us: int
+) -> DataFrame:
+    """Streaming twin of `operators.cep.match_pattern` for per-user event
+    streams: the same DFA (skip-till-next-match, non-overlapping, greedy
+    anchor, stale drop) with its O(1) per-key state — current step,
+    anchor time, match counter — in the streaming state store, so a
+    pattern may START in one micro-batch and COMPLETE in a later one,
+    and restarts recover mid-pattern from the checkpoint.
+
+    Same contract as the batch operator: step predicates are Catalyst
+    boolean expressions evaluated map-side; only (key, time, flags)
+    cross the Arrow boundary. Delivery must be per-key time-ordered
+    across batches (the ordered-replay contract the streaming funnel
+    documents); late events violating it are a watermark concern
+    upstream, not DFA state.
+    """
+    from pyspark.sql import functions as F
+
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped()
+    prepared = events_stream.select(
+        "user_id",
+        F.unix_micros("ts").alias("_us"),
+        F.col("event_id").alias("_ord"),
+        F.lit(within_us).alias("_within"),
+        *[s.cast("boolean").alias(f"_s{i}") for i, s in enumerate(steps)],
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _cep_fold,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

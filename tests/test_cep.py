@@ -142,3 +142,83 @@ def test_match_pattern_timeout_reanchors_current_event(spark):
         .head()[0]
     )
     assert got[1] == [(1, base_us + 100_000_000, base_us + 120_000_000)]
+
+
+def test_streaming_match_pattern_equals_batch_across_batches(spark, tmp_path):
+    """The streaming DFA must produce exactly the batch operator's
+    matches when the same per-key-ordered events arrive split across
+    micro-batches — including patterns that START in one batch and
+    COMPLETE in a later one (state-store carryover)."""
+    import datetime
+
+    from event_store_spark.streaming.stateful import streaming_match_pattern
+
+    us = lambda x: BASE + datetime.timedelta(microseconds=x)
+    rows = []
+    eid = 0
+    rng = random.Random(99)
+    for user in range(6):
+        t = 0
+        for _ in range(30):
+            t += rng.randint(1, 30_000_000)
+            eid += 1
+            rows.append((user, eid, us(t), rng.choice("abc")))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    steps = [
+        F.col("event_type") == "a",
+        F.col("event_type") == "b",
+        F.col("event_type") == "c",
+    ]
+    within = 60_000_000
+
+    expected = sorted(
+        (r.user_id, r.match_idx, r.start_us, r.end_us)
+        for r in match_pattern(
+            df, ["user_id"], "ts", ["event_id"], steps, within
+        ).collect()
+    )
+    assert expected  # the data must actually contain matches
+
+    # deliver in 3 time-ordered slices (per-key order preserved)
+    src = str(tmp_path / "cep_src")
+    cuts = [10, 20, 30]
+    prev = 0
+    for c in cuts:
+        part = df.where(
+            (F.col("event_id") - 1) % 30 >= prev
+        ).where((F.col("event_id") - 1) % 30 < c)
+        part.coalesce(1).write.mode("append").parquet(src)
+        prev = c
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_match_pattern(stream, steps, within)
+        .writeStream.format("memory")
+        .queryName("cep_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(
+        (r.user_id, r.match_idx, r.start_us, r.end_us)
+        for r in spark.sql("select * from cep_out").collect()
+    )
+    assert got == expected
+    # at least one match must actually straddle a batch boundary, or the
+    # carryover claim is untested: find a match whose start and end fall
+    # in different slices
+    slice_of = {}
+    for user, eidv, ts, _t in rows:
+        slice_of[(user, int(ts.timestamp() * 1_000_000))] = (eidv - 1) % 30 // 10
+    straddles = [
+        m for m in expected
+        if slice_of.get((m[0], m[2])) != slice_of.get((m[0], m[3]))
+    ]
+    assert straddles, "test data produced no cross-batch pattern"
