@@ -64,41 +64,66 @@ def match_pattern(
         *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
         *flags,
     )
+    # events matching NO step are semantics-free under skip-till-next-match
+    # (they are never consumed, and the lazy stale-candidate expiry they
+    # could trigger fires identically at the next matching event, whose
+    # timestamp is later) — drop them map-side BEFORE the key shuffle, so
+    # the exchange and the per-key fold carry only pattern-relevant events
+    any_flag = F.greatest(*[F.coalesce(F.col(f"_s{i}"), F.lit(False)) for i in range(n_steps)]) if n_steps > 1 else F.coalesce(F.col("_s0"), F.lit(False))
+    prepared = prepared.where(any_flag)
     out_schema = (
         ", ".join(f"{k} {t}" for k, t in _key_types(prepared, keys))
         + ", match_idx int, start_us bigint, end_us bigint"
     )
     order = ["_us"] + [f"_o{i}" for i in range(len(order_cols))]
+    out_cols = [*keys, "match_idx", "start_us", "end_us"]
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        key_vals = [pdf.iloc[0][k] for k in keys]
-        us = pdf["_us"].to_numpy()
-        flag_arrays = [pdf[f"_s{i}"].fillna(False).to_numpy() for i in range(n_steps)]
-        rows = []
-        step, start = 0, 0
-        for j in range(len(us)):
-            t = int(us[j])
-            if step > 0 and t - start > within_us:
-                step = 0  # stale candidate dropped; this event re-tests
-            if step == 0:
-                if flag_arrays[0][j]:
-                    step, start = 1, t
-                    if n_steps == 1:
-                        rows.append((len(rows) + 1, t, t))
+    # mapInPandas over key-partitioned, Tungsten-sorted partitions instead
+    # of groupBy().applyInPandas(): ONE Python crossing per partition (32)
+    # rather than one per key (could be millions), with the sort done by
+    # Spark, not pandas per group. Arrow may split a key across successive
+    # batches of the same partition; the DFA state (current key, step,
+    # anchor, match counter) carries across batches and resets on key
+    # change — batches arrive in sorted order within the partition.
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
+        step, start, n_matches = 0, 0, 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arrays = [pdf[k].to_numpy() for k in keys]
+            us = pdf["_us"].to_numpy()
+            flag_arrays = [
+                pdf[f"_s{i}"].fillna(False).to_numpy() for i in range(n_steps)
+            ]
+            rows = []
+            for j in range(len(us)):
+                kv = tuple(a[j] for a in key_arrays)
+                if kv != cur:
+                    cur, step, n_matches = kv, 0, 0
+                t = int(us[j])
+                if step > 0 and t - start > within_us:
+                    step = 0  # stale candidate dropped; this event re-tests
+                if step == 0:
+                    if flag_arrays[0][j]:
+                        step, start = 1, t
+                        if n_steps == 1:
+                            n_matches += 1
+                            rows.append((*kv, n_matches, t, t))
+                            step = 0
+                elif flag_arrays[step][j]:
+                    step += 1
+                    if step == n_steps:
+                        n_matches += 1
+                        rows.append((*kv, n_matches, start, t))
                         step = 0
-            elif flag_arrays[step][j]:
-                step += 1
-                if step == n_steps:
-                    rows.append((len(rows) + 1, start, t))
-                    step = 0
-        return pd.DataFrame(
-            [(*key_vals, m, s, e) for m, s, e in rows],
-            columns=[*keys, "match_idx", "start_us", "end_us"],
-        )
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
 
-    return prepared.groupBy(*keys).applyInPandas(
-        lambda pdf: fold(pdf), schema=out_schema
+    return (
+        prepared.repartition(*keys)
+        .sortWithinPartitions(*keys, *order)
+        .mapInPandas(fold, schema=out_schema)
     )
 
 
