@@ -522,7 +522,12 @@ class EventStore:
 
     # ------------------------------------------------------- maintenance
 
-    def compact(self, topic: str, target_files: int | None = None) -> int:
+    def compact(
+        self,
+        topic: str,
+        target_files: int | None = None,
+        cluster_by: tuple[str, str] | None = None,
+    ) -> int:
         """Rewrite accumulated small append files into (lsn, id)-range
         partitioned, internally sorted files; returns the new file count.
 
@@ -548,6 +553,15 @@ class EventStore:
         dt= is event-time while (lsn, id) is commit-time, so their files
         cannot be both day-partitioned and cursor-range-disjoint — day
         layout is the analytics path, flat the replication path.
+
+        ``cluster_by=(col_a, col_b)``: DAY-PARTITIONED topics only — lay
+        files out along the Z-order curve of two columns instead of
+        (lsn, id) ranges, so min-max stats prune on BOTH columns for
+        analytics predicates (`plans.layout` measures the effect).
+        Numeric columns are range-normalized from a one-row stats read;
+        string columns cluster by a 16-bit hash (equality pruning).
+        Refused on flat topics: their files must stay cursor-range
+        disjoint or replication's ordered-visibility invariant breaks.
         """
         self._recover_compaction(topic)
         path = self.topic_path(topic)
@@ -564,11 +578,25 @@ class EventStore:
         tmp = f"{path}.compacting"
         ordered = f"{path}.compacted"
         old = f"{path}.old"
-        writer = (
-            df.repartitionByRange(target_files, "lsn", "id")
-            .sortWithinPartitions("lsn", "id")
-            .write.mode("overwrite")
-        )
+        if cluster_by is not None:
+            if not day_partitioned:
+                raise ValueError(
+                    "cluster_by requires a day-partitioned topic: flat "
+                    "topics must keep (lsn, id)-disjoint files for "
+                    "replication's ordered-visibility invariant"
+                )
+            zcol = self._zorder_key(df, cluster_by)
+            laid_out = (
+                df.withColumn("_z", zcol)
+                .repartitionByRange(target_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            laid_out = df.repartitionByRange(
+                target_files, "lsn", "id"
+            ).sortWithinPartitions("lsn", "id")
+        writer = laid_out.write.mode("overwrite")
         if day_partitioned:
             # preserve the established hive layout: dt is a partition column
             # on read, so it must go back out via partitionBy or the rewrite
@@ -598,6 +626,41 @@ class EventStore:
         finally:
             self._append_mutex.release(topic)
         return n_files
+
+    def _zorder_key(self, df, cluster_by: tuple[str, str]):
+        """16-bit-per-dimension Morton key over two columns: numeric
+        columns are left-shifted to align at 16 bits using a MAX from a
+        one-row stats read (the `plans.layout` normalization — what
+        production Z-order writers do); string columns use the low 16
+        bits of xxhash64 (clusters equal keys for equality pruning; no
+        range order exists to preserve)."""
+        from event_store_spark.plans.layout import ZBITS, zvalue
+
+        types = dict(df.dtypes)
+        dims = []
+        numeric = [c for c in cluster_by if types[c] in ("bigint", "int", "smallint")]
+        maxes = {}
+        if numeric:
+            row = df.agg(
+                *[F.max(c).alias(c) for c in numeric]
+            ).head()
+            maxes = {c: int(row[c]) for c in numeric if row[c] is not None}
+        for c in cluster_by:
+            if c in maxes:
+                bits = maxes[c].bit_length()
+                if bits > ZBITS:
+                    # wide values: keep the HIGH bits (coarse ranges) —
+                    # zvalue reads only the low ZBITS of each dimension
+                    dims.append(F.shiftright(F.col(c), bits - ZBITS))
+                else:
+                    dims.append(F.shiftleft(F.col(c), ZBITS - bits))
+            elif c in numeric:  # all-NULL numeric column: degenerate dim
+                dims.append(F.lit(0))
+            else:
+                dims.append(
+                    F.pmod(F.xxhash64(F.col(c)), F.lit(1 << ZBITS)).cast("bigint")
+                )
+        return zvalue(dims[0], dims[1])
 
     @staticmethod
     def _parquet_files(path: str) -> list[str]:

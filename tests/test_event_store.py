@@ -778,3 +778,47 @@ def test_lineage_marker_survives_torn_write(tmp_path):
     minted = checkpoint_lineage_id(ck)
     assert minted  # non-empty
     assert checkpoint_lineage_id(ck) == minted  # stable afterwards
+
+
+def test_compaction_cluster_by_zorder_day_topic(store, spark):
+    """Z-order clustered compaction (analytics path): data and replay
+    order survive, the dt= layout survives, and rows with the same key
+    land in fewer files than row count (clustering by hashed key).
+    Flat topics refuse cluster_by — their files must stay (lsn, id)
+    range-disjoint for replication's ordered-visibility invariant."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    day = datetime.datetime(2025, 2, 1, 9)
+    for i in range(40):
+        rows.append((f"k{i % 4}", f"p{i}", day))
+    store.append(
+        "zc_events", _payload_df(spark, rows), partition_by_day=True
+    )
+    before = [
+        (r.lsn, r.id, r.payload)
+        for r in store.replay("zc_events").collect()
+    ]
+    n = store.compact("zc_events", target_files=4, cluster_by=("key", "lsn"))
+    assert n >= 1
+    after = [
+        (r.lsn, r.id, r.payload) for r in store.replay("zc_events").collect()
+    ]
+    assert after == before
+    # clustering: each of the 4 keys' rows concentrate in few files
+    df = store.read_events("zc_events").select(
+        "key", F.input_file_name().alias("f")
+    )
+    per_key_files = {
+        r.key: r.nf
+        for r in df.groupBy("key")
+        .agg(F.countDistinct("f").alias("nf"))
+        .collect()
+    }
+    assert all(nf <= 2 for nf in per_key_files.values()), per_key_files
+
+    store.append("zflat_events", _payload_df(spark, [("a", "1", TS)]))
+    with pytest.raises(ValueError, match="day-partitioned"):
+        store.compact("zflat_events", cluster_by=("key", "lsn"))
