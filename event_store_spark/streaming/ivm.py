@@ -1,0 +1,212 @@
+"""Incremental view maintenance (IVM) for JOIN aggregates.
+
+`ContinuousRollup` maintains a single-table windowed aggregate;
+real materialized views aggregate over JOINS — `revenue per nation` is
+customer ⋈ orders, and recomputing it per refresh reads both full
+tables. For append-only sources the textbook delta rule makes the
+refresh cost proportional to the CHANGE:
+
+    Δ(R ⋈ S) = ΔR ⋈ S_pre  ∪  R_pre ⋈ ΔS  ∪  ΔR ⋈ ΔS
+
+and for additive aggregates (SUM/COUNT) the view merge is a per-group
+addition. This module maintains exactly that:
+
+- the two sources are one tagged stream of deltas (side = 'l' | 'r'),
+  the shape a CDC/append feed naturally has;
+- `_pre` snapshots are the view's own accumulating copies of each side,
+  appended AFTER the batch's delta join — so during processing they
+  hold precisely the pre-batch state (no anti-join reconstruction). At
+  warehouse scale the "_pre" side is the source table itself read at
+  snapshot isolation; the copies here stand in for that snapshot and
+  keep the module self-contained;
+- the view table lives behind the same atomic pointer flip /
+  idempotent-replay contract as `ContinuousRollup`/`CdcMaterializer`
+  (the flip is the commit marker; replays of committed batches skip;
+  replays of uncommitted batches rebuild) — crucially the side
+  snapshots are also rolled forward idempotently: a replayed committed
+  batch must not re-append its deltas.
+
+Aggregates: any dict of column → additive measure (``sum(expr)`` /
+``count(*)`` shapes), the incrementally-mergeable class. MIN/MAX are
+deliberately out: they are not differentiable under deletion and need
+per-group state; use `CdcMaterializer` + recompute or a sketch.
+
+Scale: each refresh joins only deltas against one full side (broadcast
+the delta side — it is the small one by construction) plus delta ⋈
+delta; the view merge touches only groups present in the delta
+aggregate. Nothing ever re-reads both full sides.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_KEEP_VERSIONS = 2
+
+
+class JoinAggregateView:
+    """Maintain ``agg(R ⋈ S) GROUP BY group_cols`` incrementally.
+
+    ``join_keys``: equi-join column names shared by both sides.
+    ``measures``: output column → (side-qualified) additive expression
+    built by the caller from the joined frame, e.g.
+    ``{"revenue": F.sum(F.col("amount")), "n": F.count(F.lit(1))}``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        join_keys: list[str],
+        left_cols: list[str],
+        right_cols: list[str],
+        group_cols: list[str],
+        measures: dict[str, Column],
+        target_path: str,
+        checkpoint: str,
+    ) -> None:
+        self.spark = spark
+        self.join_keys = list(join_keys)
+        self.left_cols = list(left_cols)  # incl. join keys
+        self.right_cols = list(right_cols)
+        self.group_cols = list(group_cols)
+        self.measures = dict(measures)
+        self.target_path = target_path
+        self.checkpoint = checkpoint
+        os.makedirs(target_path, exist_ok=True)
+
+    # ------------------------------------------------------------- plumbing
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.target_path, "_CURRENT")
+
+    def _current_version(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _side_dir(self, side: str) -> str:
+        return os.path.join(self.target_path, f"_side_{side}")
+
+    def _side_pre(self, side: str, batch_id: int, schema) -> DataFrame:
+        """The side's accumulated snapshot BEFORE this batch: the union of
+        per-batch subdirectories with id < batch_id. Per-batch subdirs +
+        overwrite writes make the snapshot roll-forward idempotent under
+        any crash/replay interleaving — a replayed batch overwrites its
+        own subdir and never double-appends, and an uncommitted replay
+        whose subdir already exists is EXCLUDED from its own pre-state by
+        the id < batch_id filter."""
+        d = self._side_dir(side)
+        paths = []
+        if os.path.isdir(d):
+            for sub in os.listdir(d):
+                if sub.startswith("b") and int(sub[1:]) < batch_id:
+                    paths.append(os.path.join(d, sub))
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def table(self) -> DataFrame:
+        current = self._current_version()
+        if current is None:
+            fields = ", ".join(f"{c} string" for c in self.group_cols)
+            meas = ", ".join(f"{m} double" for m in self.measures)
+            return self.spark.createDataFrame([], f"{fields}, {meas}")
+        return self.spark.read.parquet(
+            os.path.join(self.target_path, current)
+        )
+
+    # ------------------------------------------------------------ the rule
+
+    def _delta_view(
+        self, dl: DataFrame, dr: DataFrame, batch_id: int
+    ) -> DataFrame:
+        """agg over ΔR ⋈ S_pre ∪ R_pre ⋈ ΔS ∪ ΔR ⋈ ΔS."""
+        l_pre = self._side_pre("l", batch_id, dl.schema)
+        r_pre = self._side_pre("r", batch_id, dr.schema)
+        joined = (
+            F.broadcast(dl).join(r_pre, self.join_keys)
+            .unionByName(l_pre.join(F.broadcast(dr), self.join_keys))
+            .unionByName(dl.join(dr, self.join_keys))
+        )
+        return joined.groupBy(*self.group_cols).agg(
+            *[m.alias(name) for name, m in self.measures.items()]
+        )
+
+    def _merge(self, tagged: DataFrame, batch_id: int) -> None:
+        current = self._current_version()
+        version = f"_v{batch_id}"
+        dl = tagged.where(F.col("_side") == "l").select(*self.left_cols)
+        dr = tagged.where(F.col("_side") == "r").select(*self.right_cols)
+        if current != version:
+            delta = self._delta_view(dl, dr, batch_id)
+            if current is None:
+                merged = delta
+            else:
+                existing = self.table()
+                meas = list(self.measures)
+                merged = (
+                    existing.alias("e")
+                    .join(delta.alias("d"), self.group_cols, "full_outer")
+                    .select(
+                        *[
+                            F.coalesce(f"e.{c}", f"d.{c}").alias(c)
+                            for c in self.group_cols
+                        ],
+                        *[
+                            (
+                                F.coalesce(F.col(f"e.{m}"), F.lit(0))
+                                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
+                            ).alias(m)
+                            for m in meas
+                        ],
+                    )
+                )
+            out_dir = os.path.join(self.target_path, version)
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
+            merged.write.mode("overwrite").parquet(out_dir)
+            self.spark.catalog.refreshByPath(out_dir)
+            tmp = self._pointer_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(version)
+            os.replace(tmp, self._pointer_path())
+            self._gc(keep=version)
+        # roll the side snapshots forward: each batch's delta goes to its
+        # OWN subdir with overwrite semantics (idempotent under replay;
+        # see _side_pre for why the layout also keeps the pre-state exact)
+        for side, delta_df in (("l", dl), ("r", dr)):
+            sub = os.path.join(self._side_dir(side), f"b{batch_id}")
+            delta_df.write.mode("overwrite").parquet(sub)
+            self.spark.catalog.refreshByPath(sub)
+
+    def _gc(self, keep: str) -> None:
+        versions = sorted(
+            (d for d in os.listdir(self.target_path) if d.startswith("_v")),
+            key=lambda d: int(d[2:]),
+        )
+        for stale in versions[: -(_KEEP_VERSIONS + 1)]:
+            if stale != keep:
+                shutil.rmtree(
+                    os.path.join(self.target_path, stale), ignore_errors=True
+                )
+
+    # ------------------------------------------------------------- running
+
+    def start(self, tagged_stream: DataFrame, available_now: bool = True):
+        """`tagged_stream` must carry a `_side` column ('l' | 'r') plus
+        each side's columns (the other side's NULL) — the union shape a
+        two-source file/CDC feed produces."""
+        writer = (
+            tagged_stream.writeStream.foreachBatch(self._merge)
+            .outputMode("update")
+            .option("checkpointLocation", self.checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
