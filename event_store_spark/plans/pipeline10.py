@@ -1,0 +1,143 @@
+"""Corpus-governance statistics: source novelty and distribution drift.
+
+Two reports a data-curation pipeline runs when deciding what a new
+source adds to the mix:
+
+- `source_ngram_novelty`: per source, how much of its 3-gram vocabulary
+  appears in NO other source — the marginal-content measure that
+  separates a genuinely new corpus from a re-crawl. One tokenization
+  pass; grams travel as xxhash64 longs (never output — the
+  `contamination_ngram` contract); one shuffle keyed by gram computes
+  each gram's distinct-source count, then a per-source aggregate.
+
+- `ks_length_drift`: the exact two-sample Kolmogorov-Smirnov statistic
+  between the held-out source's (src0) document-length distribution and
+  the rest of the corpus. Step CDFs attain their maximum difference at
+  sample points, so evaluating at every distinct length is EXACT, not a
+  grid approximation: per-(length, side) counts → one cumulative-sum
+  window over the O(#distinct lengths) aggregate (bounded by the length
+  domain, not the corpus — the `mixture_weights` small-window
+  precedent) → max |CDF_a − CDF_b|. All counts integer; the one double
+  division happens identically on both engines, and the statistic is
+  reported in basis points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.text import whitespace_tokens, word_ngram_hashes
+from event_store_spark.plans.registry import register
+from event_store_spark.tables import load_table
+
+KS_HELD_OUT = "src0"
+
+
+@register(
+    "source_ngram_novelty",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source,
+                        string_split_regex(trim(text), '\\s+') AS w
+                 FROM documents),
+    sh AS (SELECT DISTINCT source,
+                  hash(UNNEST(list_transform(
+                      range(1, greatest(len(w) - 2, 0) + 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM tok),
+    spread AS (SELECT g, COUNT(*) AS nsrc FROM sh GROUP BY g)
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (p.nsrc = 1) AS BIGINT) AS n_exclusive,
+           CAST(FLOOR(10000.0 * COUNT(*) FILTER (p.nsrc = 1) / COUNT(*))
+                AS BIGINT) AS novelty_bp
+    FROM sh s JOIN spread p USING (g)
+    GROUP BY s.source ORDER BY s.source
+    """,
+)
+def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 3-gram count, count exclusive to the source,
+    and the exclusive share in basis points.
+
+    NOTE the hash contract: DuckDB's `hash()` and Spark's `xxhash64`
+    are both 64-bit but NOT the same function — which is fine here
+    because the hash never crosses engines: each side dedups and
+    counts over ITS OWN hash space and only the (source, counts) rows
+    are compared. A 64-bit collision would merge two grams on one side
+    only (probability ~(#grams)^2/2^64); the brief's standard
+    fingerprint trade."""
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", whitespace_tokens("text").alias("w"))
+        .select("source", F.explode(word_ngram_hashes("w", 3)).alias("g"))
+        .distinct()
+    )
+    spread = sh.groupBy("g").agg(F.count(F.lit(1)).alias("nsrc"))
+    excl = F.sum((F.col("nsrc") == 1).cast("bigint"))
+    return (
+        sh.join(spread, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            excl.alias("n_exclusive"),
+            F.floor(10000.0 * excl / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("novelty_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "ks_length_drift",
+    oracle=f"""
+    WITH pts AS (SELECT n_chars AS v,
+                        CAST(source = '{KS_HELD_OUT}' AS INT) AS a
+                 FROM documents),
+    n AS (SELECT SUM(a) AS na, SUM(1 - a) AS nb FROM pts),
+    per_v AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb
+              FROM pts GROUP BY v),
+    cum AS (SELECT v,
+                   SUM(ca) OVER (ORDER BY v) AS cca,
+                   SUM(cb) OVER (ORDER BY v) AS ccb
+            FROM per_v)
+    SELECT n.na, n.nb,
+           CAST(FLOOR(10000.0 * MAX(ABS(cca * 1.0 / n.na
+                                        - ccb * 1.0 / n.nb))) AS BIGINT)
+               AS ks_bp
+    FROM cum, n GROUP BY n.na, n.nb
+    """,
+)
+def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (basis points) between src0's
+    n_chars distribution and the rest of the corpus."""
+    pts = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == KS_HELD_OUT).cast("int").alias("a"),
+    )
+    per_v = pts.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum(1 - F.col("a")).alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+    )
+    n = pts.agg(F.sum("a").alias("na"), F.sum(1 - F.col("a")).alias("nb"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            F.floor(
+                10000.0
+                * F.max(
+                    F.abs(
+                        F.col("cca") * F.lit(1.0) / F.col("na")
+                        - F.col("ccb") * F.lit(1.0) / F.col("nb")
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("ks_bp")
+        )
+        .select("na", "nb", "ks_bp")
+    )
