@@ -125,9 +125,24 @@ class CdcMaterializer:
             os.path.join(self.target_path, version)
         )
 
-    def table(self) -> DataFrame:
-        """Live rows (tombstones filtered) as of the last committed merge."""
+    def versions(self) -> list[str]:
+        """Version directories still on disk, oldest→newest (the last is
+        not necessarily committed; `_KEEP_VERSIONS` superseded snapshots
+        survive GC for time travel, as in `ContinuousRollup`)."""
+        return sorted(
+            (d for d in os.listdir(self.target_path) if d.startswith("_v")),
+            key=lambda d: int(d[2:]),
+        )
+
+    def table(self, version: str | None = None) -> DataFrame:
+        """Live rows (tombstones filtered) as of the last committed merge
+        — or, with ``version`` (a name from :meth:`versions`), time
+        travel to a retained superseded snapshot."""
         current = self._current_version()
+        if version is not None:
+            if version not in self.versions():
+                raise ValueError(f"unknown CDC version {version!r}")
+            return self._full(version).where(~F.col("_deleted"))
         if current is None:
             # the merged schema == parse() minus op: derive it from an
             # empty envelope frame instead of re-parsing the DDL by hand

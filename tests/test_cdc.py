@@ -125,3 +125,20 @@ def test_cdc_malformed_envelope_fails_loudly(spark, tmp_path):
         )
         q = mat.start(mat.parse(stream))
         q.awaitTermination(240)
+
+
+def test_cdc_time_travel_to_retained_version(spark, tmp_path):
+    """A superseded snapshot within the retention window reads back the
+    pre-update state; unknown versions fail loudly."""
+    src = str(tmp_path / "tt")
+    _write_batch(spark, src, [_env("c", 1, 1, {"id": 5, "name": "v1", "amount": 1})], 0)
+    mat = _mat(spark, tmp_path)
+    _run(spark, mat, src)
+    v0 = mat._current_version()
+    _write_batch(spark, src, [_env("u", 2, 2, {"id": 5, "name": "v2", "amount": 2})], 1)
+    _run(spark, mat, src)
+    assert mat._current_version() != v0 and v0 in mat.versions()
+    assert [r["name"] for r in mat.table().select("_row.name").collect()] == ["v2"]
+    assert [r["name"] for r in mat.table(version=v0).select("_row.name").collect()] == ["v1"]
+    with pytest.raises(ValueError, match="unknown CDC version"):
+        mat.table(version="_v999")
