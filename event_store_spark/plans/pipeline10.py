@@ -141,3 +141,94 @@ def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("na", "nb", "ks_bp")
     )
+
+
+#: literal blocklist phrases (a real pipeline loads thousands; the scan
+#: shape — one alternation regex compiled once, applied map-side — is
+#: identical at any list size that fits a broadcast)
+BLOCKLIST = ("spark", "hash join", "slow scan")
+_BLOCK_RE = "|".join(BLOCKLIST)
+
+
+@register(
+    "blocklist_scan",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) FILTER (len(regexp_extract_all(text, '{_BLOCK_RE}'))
+                                 > 0) AS BIGINT) AS n_flagged,
+           CAST(SUM(len(regexp_extract_all(text, '{_BLOCK_RE}')))
+                AS BIGINT) AS n_hits
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content filtering: per source, documents containing any blocklist
+    phrase and the total phrase occurrences. One map-side
+    regexp_extract_all over a literal alternation (the compiled-once
+    Aho-Corasick-style multi-pattern scan every toxicity/keyword filter
+    runs), one partial→final aggregate — no shuffle carries text."""
+    hits = F.size(F.regexp_extract_all("text", F.lit(_BLOCK_RE), F.lit(0)))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("source", hits.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("h") > 0).cast("bigint")).alias("n_flagged"),
+            F.sum("h").cast("bigint").alias("n_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type, MEDIAN(value) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.value, m.med,
+                   ABS(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, MEDIAN(adev) AS mad FROM dev
+            GROUP BY event_type)
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(a.mad), 4) AS mad,
+           CAST(COUNT(*) FILTER (d.adev > 3 * 1.4826 * a.mad) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier counts: |x − median| > 3·1.4826·MAD —
+    the robust-z rule that survives the outliers it hunts (stdev-based
+    z-scores are dragged by the tail they measure; `event_rate_anomalies`
+    is the moment-based contrast).
+
+    Two exact-median passes (value, then absolute deviation), each a
+    per-group percentile aggregate; the O(#types) median tables ride
+    broadcasts back onto the rows. Exact interpolated medians agree
+    bit-for-bit cross-engine (the `quartiles_exact` dyadic-fraction pin);
+    the final round(4) guards the subtraction's last bit."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
