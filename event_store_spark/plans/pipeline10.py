@@ -232,3 +232,124 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT 'customer_key_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT c_custkey FROM customer GROUP BY c_custkey
+                  HAVING COUNT(*) > 1)) AS BIGINT) AS measured,
+           (SELECT COUNT(*) FROM
+                 (SELECT c_custkey FROM customer GROUP BY c_custkey
+                  HAVING COUNT(*) > 1)) = 0 AS passed
+    UNION ALL
+    SELECT 'orders_custkey_ri',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    UNION ALL
+    SELECT 'lineitem_orderkey_ri',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) = 0
+    UNION ALL
+    SELECT 'documents_text_null_bp',
+           CAST((SELECT FLOOR(10000.0 * COUNT(*) FILTER (text IS NULL)
+                              / COUNT(*)) FROM documents) AS BIGINT),
+           (SELECT FLOOR(10000.0 * COUNT(*) FILTER (text IS NULL)
+                         / COUNT(*)) FROM documents) <= 100
+    UNION ALL
+    SELECT 'events_ts_in_range',
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE ts < TIMESTAMP '2020-01-01'
+                    OR ts >= TIMESTAMP '2030-01-01') AS BIGINT),
+           (SELECT COUNT(*) FROM events
+            WHERE ts < TIMESTAMP '2020-01-01'
+               OR ts >= TIMESTAMP '2030-01-01') = 0
+    ORDER BY check_name
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the expectation suite a pipeline runs before
+    admitting a snapshot to training/serving — key uniqueness,
+    referential integrity, domain ranges, null budgets — one row per
+    check with the measured violation count and the verdict.
+
+    Each check is its own small plan (RI checks are broadcast anti-joins
+    with the DIM side broadcast; the rest are single aggregates) unioned
+    into one report: at 100 TB each check remains one pruned column scan,
+    and a failed gate carries its violation COUNT — the triage number —
+    not just a boolean."""
+
+    def one(name, measured_col, passed_col):
+        return (name, measured_col, passed_col)
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    ev = load_table(spark, sf_dir, "events").select("ts")
+
+    dup = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    orphan_o = (
+        orders.join(F.broadcast(cust.distinct()),
+                    orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    orphan_l = (
+        li.join(orders.select("o_orderkey").distinct(),
+                li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    neg_qty = li.where(F.col("l_quantity") <= 0).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    null_bp = docs.agg(
+        F.floor(
+            10000.0
+            * F.sum(F.col("text").isNull().cast("bigint"))
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    ts_range = ev.where(
+        (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp"))
+    ).agg(F.count(F.lit(1)).alias("m"))
+
+    checks = [
+        ("customer_key_unique", dup, 0),
+        ("documents_text_null_bp", null_bp, 100),
+        ("events_ts_in_range", ts_range, 0),
+        ("lineitem_orderkey_ri", orphan_l, 0),
+        ("lineitem_quantity_positive", neg_qty, 0),
+        ("orders_custkey_ri", orphan_o, 0),
+    ]
+    out = None
+    for name, agg_df, budget in checks:
+        row = agg_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("m").cast("bigint").alias("measured"),
+            (F.col("m") <= budget).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("check_name")
