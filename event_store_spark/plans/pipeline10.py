@@ -296,9 +296,6 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a failed gate carries its violation COUNT — the triage number —
     not just a boolean."""
 
-    def one(name, measured_col, passed_col):
-        return (name, measured_col, passed_col)
-
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
