@@ -230,3 +230,49 @@ def test_parquet_aggregate_pushdown_under_dsv2(spark, sf_correct):
     finally:
         spark.conf.set(v1_key, old_v1)
         spark.conf.set(pd_key, old_pd)
+
+
+def test_runtime_bloom_filter_semi_pushdown(spark, sf_correct):
+    """Scan-reduction pin #2: when a selective dim side cannot broadcast,
+    Spark's runtime Bloom-filter injection (the semi-join pushdown every
+    warehouse engine ships) filters the fact side MAP-SIDE before the
+    shuffle — might_contain appears against the lineitem scan — and the
+    filtered join result stays value-correct."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_correct, "lineitem")
+        orders = load_table(spark, sf_correct, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.sum("l_quantity").alias("s")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+        filtered = j.head()["s"]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # same aggregate without the bloom machinery
+    li = load_table(spark, sf_correct, "lineitem")
+    orders = load_table(spark, sf_correct, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.sum("l_quantity").alias("s"))
+        .head()["s"]
+    )
+    assert filtered == plain
