@@ -75,11 +75,21 @@ def _zvalue_sql(a: str, b: str, bits: int = ZBITS) -> str:
 @register(
     "zorder_pruning",
     oracle=f"""
-    WITH st AS (SELECT (1 << ({ZBITS} - length(bin(MAX(l_partkey))))) AS pa,
-                       (1 << ({ZBITS} - length(bin(MAX(l_suppkey))))) AS sb
-                FROM lineitem),
+    WITH lens AS (SELECT length(bin(MAX(l_partkey))) AS lp,
+                         length(bin(MAX(l_suppkey))) AS ls
+                  FROM lineitem),
+    st AS (SELECT CASE WHEN lp >= {ZBITS} THEN 1
+                       ELSE 1 << ({ZBITS} - lp) END AS p_up,
+                  CASE WHEN lp > {ZBITS} THEN 1 << (lp - {ZBITS})
+                       ELSE 1 END AS p_dn,
+                  CASE WHEN ls >= {ZBITS} THEN 1
+                       ELSE 1 << ({ZBITS} - ls) END AS s_up,
+                  CASE WHEN ls > {ZBITS} THEN 1 << (ls - {ZBITS})
+                       ELSE 1 END AS s_dn
+           FROM lens),
     keys AS (SELECT l_orderkey, l_partkey, l_suppkey,
-                    {_zvalue_sql('(l_partkey * st.pa)', '(l_suppkey * st.sb)')}
+                    {_zvalue_sql('((l_partkey // st.p_dn) * st.p_up)',
+                                 '((l_suppkey // st.s_dn) * st.s_up)')}
                         AS z
              FROM lineitem, st),
     zf AS (SELECT z >> {ZFILE_SHIFT} AS f,
@@ -120,14 +130,24 @@ def zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = li.agg(
         F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
     ).head()
-    sa = ZBITS - int(mx["mp"]).bit_length()
-    sb = ZBITS - int(mx["ms"]).bit_length()
+
+    def norm(col: str, max_val: int):
+        # wide keys keep their HIGH bits (zvalue reads the low ZBITS):
+        # right-shift down when the range exceeds ZBITS, left-shift up
+        # otherwise — found the hard way: the 10× corpus re-keys parts
+        # past 2^16 and a negative left shift is an error (oracle) or
+        # silent garbage (JVM masks the shift count)
+        bits = max_val.bit_length()
+        if bits > ZBITS:
+            return F.shiftright(col, bits - ZBITS)
+        return F.shiftleft(col, ZBITS - bits)
+
     keys = li.select(
         "l_orderkey",
         "l_partkey",
         "l_suppkey",
         zvalue(
-            F.shiftleft("l_partkey", sa), F.shiftleft("l_suppkey", sb)
+            norm("l_partkey", int(mx["mp"])), norm("l_suppkey", int(mx["ms"]))
         ).alias("z"),
     )
     span = [
