@@ -222,3 +222,68 @@ def test_streaming_match_pattern_equals_batch_across_batches(spark, tmp_path):
         if slice_of.get((m[0], m[2])) != slice_of.get((m[0], m[3]))
     ]
     assert straddles, "test data produced no cross-batch pattern"
+
+
+def test_streaming_match_pattern_survives_restart_mid_pattern(spark, tmp_path):
+    """The DFA state (open candidate's step + anchor) lives in the
+    checkpointed state store: a SECOND query instance over the same
+    checkpoint completes patterns the first instance left half-open."""
+    import datetime
+
+    from event_store_spark.streaming.stateful import streaming_match_pattern
+
+    us = lambda x: BASE + datetime.timedelta(microseconds=x)
+    first = [  # run 1 delivers a,b — candidate open at step 2
+        (1, 1, us(0), "a"),
+        (1, 2, us(10_000_000), "b"),
+    ]
+    second = [  # run 2 (fresh query, same checkpoint) delivers the close
+        (1, 3, us(20_000_000), "c"),
+    ]
+    schema = "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    steps = [
+        F.col("event_type") == "a",
+        F.col("event_type") == "b",
+        F.col("event_type") == "c",
+    ]
+    src = str(tmp_path / "restart_src")
+    ck = str(tmp_path / "restart_ck")
+    collected = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_match_pattern(stream, steps, 10**9)
+            .writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(src)
+    run_once()
+    assert collected == []  # half-open: nothing emitted yet
+
+    spark.createDataFrame(second, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert len(collected) == 1
+    m = collected[0]
+    base_us = int(
+        spark.createDataFrame([(BASE,)], "ts timestamp")
+        .select(F.unix_micros("ts"))
+        .head()[0]
+    )
+    # the match anchors at run-1's 'a' — state recovered across restart
+    assert (m.user_id, m.match_idx, m.start_us, m.end_us) == (
+        1, 1, base_us, base_us + 20_000_000,
+    )
