@@ -94,7 +94,8 @@ def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pts AS (SELECT n_chars AS v,
                         CAST(source = '{KS_HELD_OUT}' AS INT) AS a
                  FROM documents),
-    n AS (SELECT SUM(a) AS na, SUM(1 - a) AS nb FROM pts),
+    n AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                 CAST(SUM(1 - a) AS BIGINT) AS nb FROM pts),
     per_v AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb
               FROM pts GROUP BY v),
     cum AS (SELECT v,

@@ -174,8 +174,10 @@ _ENCODE_ORACLE = (
     + ",".join(_round_sql(i) for i in range(1, BPE_ROUNDS + 1))
     + f"""
     SELECT d.lang,
-           SUM(len(string_split_regex(trim(d.text), '\\s+'))) AS tokens_before,
-           SUM(len(string_split(s{BPE_ROUNDS}.s, ' '))) AS tokens_after
+           CAST(SUM(len(string_split_regex(trim(d.text), '\\s+')))
+                AS BIGINT) AS tokens_before,
+           CAST(SUM(len(string_split(s{BPE_ROUNDS}.s, ' ')))
+                AS BIGINT) AS tokens_after
     FROM documents d JOIN s{BPE_ROUNDS} ON d.doc_id = s{BPE_ROUNDS}.doc_id
     GROUP BY d.lang ORDER BY d.lang"""
 )

@@ -106,7 +106,7 @@ CONCURRENCY_WINDOW = "INTERVAL 5 MINUTES"
                    PARTITION BY event_type ORDER BY t, delta
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
         FROM pts)
-    SELECT event_type, MAX(c) AS peak
+    SELECT event_type, CAST(MAX(c) AS BIGINT) AS peak
     FROM run GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -249,7 +249,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            MAX(len) AS longest_streak,
            COUNT(*) AS n_streaks,
-           SUM(len) AS active_days
+           CAST(SUM(len) AS BIGINT) AS active_days
     FROM runs GROUP BY user_id
     ORDER BY longest_streak DESC, user_id LIMIT 100
     """,

@@ -150,6 +150,20 @@ CMS_TOPK = 20
 _CMS_EPS_NUM = 2.718281828459045  # e, as the same double literal both sides
 
 
+def _oracle_bucket(tok: str, seed: str) -> str:
+    """DuckDB CMS bucket with PINNED semantics: the md5 window's value mod
+    width is its last byte (width 256 = 16², so the mod depends only on
+    the final two hex chars), parsed by explicit strpos arithmetic. The
+    first cut used `('0x' || substr(md5, ...))::BIGINT` — a hex-literal
+    string cast whose behavior is a DuckDB-version surface (ADVICE r5);
+    strpos over a digit table has one meaning everywhere."""
+    assert CMS_WIDTH == 256, "bucket = last md5 byte only holds for width 256"
+    digit = "strpos('0123456789abcdef', substr(md5({t}), {p} + 8 * {s}, 1)) - 1"
+    hi = digit.format(t=tok, p=7, s=seed)
+    lo = digit.format(t=tok, p=8, s=seed)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
 @register(
     "approx_token_counts_cms",
     oracle=f"""
@@ -158,27 +172,25 @@ _CMS_EPS_NUM = 2.718281828459045  # e, as the same double literal both sides
                                         '\\s+')) AS t
                           FROM documents)
                     GROUP BY t),
-    n AS (SELECT SUM(cnt) AS total FROM tokcnt),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tokcnt),
     cms AS (SELECT seed,
-                   (('0x' || substr(md5(t), 1 + 8 * seed, 8))::BIGINT
-                     % {CMS_WIDTH}) AS bucket,
-                   SUM(cnt) AS c
+                   {_oracle_bucket('t', 'seed')} AS bucket,
+                   CAST(SUM(cnt) AS BIGINT) AS c
             FROM tokcnt, (SELECT UNNEST(range({CMS_DEPTH})) AS seed) s
             GROUP BY 1, 2),
     exact AS (SELECT t, cnt AS exact_cnt FROM tokcnt
               ORDER BY cnt DESC, t LIMIT {CMS_TOPK}),
     probes AS (SELECT e.t, e.exact_cnt, s.seed,
-                      (('0x' || substr(md5(e.t), 1 + 8 * s.seed, 8))::BIGINT
-                        % {CMS_WIDTH}) AS bucket
+                      {_oracle_bucket('e.t', 's.seed')} AS bucket
                FROM exact e, (SELECT UNNEST(range({CMS_DEPTH})) AS seed) s),
     est AS (SELECT p.t, p.exact_cnt, MIN(c.c) AS est_cnt
             FROM probes p JOIN cms c USING (seed, bucket)
             GROUP BY p.t, p.exact_cnt)
     SELECT t AS token, exact_cnt, est_cnt,
-           est_cnt >= exact_cnt AS no_underestimate,
-           est_cnt <= exact_cnt
+           CAST(est_cnt >= exact_cnt AS INT) AS no_underestimate,
+           CAST(est_cnt <= exact_cnt
              + CAST(CEIL({_CMS_EPS_NUM} / {CMS_WIDTH} * n.total) AS BIGINT)
-               AS within_eps
+               AS INT) AS within_eps
     FROM est, n ORDER BY exact_cnt DESC, token
     """,
 )
@@ -220,14 +232,14 @@ def approx_token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = tokcnt.agg(F.sum("cnt").alias("total"))
 
     def bucket(seed_col, tok_col):
-        return F.pmod(
-            F.conv(
-                F.substring(F.md5(tok_col), F.lit(1) + F.lit(8) * seed_col, 8),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(CMS_WIDTH),
-        )
+        # value-mod-256 of the 8-hex-char window = its last byte; parse
+        # just those two chars (conv of a 2-char string can't overflow or
+        # sign-flip — the same pinned-semantics move as the oracle side)
+        return F.conv(
+            F.substring(F.md5(tok_col), F.lit(7) + F.lit(8) * seed_col, 2),
+            16,
+            10,
+        ).cast("int")
 
     seeds = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
     cms = (
@@ -260,8 +272,12 @@ def approx_token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("token"),
             "exact_cnt",
             "est_cnt",
-            (F.col("est_cnt") >= F.col("exact_cnt")).alias("no_underestimate"),
-            (F.col("est_cnt") <= F.col("exact_cnt") + slack).alias("within_eps"),
+            (F.col("est_cnt") >= F.col("exact_cnt"))
+            .cast("int")
+            .alias("no_underestimate"),
+            (F.col("est_cnt") <= F.col("exact_cnt") + slack)
+            .cast("int")
+            .alias("within_eps"),
         )
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
