@@ -254,15 +254,16 @@ def test_interleave_sources_window_partitioned_take_ordered(spark, sf_correct):
             assert "source" in line, f"unpartitioned window: {line}"
 
 
-def test_duplicate_spans_single_scan_keyed_window(spark, sf_correct):
+def test_duplicate_spans_single_scan_no_window(spark, sf_correct):
     """Round-6 substring-dup: one corpus tokenization (the group-carry
-    form), doc_id-partitioned interval-union window, no pair join."""
+    form), no pair join, and — the r6 rewrite — NO window at all: the
+    per-doc interval union is a collect_list hash agg + in-array
+    aggregate fold, so the only exchanges are the two keyed
+    aggregations (gram hash, then doc_id)."""
     plan = _plan(spark, sf_correct, "duplicate_spans")
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
     assert "CartesianProduct" not in plan
-    for line in plan.splitlines():
-        if line.strip().startswith("Window ") or "WindowExec" in line:
-            assert "doc_id" in line, f"unpartitioned window: {line}"
+    assert "Window" not in plan, "interval union regressed to a window sort"
 
 
 def test_ann_sq8_broadcasts_codebook_and_query(spark, sf_correct):
