@@ -157,8 +157,19 @@ class CdcMaterializer:
         version = f"_v{batch_id}"
         if current == version:
             return  # replay after commit flip: idempotent skip
+        # last key: a TOTAL order over the row content (xxhash64 of the
+        # row struct). Without it, two updates to one key with equal
+        # (ts_ms, seq) tie after `_deleted` and row_number picks an
+        # arbitrary winner — materialized state becomes nondeterministic
+        # and a replayed uncommitted batch can rebuild a DIFFERENT
+        # version than the original run (ADVICE r5). Content order is
+        # arbitrary-but-stable: replay-safe under any partitioning, and
+        # ties between identical rows are harmless by construction.
         w = Window.partitionBy(*self.keys).orderBy(
-            F.col("ts_ms").desc(), F.col("seq").desc(), F.col("_deleted").desc()
+            F.col("ts_ms").desc(),
+            F.col("seq").desc(),
+            F.col("_deleted").desc(),
+            F.xxhash64(F.col("_row")).desc(),
         )
         batch_latest = (
             changes.withColumn("_rn", F.row_number().over(w))

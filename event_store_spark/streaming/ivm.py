@@ -24,7 +24,10 @@ addition. This module maintains exactly that:
   (the flip is the commit marker; replays of committed batches skip;
   replays of uncommitted batches rebuild) — crucially the side
   snapshots are also rolled forward idempotently: a replayed committed
-  batch must not re-append its deltas.
+  batch must not re-append its deltas. Side subdirs self-compact every
+  ``compact_every`` batches behind a _SNAP pointer (same flip
+  discipline), so a long-running stream's listing/read cost stays
+  bounded instead of growing one subdir per micro-batch.
 
 Aggregates: any dict of column → additive measure (``sum(expr)`` /
 ``count(*)`` shapes), the incrementally-mergeable class. MIN/MAX are
@@ -67,7 +70,21 @@ class JoinAggregateView:
         measures: dict[str, Column],
         target_path: str,
         checkpoint: str,
+        *,
+        left_schema: str,
+        right_schema: str,
+        compact_every: int = 8,
     ) -> None:
+        """``left_schema``/``right_schema``: Spark DDL of each side's delta
+        rows (the columns in ``left_cols``/``right_cols``). They make the
+        pre-first-commit :meth:`table` schema EXACT — the first cut
+        fabricated all-string groups / all-double measures, so a consumer
+        unioning across the first commit hit a type mismatch (ADVICE r5).
+
+        ``compact_every``: fold the per-batch side-delta subdirectories
+        into one snapshot once this many accumulate since the last fold —
+        long-running streams otherwise grow unbounded small files and
+        ever-longer per-refresh listing/read work (ADVICE r5)."""
         self.spark = spark
         self.join_keys = list(join_keys)
         self.left_cols = list(left_cols)  # incl. join keys
@@ -76,6 +93,9 @@ class JoinAggregateView:
         self.measures = dict(measures)
         self.target_path = target_path
         self.checkpoint = checkpoint
+        self.left_schema = left_schema
+        self.right_schema = right_schema
+        self.compact_every = int(compact_every)
         os.makedirs(target_path, exist_ok=True)
 
     # ------------------------------------------------------------- plumbing
@@ -93,20 +113,55 @@ class JoinAggregateView:
     def _side_dir(self, side: str) -> str:
         return os.path.join(self.target_path, f"_side_{side}")
 
-    def _side_pre(self, side: str, batch_id: int, schema) -> DataFrame:
-        """The side's accumulated snapshot BEFORE this batch: the union of
-        per-batch subdirectories with id < batch_id. Per-batch subdirs +
-        overwrite writes make the snapshot roll-forward idempotent under
-        any crash/replay interleaving — a replayed batch overwrites its
-        own subdir and never double-appends, and an uncommitted replay
-        whose subdir already exists is EXCLUDED from its own pre-state by
-        the id < batch_id filter."""
+    def _snap_pointer(self, side: str) -> str:
+        return os.path.join(self._side_dir(side), "_SNAP")
+
+    def _side_snapshot(self, side: str) -> tuple[int, str] | None:
+        """(watermark, dirname) of the compacted snapshot covering every
+        side delta with batch id <= watermark, or None before the first
+        compaction. The pointer file is the commit marker (os.replace),
+        same contract as _CURRENT."""
+        try:
+            with open(self._snap_pointer(side)) as fh:
+                w, name = fh.read().split()
+                return int(w), name
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _side_subdirs(self, side: str) -> list[tuple[int, str]]:
+        """Live per-batch delta subdirs as (batch_id, path)."""
         d = self._side_dir(side)
-        paths = []
+        out = []
         if os.path.isdir(d):
             for sub in os.listdir(d):
-                if sub.startswith("b") and int(sub[1:]) < batch_id:
-                    paths.append(os.path.join(d, sub))
+                if sub.startswith("b") and sub[1:].isdigit():
+                    out.append((int(sub[1:]), os.path.join(d, sub)))
+        return sorted(out)
+
+    def _side_pre(self, side: str, batch_id: int, schema) -> DataFrame:
+        """The side's accumulated snapshot BEFORE this batch: the compacted
+        snapshot (if any) plus per-batch subdirectories in
+        (watermark, batch_id). Per-batch subdirs + overwrite writes make
+        the roll-forward idempotent under any crash/replay interleaving —
+        a replayed batch overwrites its own subdir and never
+        double-appends, and an uncommitted replay whose subdir already
+        exists is EXCLUDED from its own pre-state by the id < batch_id
+        filter."""
+        snap = self._side_snapshot(side)
+        base_w = -1
+        paths = []
+        if snap is not None:
+            base_w, name = snap
+            if base_w >= batch_id:
+                # compaction only ever covers committed batches, and a
+                # committed batch never reaches the delta rule again
+                raise RuntimeError(
+                    f"side snapshot watermark {base_w} >= batch {batch_id}"
+                )
+            paths.append(os.path.join(self._side_dir(side), name))
+        paths.extend(
+            p for i, p in self._side_subdirs(side) if base_w < i < batch_id
+        )
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*paths)
@@ -114,9 +169,22 @@ class JoinAggregateView:
     def table(self) -> DataFrame:
         current = self._current_version()
         if current is None:
-            fields = ", ".join(f"{c} string" for c in self.group_cols)
-            meas = ", ".join(f"{m} double" for m in self.measures)
-            return self.spark.createDataFrame([], f"{fields}, {meas}")
+            # pre-first-commit: derive the schema from the SAME join+agg
+            # expressions a real refresh runs, over empty typed frames —
+            # group keys keep their input types, measures their aggregate
+            # types (count -> bigint), so unions across the first commit
+            # type-check (ADVICE r5)
+            dl = self.spark.createDataFrame([], self.left_schema).select(
+                *self.left_cols
+            )
+            dr = self.spark.createDataFrame([], self.right_schema).select(
+                *self.right_cols
+            )
+            return (
+                dl.join(dr, self.join_keys)
+                .groupBy(*self.group_cols)
+                .agg(*[m.alias(n) for n, m in self.measures.items()])
+            )
         return self.spark.read.parquet(
             os.path.join(self.target_path, current)
         )
@@ -184,6 +252,44 @@ class JoinAggregateView:
             sub = os.path.join(self._side_dir(side), f"b{batch_id}")
             delta_df.write.mode("overwrite").parquet(sub)
             self.spark.catalog.refreshByPath(sub)
+            self._maybe_compact(side, upto=batch_id)
+
+    def _maybe_compact(self, side: str, upto: int) -> None:
+        """Fold per-batch side subdirs with id <= upto (all committed by
+        this point — the view pointer flipped before the side writes)
+        into one snapshot dir once `compact_every` accumulate.
+
+        Crash-safe ordering: the folded snapshot is fully written under a
+        fresh name FIRST, then the _SNAP pointer flips (os.replace), then
+        superseded inputs are GC'd — a crash at any point leaves the
+        pointer naming a complete snapshot or the old state, and orphan
+        dirs are re-folded or overwritten by the next attempt."""
+        snap = self._side_snapshot(side)
+        base_w = snap[0] if snap else -1
+        live = [
+            (i, p) for i, p in self._side_subdirs(side) if base_w < i <= upto
+        ]
+        if len(live) < self.compact_every:
+            return
+        paths = [p for _, p in live]
+        if snap is not None:
+            paths.insert(0, os.path.join(self._side_dir(side), snap[1]))
+        name = f"snap{upto}"
+        out = os.path.join(self._side_dir(side), name)
+        if os.path.exists(out):
+            shutil.rmtree(out)  # crashed earlier attempt at the same fold
+        self.spark.read.parquet(*paths).write.mode("overwrite").parquet(out)
+        self.spark.catalog.refreshByPath(out)
+        tmp = self._snap_pointer(side) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{upto} {name}")
+        os.replace(tmp, self._snap_pointer(side))
+        for _, p in live:
+            shutil.rmtree(p, ignore_errors=True)
+        if snap is not None and snap[1] != name:
+            shutil.rmtree(
+                os.path.join(self._side_dir(side), snap[1]), ignore_errors=True
+            )
 
     def _gc(self, keep: str) -> None:
         versions = sorted(

@@ -142,3 +142,45 @@ def test_cdc_time_travel_to_retained_version(spark, tmp_path):
     assert [r["name"] for r in mat.table(version=v0).select("_row.name").collect()] == ["v1"]
     with pytest.raises(ValueError, match="unknown CDC version"):
         mat.table(version="_v999")
+
+
+def test_cdc_equal_stamp_tie_is_deterministic(spark, tmp_path):
+    """Two updates to one key with identical (ts_ms, seq): the winner is
+    decided by the content total-order (xxhash64 of the row struct), so
+    every replay/partitioning rebuilds the SAME state (ADVICE r5 — the
+    pre-fix window tied only on _deleted and picked an arbitrary row)."""
+    rows = [
+        _env("u", 7, 3, {"id": 1, "name": "a", "amount": 10}),
+        _env("u", 7, 3, {"id": 1, "name": "b", "amount": 20}),
+    ]
+    winners = []
+    for rep in range(2):
+        src = str(tmp_path / f"tie{rep}")
+        # opposite input orders across reps: winner must not depend on order
+        _write_batch(spark, src, rows if rep == 0 else rows[::-1], 0)
+        mat = CdcMaterializer(
+            spark,
+            row_schema=ROW,
+            keys=["id"],
+            target_path=str(tmp_path / f"tbl{rep}"),
+            checkpoint=str(tmp_path / f"ck{rep}"),
+        )
+        _run(spark, mat, src)
+        got = mat.table().select("_row.name").collect()
+        assert len(got) == 1
+        winners.append(got[0]["name"])
+    assert winners[0] == winners[1]
+    # and a delete still outranks an equal-stamped update
+    src = str(tmp_path / "tied")
+    _write_batch(
+        spark,
+        src,
+        [
+            _env("u", 7, 3, {"id": 1, "name": "a", "amount": 10}),
+            _env("d", 7, 3, before={"id": 1, "name": "a", "amount": 10}),
+        ],
+        0,
+    )
+    mat = _mat(spark, tmp_path)
+    _run(spark, mat, src)
+    assert mat.table().count() == 0

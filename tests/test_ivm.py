@@ -28,7 +28,7 @@ def _tagged(spark, custs, orders):
     )
 
 
-def _view(spark, tmp_path):
+def _view(spark, tmp_path, **kw):
     return JoinAggregateView(
         spark,
         join_keys=["c_key"],
@@ -41,6 +41,9 @@ def _view(spark, tmp_path):
         },
         target_path=str(tmp_path / "mv"),
         checkpoint=str(tmp_path / "ck"),
+        left_schema="c_key bigint, nation string",
+        right_schema="c_key bigint, o_key bigint, amount double",
+        **kw,
     )
 
 
@@ -189,3 +192,53 @@ def test_distinct_count_view_overlapping_deltas_and_replay(spark, tmp_path):
     run()  # replay
     again = {r.event_type: r.approx_distinct for r in view.table().collect()}
     assert again == got
+
+
+def test_ivm_empty_table_schema_matches_post_commit(spark, tmp_path):
+    """Before the first commit, table() must carry the POST-commit types
+    (group keys from the declared side schemas, count measures bigint) —
+    the pre-fix fabrication of all-string/all-double broke consumers that
+    union across the first commit (ADVICE r5)."""
+    src = str(tmp_path / "src")
+    view = _view(spark, tmp_path)
+    empty_dtypes = dict(view.table().dtypes)
+    assert view.table().count() == 0
+    _tagged(spark, CUST, ORDERS).coalesce(1).write.parquet(src)
+    _run(spark, view, src)
+    assert dict(view.table().dtypes) == empty_dtypes
+    assert empty_dtypes["n_orders"] == "bigint"
+    # unioning across the first commit type-checks
+    view.table().unionByName(view.table()).collect()
+
+
+def test_ivm_side_compaction_bounds_subdirs_and_preserves_state(
+    spark, tmp_path
+):
+    """With compact_every=2, per-batch side subdirs fold into one
+    snapshot behind the _SNAP pointer: the dir count stays bounded,
+    and the view still equals the full recompute after every fold —
+    including a post-compaction delta that must read pre-state through
+    the snapshot."""
+    src = str(tmp_path / "src")
+    view = _view(spark, tmp_path, compact_every=2)
+    batches = [
+        _tagged(spark, CUST[:2], []),
+        _tagged(spark, [], ORDERS[:2]),
+        _tagged(spark, CUST[2:], ORDERS[2:4]),
+        _tagged(spark, [], ORDERS[4:5]),
+    ]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, view, src)
+    for side in ("l", "r"):
+        assert view._side_snapshot(side) is not None
+        n_sub = len(view._side_subdirs(side))
+        assert n_sub < len(batches), f"side {side}: {n_sub} subdirs, no fold"
+    got = {r.nation: (r.revenue, r.n_orders) for r in view.table().collect()}
+    assert got == _full_recompute(spark, CUST, ORDERS[:5])
+
+    # a delta AFTER compaction joins against snapshot-held pre-state
+    _tagged(spark, [], ORDERS[5:]).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, view, src)
+    got = {r.nation: (r.revenue, r.n_orders) for r in view.table().collect()}
+    assert got == _full_recompute(spark, CUST, ORDERS)
