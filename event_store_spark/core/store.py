@@ -627,39 +627,93 @@ class EventStore:
             self._append_mutex.release(topic)
         return n_files
 
+    INT_TYPES = ("bigint", "int", "smallint", "tinyint")
+    FRACTIONAL_TYPES = ("double", "float")
+
     def _zorder_key(self, df, cluster_by: tuple[str, str]):
         """16-bit-per-dimension Morton key over two columns: numeric
-        columns are left-shifted to align at 16 bits using a MAX from a
-        one-row stats read (the `plans.layout` normalization — what
-        production Z-order writers do); string columns use the low 16
-        bits of xxhash64 (clusters equal keys for equality pruning; no
-        range order exists to preserve)."""
+        columns are range-normalized to [0, 2^16) from a one-row MIN/MAX
+        stats read (the `plans.layout` normalization — what production
+        Z-order writers do); string columns use the low 16 bits of
+        xxhash64 (clusters equal keys for equality pruning; no range
+        order exists to preserve).
+
+        MIN-shifting (not just MAX-aligning) is load-bearing: a negative
+        value fed to shiftleft/shiftright emits sign-extended garbage
+        interleave bits, silently destroying the clustering (ADVICE r5).
+        Fractional and decimal columns range-normalize through double
+        arithmetic instead of falling into the 16-bit-hash branch (which
+        would lose range pruning for them entirely)."""
         from event_store_spark.plans.layout import ZBITS, zvalue
 
+        zmax = (1 << ZBITS) - 1
         types = dict(df.dtypes)
-        dims = []
-        numeric = [c for c in cluster_by if types[c] in ("bigint", "int", "smallint")]
-        maxes = {}
+
+        def kind(c):
+            t = types[c]
+            if t in self.INT_TYPES:
+                return "int"
+            if t in self.FRACTIONAL_TYPES or t.startswith("decimal"):
+                return "frac"
+            return "hash"
+
+        numeric = [c for c in cluster_by if kind(c) != "hash"]
+        stats = {}
         if numeric:
             row = df.agg(
-                *[F.max(c).alias(c) for c in numeric]
+                *[F.min(c).alias(f"_mn_{c}") for c in numeric],
+                *[F.max(c).alias(f"_mx_{c}") for c in numeric],
             ).head()
-            maxes = {c: int(row[c]) for c in numeric if row[c] is not None}
+            for c in numeric:
+                if row[f"_mn_{c}"] is not None:
+                    stats[c] = (row[f"_mn_{c}"], row[f"_mx_{c}"])
+        dims = []
         for c in cluster_by:
-            if c in maxes:
-                bits = maxes[c].bit_length()
-                if bits > ZBITS:
-                    # wide values: keep the HIGH bits (coarse ranges) —
-                    # zvalue reads only the low ZBITS of each dimension
-                    dims.append(F.shiftright(F.col(c), bits - ZBITS))
-                else:
-                    dims.append(F.shiftleft(F.col(c), ZBITS - bits))
-            elif c in numeric:  # all-NULL numeric column: degenerate dim
-                dims.append(F.lit(0))
-            else:
+            k = kind(c)
+            if k == "hash":
                 dims.append(
                     F.pmod(F.xxhash64(F.col(c)), F.lit(1 << ZBITS)).cast("bigint")
                 )
+            elif c not in stats:  # all-NULL numeric column: degenerate dim
+                dims.append(F.lit(0).cast("bigint"))
+            elif k == "int":
+                lo, hi = int(stats[c][0]), int(stats[c][1])
+                bits = (hi - lo).bit_length()
+                if bits > ZBITS:
+                    # wide ranges: keep the HIGH bits (coarse ranges).
+                    # Shift BEFORE subtracting so `col - lo` can never
+                    # overflow int64 even when the range spans it; the
+                    # +1 rounding slack of per-value shifting is clamped.
+                    s = bits - ZBITS
+                    dims.append(
+                        F.least(
+                            F.shiftright(F.col(c).cast("bigint"), s)
+                            - F.lit(lo >> s),
+                            F.lit(zmax).cast("bigint"),
+                        )
+                    )
+                else:
+                    dims.append(
+                        F.shiftleft(
+                            F.col(c).cast("bigint") - F.lit(lo), ZBITS - bits
+                        )
+                    )
+            else:  # fractional / decimal: normalize through double
+                lo, hi = float(stats[c][0]), float(stats[c][1])
+                if hi <= lo:
+                    dims.append(F.lit(0).cast("bigint"))
+                else:
+                    scaled = (
+                        (F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(hi - lo)
+                        * F.lit(float(zmax))
+                    )
+                    dims.append(
+                        F.least(
+                            F.greatest(F.floor(scaled), F.lit(0)).cast("bigint"),
+                            F.lit(zmax).cast("bigint"),
+                        )
+                    )
         return zvalue(dims[0], dims[1])
 
     @staticmethod

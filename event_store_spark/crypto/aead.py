@@ -16,7 +16,15 @@ Semantics mirrored from `tech.kage.event.crypto.EventEncryptor`:
 
 Cipher: AES-256-GCM via the `cryptography` package (the reference uses Tink
 AEAD, same construction). Ciphertext layout: 12-byte nonce ‖ GCM output.
-The keyset (kid URI → 32-byte key) stands in for a KMS.
+
+Key material comes through a pluggable :class:`KeyResolver` (kid URI →
+32-byte key, or None for unknown/revoked) — mirroring the reference's
+pluggable KMS ``Aead`` bean resolved per event key URI
+(`/root/reference/README.md:76-88`,
+`tech.kage.event.crypto/.../EventEncryptor.java:86-97`). A plain dict still
+works (it wraps into :class:`InMemoryKeyResolver`); production points the
+resolver at a KMS client and optionally wraps it in
+:class:`CachingKeyResolver` so executors don't call the KMS once per batch.
 
 Spark integration is Arrow-batched pandas UDFs — crypto is inherently
 per-row Python here, exactly the "slow path" the architecture isolates: the
@@ -63,16 +71,89 @@ def build_aad(key: bytes, ts_millis: int, metadata: dict[str, bytes] | None) -> 
     return bytes(key) + struct.pack(">q", ts_millis) + md
 
 
-class EventEncryptor:
-    """AES-256-GCM AEAD over event payloads, keyed by ``kid`` URI."""
+class KeyResolver:
+    """Protocol: kid URI → 32-byte key, or None if unknown/revoked.
+
+    The analog of the reference's pluggable KMS ``Aead`` bean
+    (`EventEncryptor.java:86-97`): implement ``resolve`` against a real
+    KMS client and hand the resolver to :class:`EventEncryptor`. A
+    resolver used in the DataFrame API must be picklable (cloudpickle
+    ships it to executors inside the pandas UDF closure).
+    """
+
+    def resolve(self, kid: str) -> bytes | None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class InMemoryKeyResolver(KeyResolver):
+    """Dict-backed keyset — the default (and the test stand-in for a KMS).
+
+    ``revoke`` implements crypto-shredding: a revoked kid resolves to
+    None from then on.
+    """
 
     def __init__(self, keys: dict[str, bytes]):
-        if AESGCM is None:
-            raise ImportError("cryptography package required for AEAD")
         for kid, key in keys.items():
             if len(key) != 32:
                 raise ValueError(f"key {kid!r} must be 32 bytes (AES-256)")
-        self.keys = dict(keys)
+        self._keys = dict(keys)
+
+    def resolve(self, kid: str) -> bytes | None:
+        return self._keys.get(kid)
+
+    def revoke(self, kid: str) -> None:
+        if kid not in self._keys:
+            raise KeyError(f"unknown encryption key id {kid!r}")
+        del self._keys[kid]
+
+
+class CachingKeyResolver(KeyResolver):
+    """Memoize SUCCESSFUL resolutions of an inner (e.g. KMS-backed)
+    resolver. Failures are never cached — a key being rotated in becomes
+    visible on the next call. Revocation under caching requires
+    :meth:`invalidate` (or a fresh resolver): a success cache cannot see
+    the KMS-side delete, the standard KMS-cache trade-off.
+    """
+
+    def __init__(self, inner: KeyResolver, maxsize: int = 1024):
+        self._inner = inner
+        self._maxsize = int(maxsize)
+        self._cache: dict[str, bytes] = {}
+
+    def resolve(self, kid: str) -> bytes | None:
+        got = self._cache.get(kid)
+        if got is None:
+            got = self._inner.resolve(kid)
+            if got is not None:
+                if len(self._cache) >= self._maxsize:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[kid] = got
+        return got
+
+    def invalidate(self, kid: str | None = None) -> None:
+        if kid is None:
+            self._cache.clear()
+        else:
+            self._cache.pop(kid, None)
+
+
+class EventEncryptor:
+    """AES-256-GCM AEAD over event payloads, keyed by ``kid`` URI."""
+
+    def __init__(self, keys: dict[str, bytes] | KeyResolver):
+        if AESGCM is None:
+            raise ImportError("cryptography package required for AEAD")
+        if isinstance(keys, dict):
+            keys = InMemoryKeyResolver(keys)
+        self.resolver = keys
+
+    def _key(self, kid: str) -> bytes:
+        key = self.resolver.resolve(kid)
+        if key is None:
+            raise KeyError(f"unknown encryption key id {kid!r}")
+        if len(key) != 32:
+            raise ValueError(f"key {kid!r} must be 32 bytes (AES-256)")
+        return key
 
     @staticmethod
     def generate_key() -> bytes:
@@ -82,11 +163,11 @@ class EventEncryptor:
 
     def encrypt(self, plaintext: bytes, aad: bytes, kid: str) -> bytes:
         nonce = os.urandom(_NONCE_LEN)
-        return nonce + AESGCM(self.keys[kid]).encrypt(nonce, bytes(plaintext), aad)
+        return nonce + AESGCM(self._key(kid)).encrypt(nonce, bytes(plaintext), aad)
 
     def decrypt(self, data: bytes, aad: bytes, kid: str) -> bytes:
         nonce, ct = bytes(data[:_NONCE_LEN]), bytes(data[_NONCE_LEN:])
-        return AESGCM(self.keys[kid]).decrypt(nonce, ct, aad)
+        return AESGCM(self._key(kid)).decrypt(nonce, ct, aad)
 
     # -------------------------------------------------------- dataframe API
 
@@ -95,10 +176,11 @@ class EventEncryptor:
 
         ensure_shipped()
         # Everything the UDF needs is either stdlib, imported inside the
-        # function body, or a plain closure value — never a module-level
-        # class/function reference, so cloudpickle ships it cleanly to
-        # workers regardless of their import environment.
-        keys = dict(self.keys)
+        # function body, or a plain closure value, so cloudpickle ships it
+        # cleanly to workers regardless of their import environment. The
+        # resolver rides the closure; per-batch resolutions memoize locally
+        # so a KMS-backed resolver is hit once per distinct kid per batch.
+        resolver = self.resolver
         nonce_len = _NONCE_LEN
 
         @F.pandas_udf("binary")
@@ -116,19 +198,27 @@ class EventEncryptor:
             # hand-rolled copy here once drifted on key-sort order.
             from event_store_spark.crypto.aead import build_aad as _build_aad
 
+            batch_keys: dict = {}
+
+            def _resolve(ki):
+                if ki not in batch_keys:
+                    batch_keys[ki] = resolver.resolve(ki)
+                return batch_keys[ki]
+
             out = []
             for d, k, t, m, ki in zip(data, key, ts_ms, md, kid):
                 if ki is None:  # no kid → passthrough (C2)
                     out.append(d)
                     continue
-                if ki not in keys:
+                kbytes = _resolve(ki)
+                if kbytes is None:
                     if missing_key == "null":  # shredded key → unreadable
                         out.append(None)
                         continue
                     raise KeyError(f"unknown encryption key id {ki!r}")
                 meta = {e["key"]: bytes(e["value"]) for e in (m or [])}
                 aad = _build_aad(bytes(k), int(t), meta)
-                cipher = _AESGCM(keys[ki])
+                cipher = _AESGCM(kbytes)
                 if mode == "encrypt":
                     nonce = _os.urandom(nonce_len)
                     out.append(nonce + cipher.encrypt(nonce, bytes(d), aad))
@@ -201,7 +291,15 @@ class EventEncryptor:
         yields NULL payloads for shredded rows while other keys' rows
         decrypt normally; the default ``"error"`` mode keeps fail-fast
         semantics for genuinely unknown keys.
+
+        Requires a revocable resolver (the in-memory default is; a
+        KMS-backed resolver shreds by deleting the key IN the KMS, and a
+        caching wrapper must also be invalidated).
         """
-        if kid not in self.keys:
-            raise KeyError(f"unknown encryption key id {kid!r}")
-        del self.keys[kid]
+        revoke = getattr(self.resolver, "revoke", None)
+        if revoke is None:
+            raise TypeError(
+                f"{type(self.resolver).__name__} is not revocable: shred the "
+                "key at its source (e.g. the KMS) and invalidate any cache"
+            )
+        revoke(kid)

@@ -822,3 +822,55 @@ def test_compaction_cluster_by_zorder_day_topic(store, spark):
     store.append("zflat_events", _payload_df(spark, [("a", "1", TS)]))
     with pytest.raises(ValueError, match="day-partitioned"):
         store.compact("zflat_events", cluster_by=("key", "lsn"))
+
+
+def test_zorder_key_negative_and_fractional_dims(store, spark):
+    """_zorder_key range-normalizes via MIN as well as MAX: negative
+    ints and double/decimal/tinyint columns all produce in-budget,
+    monotone Z dims instead of sign-extended garbage or a silent fall
+    into the 16-bit-hash branch (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    def zcheck(df, cluster_by, order_col):
+        z = store._zorder_key(df, cluster_by)
+        rows = (
+            df.withColumn("_z", z)
+            .orderBy(order_col)
+            .select(order_col, "_z")
+            .collect()
+        )
+        zs = [r["_z"] for r in rows]
+        assert all(v is not None and 0 <= v < (1 << 32) for v in zs), zs[:5]
+        # varying only order_col (other dim constant): z monotone
+        assert zs == sorted(zs), list(zip([r[order_col] for r in rows], zs))[:8]
+
+    # negative bigint, narrow range (shiftleft branch)
+    neg = spark.createDataFrame(
+        [(i, 1.0) for i in range(-1000, 1000, 37)], "a bigint, b double"
+    )
+    zcheck(neg, ("a", "b"), "a")
+    # negative bigint, range wider than the 16-bit budget (shiftright branch)
+    wide = spark.createDataFrame(
+        [(i * 100_000, 1.0) for i in range(-500, 500, 7)], "a bigint, b double"
+    )
+    zcheck(wide, ("a", "b"), "a")
+    # fractional dim varies, int dim constant
+    frac = spark.createDataFrame(
+        [(5, -3.5 + 0.25 * i) for i in range(200)], "a bigint, b double"
+    )
+    zcheck(frac, ("a", "b"), "b")
+    # tinyint and decimal are numeric, not hash-bucketed
+    td = spark.createDataFrame(
+        [(i - 50, float(i)) for i in range(100)], "a int, b double"
+    ).select(
+        F.col("a").cast("tinyint").alias("a"),
+        F.col("b").cast("decimal(10,2)").alias("b"),
+    )
+    zcheck(td, ("a", "b"), "a")
+    # all-NULL numeric column degrades to a constant dim, not an error
+    nulls = spark.createDataFrame(
+        [(None, float(i)) for i in range(10)], "a bigint, b double"
+    )
+    z = store._zorder_key(nulls, ("a", "b"))
+    got = nulls.withColumn("_z", z).select("_z").collect()
+    assert all(r["_z"] is not None for r in got)

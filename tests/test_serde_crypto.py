@@ -365,3 +365,63 @@ def test_salted_join_same_named_keys(spark):
         for r in salted_join(left, right, "k", "k").select("l", "r").collect()
     }
     assert got == {("x", "A"), ("y", "A"), ("z", "B")}
+
+
+def test_kms_style_key_resolver_roundtrip_and_caching(spark):
+    """A pluggable KeyResolver (the reference's KMS `Aead` bean analog,
+    EventEncryptor.java:86-97) drives the DataFrame path end to end; a
+    CachingKeyResolver memoizes successes (one inner hit per kid), never
+    caches misses, and invalidate() surfaces a KMS-side revocation."""
+    import datetime
+
+    from event_store_spark.crypto import (
+        CachingKeyResolver,
+        EventEncryptor,
+        KeyResolver,
+    )
+
+    calls = []
+
+    class FakeKms(KeyResolver):
+        def __init__(self, keys):
+            self.keys = dict(keys)
+
+        def resolve(self, kid):
+            calls.append(kid)
+            return self.keys.get(kid)
+
+    key = EventEncryptor.generate_key()
+    kms = FakeKms({"kms://r1": key})
+    cached = CachingKeyResolver(kms)
+    enc = EventEncryptor(cached)
+
+    # bytes API through the resolver
+    aad = build_aad(b"k", 7, None)
+    assert enc.decrypt(enc.encrypt(b"pt", aad, "kms://r1"), aad, "kms://r1") == b"pt"
+    assert calls.count("kms://r1") == 1  # second resolve was a cache hit
+
+    # unknown kid: driver-side fail-fast, and the miss is NOT cached
+    with pytest.raises(KeyError):
+        enc.encrypt(b"pt", aad, "kms://nope")
+    kms.keys["kms://nope"] = EventEncryptor.generate_key()
+    enc.encrypt(b"pt", aad, "kms://nope")  # rotated-in key is visible
+
+    # DataFrame path through the same resolver
+    ts = datetime.datetime(2025, 1, 4, 21, 13, 41, 442000)
+    df = spark.createDataFrame(
+        [(bytearray(b"payload"), bytearray(b"k"), ts, None)],
+        "data binary, key binary, timestamp timestamp, metadata map<string,binary>",
+    )
+    sealed = enc.encrypt_df(df, "kms://r1").cache()
+    sealed.count()
+    out = enc.decrypt_df(sealed).first()
+    assert bytes(out.data) == b"payload"
+
+    # revocation with a cache in front: KMS delete + invalidate
+    del kms.keys["kms://r1"]
+    cached.invalidate("kms://r1")
+    got = enc.decrypt_df(sealed, missing_key="null").first()
+    assert got.data is None
+    # a non-revocable resolver refuses shred() instead of lying
+    with pytest.raises(TypeError, match="not revocable"):
+        enc.shred("kms://r1")
