@@ -161,11 +161,18 @@ def q6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join."""
+    """NOT EXISTS as a left-anti join.
+
+    The anti-join's build side is pre-distincted: map-side partial
+    distinct collapses the lineitem fact (many rows per part) to at most
+    |parts| keys BEFORE the exchange, and the collapsed side is small
+    enough for AQE to flip the anti-join to broadcast — the raw-fact
+    form shuffled every lineitem row (measured 2.5 s vs 1.6 s at the 10×
+    corpus). Same trick as vocab_topk's two-stage distinct."""
     part = _t(spark, sf_dir, "part")
-    lineitem = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
     return (
-        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti")
+        part.join(keys, part.p_partkey == keys.l_partkey, "left_anti")
         .select("p_partkey")
         .orderBy("p_partkey")
         .limit(500)
