@@ -237,6 +237,77 @@ class Subscription:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def run_records(
+        self,
+        topic: str,
+        handler: Callable[..., None],
+        available_now: bool = True,
+    ) -> StreamingQuery:
+        """Per-RECORD consumption with per-event offset transactionality —
+        the reference's record-level reactive path
+        (`ReactorKafkaEventStore.subscribe` returning a Flux the app acks
+        event by event, `ReactorKafkaEventStore.java:214-246`), where
+        :meth:`run` is the micro-batch analog.
+
+        Each event is delivered to ``handler(row)`` in total (lsn, id)
+        replay order, and the offsets table commits THAT record's cursor
+        before the next delivery — a crash (or handler exception) resumes
+        at the exact record, not the batch boundary: every redelivered
+        frame is keyset-filtered by the LIVE cursor, so already-handled
+        rows never reach the handler again regardless of checkpoint
+        lineage. The residual window is ONE event (crash between the
+        handler's external effect and its cursor commit re-delivers that
+        single record; the reference closes the same window by putting
+        projection and offset in one DB transaction), so handlers project
+        idempotently per event id. The per-record offset write is the
+        honest cost of the contract — the reference pays a per-event
+        transactional commit for the same guarantee.
+
+        Sequential BY DESIGN: total-order per-record delivery is a single
+        consumer (the reference's Flux is too), so the batch drains to the
+        driver via ``toLocalIterator`` — ordered, one partition in flight.
+        Use :meth:`run` for distributed projections. Files source only:
+        the parquet event log carries the total (lsn, id) order this
+        contract needs; the Kafka path orders per partition only. Use a
+        dedicated OffsetsTable (consumer group) per consumption mode —
+        record- and batch-mode consumers of one topic are distinct
+        consumers, exactly as two Kafka groups are.
+        """
+        if self.source != "files":
+            raise ValueError(
+                "run_records requires the files source: per-record total "
+                "order is the parquet event log's (lsn, id) contract"
+            )
+        from event_store_spark.streaming.lineage import checkpoint_lineage_id
+
+        ckpt = f"{self.checkpoint_root}/{topic}_records"
+        ckpt_id = checkpoint_lineage_id(ckpt)
+
+        def process(df: DataFrame, batch_id: int) -> None:
+            cursor = self.offsets.get_cursor(topic) or Cursor.zero()
+            fresh = df.where(keyset_after(cursor)).orderBy("lsn", "id")
+            prev = self.offsets.get(topic)
+            n = 0
+            for row in fresh.toLocalIterator():
+                handler(row)
+                n += 1
+                self.offsets.upsert(
+                    topic,
+                    prev + n,
+                    batch_id=batch_id,
+                    cursor=Cursor(row["lsn"], row["id"]),
+                    ckpt_id=ckpt_id,
+                )
+
+        writer = (
+            self.stream(topic)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def _adopt_lineage(self, topic: str) -> tuple[str, bool]:
         """Identify the streaming checkpoint's lifetime and decide the run
         mode (mirror of `Replicator._adopt_lineage`): lineage mismatch ⇒

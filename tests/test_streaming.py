@@ -495,3 +495,62 @@ def test_live_replication_races_concurrent_appends(spark, tmp_path, store):
     assert got.distinct().count() == total  # ... nothing duplicated
     expected = {(r.lsn, r.id) for r in store.read_events(topic).select("lsn", "id").collect()}
     assert {(r.lsn, r.id) for r in got.collect()} == expected
+
+
+# ------------------------------------------------- per-record consumption
+
+def test_run_records_total_order_and_per_event_offsets(spark, tmp_path, store):
+    """run_records delivers every event exactly once in total (lsn, id)
+    order and commits the cursor per RECORD: after the run the offsets
+    cursor sits at the last event, and a replayed query (same data)
+    invokes the handler zero times."""
+    topic = _seed(spark, store, n=6, topic="rr_events", batches=2)
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    sub = Subscription(store, offsets, str(tmp_path / "ck"))
+    seen: list[tuple[int, int, str]] = []
+
+    sub.run_records(topic, lambda r: seen.append((r["lsn"], r["id"], r["payload"]))).awaitTermination(120)
+    assert [p for _, _, p in seen] == [str(i) for i in range(6)]
+    assert [(l, i) for l, i, _ in seen] == sorted((l, i) for l, i, _ in seen)
+    cur = offsets.get_cursor(topic)
+    assert (cur.lsn, cur.id) == (seen[-1][0], seen[-1][1])
+    assert offsets.get(topic) == 5  # 0-based consumed-row index
+
+    sub.run_records(topic, lambda r: seen.append(("dup", r["id"], r["payload"]))).awaitTermination(120)
+    assert not any(x[0] == "dup" for x in seen)
+
+    # kafka source refuses: per-record total order is the file log's contract
+    ksub = Subscription(
+        store, offsets, str(tmp_path / "ck2"),
+        source="kafka", bootstrap_servers="b:9092",
+    )
+    with pytest.raises(ValueError, match="files source"):
+        ksub.run_records(topic, lambda r: None)
+
+
+def test_run_records_resumes_mid_batch_after_handler_crash(spark, tmp_path, store):
+    """A handler exception mid-batch kills the query AFTER the prior
+    record's cursor committed: the restart resumes at the poison record —
+    no earlier event re-delivered, no later event skipped (the per-event
+    offset transactionality the reference gets from its per-record
+    transactional commit)."""
+    topic = _seed(spark, store, n=5, topic="rrc_events", batches=1)
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    sub = Subscription(store, offsets, str(tmp_path / "ck"))
+    handled: list[str] = []
+
+    def poison(row):
+        if row["payload"] == "3":
+            raise RuntimeError("boom")  # BEFORE any effect: idempotent per id
+        handled.append(row["payload"])
+
+    q = sub.run_records(topic, poison)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        q.stop()
+        raise RuntimeError("expected streaming failure")
+    assert handled == ["0", "1", "2"]
+
+    sub2 = Subscription(store, offsets, str(tmp_path / "ck_retry"))
+    sub2.run_records(topic, lambda r: handled.append(r["payload"])).awaitTermination(120)
+    assert handled == ["0", "1", "2", "3", "4"]  # exactly once each, in order
