@@ -281,3 +281,130 @@ def approx_token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
+
+
+#: Bloom-filter geometry: 3 hash rows into a 4096-slot bit space.
+#: 4096 = 16^3, so each row's slot is the last THREE hex chars of one
+#: md5 window — same pinned-parse discipline as the CMS bucket.
+BLOOM_K = 3
+BLOOM_BITS = 4096
+
+
+def _bloom_slot_sql(key: str, seed: str) -> str:
+    """DuckDB slot with pinned semantics (no hex-literal casts): parse the
+    3 hex chars at the END of md5 window `seed` (windows are 8 chars wide
+    starting at 1 + 8*seed) via strpos arithmetic."""
+    assert BLOOM_BITS == 16 ** 3
+    digit = (
+        "strpos('0123456789abcdef', "
+        f"substr(md5(CAST({key} AS VARCHAR)), {{p}} + 8 * {seed}, 1)) - 1"
+    )
+    d1, d2, d3 = (digit.format(p=p) for p in (6, 7, 8))
+    return f"(({d1}) * 256 + ({d2}) * 16 + ({d3}))"
+
+
+@register(
+    "bloom_prefilter",
+    oracle=f"""
+    WITH build AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+                   WHERE l_returnflag = 'R' AND l_quantity >= 48),
+    seeds AS (SELECT UNNEST(range({BLOOM_K})) AS seed),
+    filt AS (SELECT DISTINCT seed, {_bloom_slot_sql('k', 'seed')} AS slot
+             FROM build, seeds),
+    probe AS (SELECT p_partkey AS k FROM part),
+    probed AS (SELECT p.k, COUNT(f.slot) AS hits
+               FROM probe p CROSS JOIN seeds s
+               LEFT JOIN filt f
+                 ON f.seed = s.seed
+                AND f.slot = {_bloom_slot_sql('p.k', 's.seed')}
+               GROUP BY p.k),
+    verdicts AS (SELECT probed.k, hits = {BLOOM_K} AS maybe,
+                        build.k IS NOT NULL AS member
+                 FROM probed LEFT JOIN build ON probed.k = build.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(MIN(CASE WHEN member AND NOT maybe THEN 0 ELSE 1 END)
+                AS INT) AS no_false_negatives
+    FROM verdicts
+    """,
+)
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter, built in-plan with deterministic
+    md5 slot hashes so the oracle reproduces membership verdicts
+    bit-for-bit (the same auditable-sketch move as
+    `approx_token_counts_cms`): k=3 rows over a 4096-slot space, build
+    side = parts with a returned lineitem, probe side = the part table.
+    Output pins the Bloom contract — `no_false_negatives` must be 1 and
+    the false-positive count is itself hash-checked.
+
+    This is THE scan-pruning pattern at 100 TB (Spark's own runtime
+    row-group filters build exactly this structure): the materialized
+    filter is O(k × slots) ROWS — here ≤ 12,288 (seed, slot) pairs
+    regardless of build-set size — so it always broadcasts, and probing
+    is a map-side broadcast join + slot-count aggregate; the fact table
+    never shuffles to discover which keys might match. The exact
+    semi-join half exists here only as the audit (at scale you run the
+    filter to PRUNE before the real join, trading false positives for
+    never shuffling the big side).
+
+    Engine slots use conv() on the identical 3-hex-char windows the
+    oracle parses via strpos — both pinned-semantics constructs
+    (ADVICE r5 re hex-literal casts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    seeds = F.sequence(F.lit(0), F.lit(BLOOM_K - 1))
+
+    def slot(key_col, seed_col):
+        return F.conv(
+            F.substring(
+                F.md5(key_col.cast("string")),
+                F.lit(6) + F.lit(8) * seed_col,
+                3,
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    build = (
+        li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
+        .select(F.col("l_partkey").alias("k"))
+        .distinct()
+    )
+    filt = (
+        build.select(F.explode(seeds).alias("seed"), "k")
+        .select("seed", slot(F.col("k"), F.col("seed")).alias("slot"))
+        .distinct()
+    )
+    probed = (
+        part.select(F.col("p_partkey").alias("k"))
+        .select("k", F.explode(seeds).alias("seed"))
+        .select("k", "seed", slot(F.col("k"), F.col("seed")).alias("slot"))
+        .join(F.broadcast(filt), ["seed", "slot"], "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    verdicts = (
+        part.select(F.col("p_partkey").alias("k"))
+        .join(probed, "k", "left")
+        .join(build.withColumn("_m", F.lit(1)), "k", "left")
+        .select(
+            (F.coalesce("hits", F.lit(0)) == BLOOM_K).alias("maybe"),
+            F.col("_m").isNotNull().alias("member"),
+        )
+    )
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("member").cast("int")).cast("bigint").alias("n_members"),
+        F.sum(F.col("maybe").cast("int")).cast("bigint").alias("n_maybe"),
+        F.sum((F.col("maybe") & ~F.col("member")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.min(
+            F.when(F.col("member") & ~F.col("maybe"), 0).otherwise(1)
+        )
+        .cast("int")
+        .alias("no_false_negatives"),
+    )

@@ -581,3 +581,13 @@ def test_zorder_layout_is_map_side_no_global_sort(spark, sf_correct):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_bloom_prefilter_broadcasts_filter_no_cartesian(spark, sf_correct):
+    """The materialized Bloom rows (≤ k×slots, size-independent of the
+    build set) must ride a broadcast; probing is map-side — the whole
+    point of the prefilter is that the big side never shuffles to learn
+    which keys might match."""
+    plan = _plan(spark, sf_correct, "bloom_prefilter")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
