@@ -114,3 +114,46 @@ def test_sq8_topk_close_to_exact_topk(spark, sf_correct):
     exact = {r.vec_id for r in QUERIES["q33"](spark, sf_correct).collect()}
     sq8 = {r.vec_id for r in QUERIES["ann_sq8_topk"](spark, sf_correct).collect()}
     assert len(exact & sq8) >= 3
+
+
+def test_interval_union_fold_matches_bruteforce(spark):
+    """The r6 collect_list+aggregate-fold interval union must equal the
+    brute-force union length on adversarial position sets: duplicates,
+    nested overlaps, exact-tangent spans, big gaps, unsorted input."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans import pipeline5 as p5
+
+    cases = [
+        [0],
+        [0, 1, 2, 3],                 # chained overlaps
+        [0, 8, 16],                   # exactly tangent
+        [0, 0, 0],                    # duplicates
+        [5, 3, 40, 41, 3, 100],       # unsorted + dup + gaps
+        [0, 2, 4, 6, 30, 31, 32, 59],
+        list(range(0, 100, 7)),
+    ]
+    span = p5.SPAN_TOKENS
+
+    def brute(ps):
+        covered = set()
+        for p in ps:
+            covered.update(range(p, p + span))
+        return len(covered)
+
+    df = spark.createDataFrame(
+        [(i, ps) for i, ps in enumerate(cases)], "doc_id int, ps array<int>"
+    )
+    union_len = F.expr(
+        f"""aggregate(
+              sort_array(ps),
+              named_struct('cov', 0L, 'e', 0L),
+              (acc, p) -> named_struct(
+                  'cov', acc.cov + greatest(0L, CAST(p AS BIGINT)
+                          + {span}L - greatest(CAST(p AS BIGINT), acc.e)),
+                  'e', greatest(acc.e, CAST(p AS BIGINT) + {span}L)),
+              acc -> acc.cov)"""
+    )
+    got = {r.doc_id: r.c for r in df.select("doc_id", union_len.alias("c")).collect()}
+    want = {i: brute(ps) for i, ps in enumerate(cases)}
+    assert got == want
