@@ -372,6 +372,10 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
         .select(F.col("l_partkey").alias("k"))
         .distinct()
+        # TWO consumers (the filter build and the audit's membership
+        # join) — checkpoint so lineitem is scanned once, not twice;
+        # bounded: distinct keys ≤ |part| (measured 2.59 → 2.16 s at 10×)
+        .localCheckpoint(eager=True)
     )
     filt = (
         build.select(F.explode(seeds).alias("seed"), "k")
