@@ -203,6 +203,40 @@ class CdcMaterializer:
         os.replace(tmp, self._pointer_path())
         self._gc(keep=version)
 
+    def gc_tombstones(self, older_than_ms: int, batch_id: int) -> int:
+        """Drop tombstones with ``ts_ms < older_than_ms`` from the current
+        state — the log-compaction step the module docstring records as
+        standard CDC debt. Safe once the feed's max lateness has passed
+        ``older_than_ms``: a tombstone only exists to outrank
+        LATER-arriving but EARLIER-stamped updates, so once no in-flight
+        change can carry a smaller stamp the tombstone is dead weight
+        (exactly a compacted topic's delete-retention window).
+
+        Publishes as a new version under the same pointer-flip contract —
+        ``batch_id`` must be a fresh id (e.g. max processed + 1); in-flight
+        readers keep their snapshot, replays skip. Returns the number of
+        tombstones dropped."""
+        current = self._current_version()
+        if current is None:
+            return 0
+        full = self._full(current)
+        dead = F.col("_deleted") & (F.col("ts_ms") < F.lit(int(older_than_ms)))
+        n = full.where(dead).count()
+        if n == 0:
+            return 0
+        version = f"_v{batch_id}"
+        out_dir = os.path.join(self.target_path, version)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        full.where(~dead).write.mode("overwrite").parquet(out_dir)
+        self.spark.catalog.refreshByPath(out_dir)
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._pointer_path())
+        self._gc(keep=version)
+        return n
+
     def _gc(self, keep: str) -> None:
         versions = sorted(
             (d for d in os.listdir(self.target_path) if d.startswith("_v")),

@@ -184,3 +184,38 @@ def test_cdc_equal_stamp_tie_is_deterministic(spark, tmp_path):
     mat = _mat(spark, tmp_path)
     _run(spark, mat, src)
     assert mat.table().count() == 0
+
+
+def test_cdc_tombstone_gc_drops_only_aged_deletes(spark, tmp_path):
+    """gc_tombstones removes tombstones older than the lateness window and
+    nothing else; a late update with a stamp NEWER than a surviving
+    tombstone still loses (semantics preserved), and the GC'd state
+    publishes as a new pointer version."""
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            _env("c", 10, 1, {"id": 1, "name": "a", "amount": 1}),
+            _env("c", 10, 1, {"id": 2, "name": "b", "amount": 2}),
+            _env("d", 20, 2, before={"id": 1, "name": "a", "amount": 1}),   # old tombstone
+            _env("d", 900, 3, before={"id": 2, "name": "b", "amount": 2}),  # recent tombstone
+        ],
+        0,
+    )
+    mat = _mat(spark, tmp_path)
+    _run(spark, mat, src)
+    assert mat.table().count() == 0  # both deleted
+    v_before = mat._current_version()
+
+    dropped = mat.gc_tombstones(older_than_ms=500, batch_id=999)
+    assert dropped == 1
+    assert mat._current_version() != v_before
+    # key 2's tombstone survived: a late update stamped BEFORE it still loses
+    _write_batch(
+        spark, src, [_env("u", 850, 1, {"id": 2, "name": "late", "amount": 9})], 1
+    )
+    _run(spark, mat, src)
+    assert [r.id for r in mat.table().select("id").collect()] == []
+    # no-op when nothing qualifies
+    assert mat.gc_tombstones(older_than_ms=500, batch_id=1000) == 0
