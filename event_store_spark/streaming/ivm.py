@@ -344,12 +344,20 @@ class DistinctCountView:
         value_col: str,
         target_path: str,
         checkpoint: str,
+        *,
+        input_schema: str | None = None,
     ) -> None:
+        """``input_schema`` (Spark DDL of the delta rows, covering the
+        group and value columns) makes the pre-first-commit
+        :meth:`table` schema exact — same fix as JoinAggregateView's
+        left/right schemas (ADVICE r5); without it the empty frame
+        falls back to all-string group keys."""
         self.spark = spark
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.target_path = target_path
         self.checkpoint = checkpoint
+        self.input_schema = input_schema
         os.makedirs(target_path, exist_ok=True)
 
     def _pointer_path(self) -> str:
@@ -374,6 +382,18 @@ class DistinctCountView:
         """(group_cols..., approx_distinct) as of the last commit."""
         sk = self._sketches()
         if sk is None:
+            if self.input_schema is not None:
+                return (
+                    self.spark.createDataFrame([], self.input_schema)
+                    .groupBy(*self.group_cols)
+                    .agg(
+                        F.hll_sketch_estimate(
+                            F.hll_sketch_agg(self.value_col)
+                        )
+                        .cast("bigint")
+                        .alias("approx_distinct")
+                    )
+                )
             fields = ", ".join(f"{c} string" for c in self.group_cols)
             return self.spark.createDataFrame(
                 [], f"{fields}, approx_distinct bigint"

@@ -172,7 +172,14 @@ def test_distinct_count_view_overlapping_deltas_and_replay(spark, tmp_path):
         value_col="user_id",
         target_path=str(tmp_path / "dv"),
         checkpoint=str(tmp_path / "dck"),
+        input_schema="event_type string, user_id bigint",
     )
+    # typed empty schema BEFORE the first commit (same contract as
+    # JoinAggregateView's left/right schemas)
+    assert dict(view.table().dtypes) == {
+        "event_type": "string",
+        "approx_distinct": "bigint",
+    }
 
     def run():
         stream = (
