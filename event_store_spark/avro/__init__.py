@@ -1,4 +1,5 @@
-"""Avro binary serde + Confluent wire framing + local schema registry."""
+"""Avro binary serde + Confluent wire framing + schema registries
+(in-process LocalSchemaRegistry, Confluent-REST HttpSchemaRegistry)."""
 
 from event_store_spark.avro.codec import (
     RecordCodec,
@@ -7,9 +8,11 @@ from event_store_spark.avro.codec import (
     frame,
     unframe,
 )
+from event_store_spark.avro.http_registry import HttpSchemaRegistry
 from event_store_spark.avro.registry import LocalSchemaRegistry
 
 __all__ = [
+    "HttpSchemaRegistry",
     "RecordCodec",
     "encode_map_bytes",
     "decode_map_bytes",
