@@ -1,0 +1,178 @@
+"""Semantic deduplication: k-means clusters + within-cluster cosine pruning.
+
+The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540 — public): cluster
+the corpus embeddings with k-means, then enumerate cosine-similar pairs
+ONLY inside each cluster and drop all but one member of every
+above-threshold group. It removes *semantic* duplicates (same content,
+different surface form) that MinHash/SimHash — which see only lexical
+shingles — cannot, and its cost is bounded by cluster size instead of
+corpus size, which is the whole trick: clustering is the data-adaptive
+analog of `dedup_embedding`'s hyperplane-LSH bucketing.
+
+Spark-first build, shared machinery end to end:
+
+- clusters come from the SAME memoized Lloyd k-means as the IVF ANN family
+  (`plans.ivf._ivf_index` — one build per session serves IVF search, IVFPQ
+  and this dedup; the cached assignment DataFrame IS the cluster index)
+- the pair stage is ONE self-equi-join on `cell` (both sides shuffle by
+  cluster id, pairs never cross clusters), dot products are sequential JVM
+  folds bit-identical with the oracle's `list_sum` order
+- the drop rule is the deterministic greedy: a vector is dropped iff a
+  LOWER-id member of its cluster sits at ``cosine >= TAU`` (every
+  above-threshold clique keeps exactly its minimum id; no iteration, no
+  driver state) — rounded to 6 dp before comparing so the threshold test
+  itself is engine-invariant
+
+100 TB shape: k grows with the corpus so clusters stay ~constant-size
+(SemDeDup runs 110k clusters on LAION); the join fan-out is then
+O(n · cluster_size), one shuffle by cell. Train centroids on a sample like
+`ann_ivf_sampled` and the build adds a single extra corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.vectors import cosine
+from event_store_spark.plans.ivf import _ivf_index
+from event_store_spark.plans.registry import register
+
+#: Cosine threshold for "same meaning". The fixture's embeddings are
+#: near-orthogonal random points (max pairwise cosine ≈ 0.51), so a
+#: production-style 0.95+ would make the operator vacuously pass; 0.4
+#: exercises drops at every SF while the plan is threshold-generic.
+SEM_TAU = 0.4
+
+#: Same-cluster cosine, rounded like the oracle, as SQL text. Mirrors the
+#: `scored` expression in plans/ivf.py's oracles (64-dim corpus).
+_SIM = """ROUND(
+      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+      6)"""
+
+#: The IVF "full" build, verbatim from ann_ivf_topk's oracle (seed rows
+#: 1..8 → one Lloyd pass, 6-dp centroid rounding, ties to lowest cell):
+#: both operators must see the SAME clustering for the shared memoized
+#: index to be legal.
+_KMEANS_CTE = """
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    c0 AS (SELECT vec_id - 1 AS cell, v AS c FROM e WHERE vec_id BETWEEN 1 AND 8),
+    a0 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c0 c) WHERE rn = 1),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, t.i, ROUND(AVG(e.v[t.i]), 6) AS m
+        FROM a0 a JOIN e USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, t.i) GROUP BY cell),
+    a1 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c1 c) WHERE rn = 1),
+    av AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN a1 a USING (vec_id))"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH {_KMEANS_CTE},
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM av a JOIN av b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE {_SIM} >= {SEM_TAU})
+    SELECT CAST(av.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS members,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_cnt,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_cnt
+    FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+    GROUP BY av.cell ORDER BY cell
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-cluster report: members / dropped / kept by k-means cell.
+
+    The per-cell breakdown is the number a curation pipeline actually
+    watches — a cluster whose drop rate spikes is a template farm or a
+    crawler trap; uniform low drop rates mean the threshold is below the
+    corpus's natural similarity floor."""
+    _, assigned = _ivf_index(spark, sf_dir, "full")
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= SEM_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("members"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("dropped_cnt"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_cnt"),
+        )
+        .select(F.col("cell").cast("bigint"), "members", "dropped_cnt", "kept_cnt")
+        .orderBy("cell")
+    )
+
+
+@register(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH {_KMEANS_CTE},
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM av a JOIN av b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE {_SIM} >= {SEM_TAU})
+    SELECT CAST(av.vec_id AS BIGINT) AS vec_id,
+           CAST(av.cell AS BIGINT) AS cell
+    FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    ORDER BY av.vec_id LIMIT 50
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept set itself (first 50 by id) — what downstream training
+    actually consumes; the anti-join twin of `semantic_dedup`'s counts,
+    same pair build, same greedy min-id-survives rule."""
+    _, assigned = _ivf_index(spark, sf_dir, "full")
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= SEM_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select(F.col("vec_id").cast("bigint"), F.col("cell").cast("bigint"))
+        .orderBy("vec_id")
+        .limit(50)
+    )
