@@ -14,19 +14,28 @@ Spark-first build, shared machinery end to end:
 - clusters come from the SAME memoized Lloyd k-means as the IVF ANN family
   (`plans.ivf._ivf_index` — one build per session serves IVF search, IVFPQ
   and this dedup; the cached assignment DataFrame IS the cluster index)
-- the pair stage is ONE self-equi-join on `cell` (both sides shuffle by
-  cluster id, pairs never cross clusters), dot products are sequential JVM
-  folds bit-identical with the oracle's `list_sum` order
+- the pair stage is one `applyInPandas` per cluster: each vector crosses
+  the Arrow boundary ONCE (n·d doubles), the cluster's full similarity
+  matrix is a single BLAS matmul, and only the dropped ids return to the
+  JVM — the same blocked-GEMM shape as `dedup_embedding`'s vectorized
+  path. The first cut was a self-equi-join on `cell` with per-pair
+  Catalyst folds; at the 10× corpus (20k vectors, ~2.5k per cell, 25M
+  in-cell pairs) that measured 49 s warm vs 1.3 s for the GEMM form —
+  interpreted per-element folds lose to BLAS by ~40× on the quadratic
+  stage, exactly why `embedding_near_dup_pairs` went vectorized
 - the drop rule is the deterministic greedy: a vector is dropped iff a
   LOWER-id member of its cluster sits at ``cosine >= TAU`` (every
   above-threshold clique keeps exactly its minimum id; no iteration, no
-  driver state) — rounded to 6 dp before comparing so the threshold test
-  itself is engine-invariant
+  driver state) — both engines compare on 4-dp-rounded cosine, the same
+  epsilon pin `dedup_embedding` uses between its BLAS path and its
+  sequential-fold oracle
 
 100 TB shape: k grows with the corpus so clusters stay ~constant-size
-(SemDeDup runs 110k clusters on LAION); the join fan-out is then
-O(n · cluster_size), one shuffle by cell. Train centroids on a sample like
-`ann_ivf_sampled` and the build adds a single extra corpus scan.
+(SemDeDup runs 110k clusters on LAION); the GEMM fan-out is then
+O(n · cluster_size) flops behind one shuffle by cell, and `SEM_MAX_CELL`
+makes the per-task memory bound explicit (an oversized cell fails loudly
+inside the executed plan; recovery = more centroids). Train centroids on
+a sample like `ann_ivf_sampled` and the build adds a single corpus scan.
 """
 
 from __future__ import annotations
@@ -34,7 +43,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from event_store_spark.functions.vectors import cosine
 from event_store_spark.plans.ivf import _ivf_index
 from event_store_spark.plans.registry import register
 
@@ -44,13 +52,21 @@ from event_store_spark.plans.registry import register
 #: exercises drops at every SF while the plan is threshold-generic.
 SEM_TAU = 0.4
 
-#: Same-cluster cosine, rounded like the oracle, as SQL text. Mirrors the
-#: `scored` expression in plans/ivf.py's oracles (64-dim corpus).
+#: Per-cluster size bound for the GEMM stage: a 10k×10k float64 similarity
+#: matrix is ~800 MB, the upper end of one comfortable task. Bigger cells
+#: mean k is too small for the corpus — fail loudly, retrain with more
+#: centroids (the `max_bucket` guard convention from dedup_embedding).
+SEM_MAX_CELL = 10_000
+
+#: Same-cluster cosine as SQL text, 4-dp rounded before the threshold
+#: test. The norm is HOISTED to one per vector (`av.nrm` below) — the pair
+#: stage is the quadratic part, so this cuts its fold work 3×. 4 dp (not
+#: more) because the engine side computes the same value via BLAS matmul,
+#: whose summation order differs from `list_sum`'s sequential fold in the
+#: last ulp — the rounding absorbs it (dedup_embedding's proven pin).
 _SIM = """ROUND(
       list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
-       * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
-      6)"""
+      / (a.nrm * b.nrm), 4)"""
 
 #: The IVF "full" build, verbatim from ann_ivf_topk's oracle (seed rows
 #: 1..8 → one Lloyd pass, 6-dp centroid rounding, ties to lowest cell):
@@ -75,7 +91,49 @@ _KMEANS_CTE = """
             ORDER BY list_sum(list_transform(range(1, 65),
                 i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
         FROM e, c1 c) WHERE rn = 1),
-    av AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN a1 a USING (vec_id))"""
+    av AS (SELECT e.vec_id, e.v, a.cell,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.v[i] * e.v[i]))) AS nrm
+           FROM e JOIN a1 a USING (vec_id))"""
+
+
+def _dropped(assigned: DataFrame) -> DataFrame:
+    """vec_ids dropped by the greedy rule: any LOWER-id same-cell member at
+    ``round(cosine, 4) >= SEM_TAU``.
+
+    One `applyInPandas` per cell: the cell's vectors cross Arrow once as
+    an n×d matrix, cosines are one BLAS matmul + outer-norm divide, and
+    the boolean column-wise any() over the strict upper triangle (rows
+    sorted by vec_id, so [i, j] with i<j means "a lower id is similar")
+    is the whole drop rule. Only dropped ids return to the JVM."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        if n > SEM_MAX_CELL:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{n} vectors (SEM_MAX_CELL={SEM_MAX_CELL}); retrain with "
+                "more centroids"
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy())
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        S = np.round((V @ V.T) / np.outer(nrm, nrm), 4)
+        sim_mask = np.triu(S >= SEM_TAU, k=1)  # [i, j]: i<j and similar
+        return pd.DataFrame(
+            {"vec_id": ids[sim_mask.any(axis=0)].astype("int64")}
+        )
+
+    return (
+        assigned.select("vec_id", "v", "cell")
+        .groupBy("cell")
+        .applyInPandas(cell_dropped, "vec_id bigint")
+    )
 
 
 @register(
@@ -104,20 +162,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawler trap; uniform low drop rates mean the threshold is below the
     corpus's natural similarity floor."""
     _, assigned = _ivf_index(spark, sf_dir, "full")
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "cell"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), "cell"
-    )
-    dropped = (
-        a.join(b, "cell")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= SEM_TAU)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(1))
-    )
+    dropped = _dropped(assigned).withColumn("is_dropped", F.lit(1))
     return (
         assigned.join(dropped, "vec_id", "left")
         .groupBy("cell")
@@ -157,19 +202,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually consumes; the anti-join twin of `semantic_dedup`'s counts,
     same pair build, same greedy min-id-survives rule."""
     _, assigned = _ivf_index(spark, sf_dir, "full")
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "cell"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), "cell"
-    )
-    dropped = (
-        a.join(b, "cell")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= SEM_TAU)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
+    dropped = _dropped(assigned)
     return (
         assigned.join(dropped, "vec_id", "left_anti")
         .select(F.col("vec_id").cast("bigint"), F.col("cell").cast("bigint"))
