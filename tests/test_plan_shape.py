@@ -591,3 +591,16 @@ def test_bloom_prefilter_broadcasts_filter_no_cartesian(spark, sf_correct):
     plan = _plan(spark, sf_correct, "bloom_prefilter")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_stage_is_per_cell_gemm(spark, sf_correct):
+    """SemDeDup's quadratic stage must be the Arrow-batched per-cluster
+    GEMM (FlatMapGroupsInPandas keyed by cell), never a per-pair join:
+    the join form re-folds 64-dim dot products per PAIR and measured
+    49 s vs 0.7 s at the 10x corpus. No cartesian anywhere; the only
+    joins are the cell-count merge / survivor anti-join."""
+    for name in ("semantic_dedup", "semantic_dedup_survivors"):
+        plan = _plan(spark, sf_correct, name)
+        assert "FlatMapGroupsInPandas" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
