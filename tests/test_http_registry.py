@@ -25,7 +25,6 @@ from event_store_spark.avro.http_registry import (
     SchemaRegistryError,
     subject_for,
 )
-from event_store_spark.avro.spark import from_confluent_avro, to_confluent_avro
 from event_store_spark.core.avro_store import AvroEventStore
 
 V1 = {
@@ -216,6 +215,44 @@ def test_serialize_roundtrip_and_mixed_version_decode(registry_env):
     # writer_schemas feeds the dataframe-side mixed-version decoder
     ws = reader.writer_schemas("shop.events.OrderPlaced")
     assert set(ws) == {sid1, sid1 + 1} or len(ws) == 2
+
+
+def test_dataframe_mixed_version_decode_via_http_schemas(
+    spark, registry_env
+):
+    """T2 on DataFrames with the registry over HTTP: a topic carrying
+    frames written under BOTH schema versions decodes through
+    `from_confluent_avro` fed by `writer_schemas()` — the per-frame
+    writer-schema resolution the reference's deserializer does against
+    its live registry."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.avro.spark import from_confluent_avro
+
+    base, _ = registry_env
+    reg = HttpSchemaRegistry(base)
+    reg.register(V1)
+    old_frame = reg.serialize("OrderPlaced", {"item": "w", "qty": 3})
+    sid2 = reg.register(V2)
+    new_frame = reg.serialize(
+        "OrderPlaced", {"item": "g", "qty": 1, "note": "rush"}
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(old_frame)), (2, bytearray(new_frame))],
+        "id int, data binary",
+    )
+    out = df.select(
+        "id",
+        from_confluent_avro(
+            F.col("data"),
+            V2,
+            sid2,
+            writer_schemas=reg.writer_schemas("shop.events.OrderPlaced"),
+        ).alias("p"),
+    ).orderBy("id")
+    rows = out.collect()
+    assert rows[0].p.item == "w" and rows[0].p.note is None  # V1 frame
+    assert rows[1].p.note == "rush"  # V2 frame
 
 
 def test_id_and_version_caching(registry_env):
