@@ -480,3 +480,96 @@ def streaming_match_pattern(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SEMDEDUP_OUTPUT_SCHEMA = (
+    "vec_id bigint, cell int, dropped int, match_vec_id bigint, sim double"
+)
+SEMDEDUP_STATE_SCHEMA = "vec_ids array<bigint>, vecs array<array<double>>"
+
+
+def _semantic_cell_probe(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-cell membership: each arriving vector is compared against every
+    PRIOR member of its k-means cell (earlier batches via state, earlier
+    rows of this batch via vec_id order); at 4-dp-rounded cosine >= tau it
+    is flagged dropped with its best match, then joins the cell either
+    way — dropped members stay comparable, matching the batch greedy rule
+    where every lower id participates."""
+    import numpy as np
+
+    from event_store_spark.plans.semantic import SEM_MAX_CELL, SEM_TAU
+
+    if state.exists:
+        member_ids, member_vecs = state.get
+        member_ids = list(member_ids)
+        members = [np.asarray(v, dtype="float64") for v in member_vecs]
+    else:
+        member_ids, members = [], []
+    cell = int(key[0])
+    rows = []
+    incoming = pd.concat(list(pdfs), ignore_index=True).sort_values("vec_id")
+    for vec_id, v in zip(incoming["vec_id"], incoming["v"]):
+        if len(member_ids) >= SEM_MAX_CELL:
+            raise ValueError(
+                f"streaming_semantic_dedup: cell {cell} exceeds "
+                f"SEM_MAX_CELL={SEM_MAX_CELL}; retrain with more centroids"
+            )
+        x = np.asarray(v, dtype="float64")
+        best_id, best_sim = None, None
+        if members:
+            M = np.stack(members)
+            sims = np.round(
+                (M @ x)
+                / (np.sqrt(np.einsum("ij,ij->i", M, M)) * np.sqrt(x @ x)),
+                4,
+            )
+            # best match ties break to the EARLIEST (lowest) member id;
+            # members are appended in vec_id arrival order, so argmax's
+            # first-max rule IS that tie-break under ordered delivery
+            i = int(np.argmax(sims))
+            best_id, best_sim = int(member_ids[i]), float(sims[i])
+        dropped = int(best_sim is not None and best_sim >= SEM_TAU)
+        rows.append((int(vec_id), cell, dropped, best_id, best_sim))
+        member_ids.append(int(vec_id))
+        members.append(x)
+    state.update((member_ids, [m.tolist() for m in members]))
+    yield pd.DataFrame(
+        rows, columns=["vec_id", "cell", "dropped", "match_vec_id", "sim"]
+    )
+
+
+def streaming_semantic_dedup(
+    emb_stream: DataFrame, centroids: list
+) -> DataFrame:
+    """Cross-batch SemDeDup: the streaming twin of `plans.semantic` —
+    each arriving embedding is assigned to its trained k-means cell
+    MAP-SIDE (broadcast centroid argmin, the same `_assign` expression the
+    batch build and `ivf_assign_stream` use; zero shuffle before the
+    keyed state op), then probes the cell's live member set held in the
+    streaming state store.
+
+    Emits one row per vector with its drop verdict and best prior match.
+    Under ordered-by-id delivery the cumulative dropped set equals the
+    batch operator's greedy min-id-survives output exactly (pinned by
+    test); under arrival-order delivery it is the arrival-order greedy —
+    the honest streaming semantics, same as the LSH twin.
+
+    Scale: state per cell is its member matrix — the same O(corpus)
+    ledger the batch GEMM stage holds per task, sharded by cell across
+    executors and bounded by the shared `SEM_MAX_CELL` guard (recovery =
+    retrain with more centroids, exactly the batch story). Each probe is
+    one BLAS matvec against the cell matrix."""
+    from event_store_spark.plans.ivf import _assign
+
+    if not emb_stream.isStreaming:
+        raise ValueError("streaming_semantic_dedup requires a streaming DataFrame")
+    assigned = _assign(emb_stream.select("vec_id", "v"), centroids)
+    return assigned.groupBy("cell").applyInPandasWithState(
+        _semantic_cell_probe,
+        outputStructType=SEMDEDUP_OUTPUT_SCHEMA,
+        stateStructType=SEMDEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

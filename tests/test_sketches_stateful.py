@@ -480,3 +480,68 @@ def test_cms_contract_and_estimates(spark, sf_correct):
     # the heaviest token's estimate is tight in practice (width >> #heavy)
     top = rows[0]
     assert top.est_cnt - top.exact_cnt <= top.exact_cnt  # sane, not 2x off
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, sf_smoke, tmp_path):
+    """Cross-batch SemDeDup: embeddings delivered in vec_id order across
+    two micro-batches must reproduce the batch operator's greedy
+    min-id-survives dropped set exactly — cell assignment is the same
+    broadcast argmin, the member state carries across the batch boundary,
+    and boundary-straddling pairs (batch-2 vector vs batch-1 member) are
+    the part only the state store can see."""
+    from event_store_spark.functions.vectors import as_double
+    from event_store_spark.plans.ivf import _ivf_index
+    from event_store_spark.plans.semantic import _dropped
+    from event_store_spark.streaming.stateful import streaming_semantic_dedup
+
+    centroids, assigned = _ivf_index(spark, sf_smoke, "full")
+    batch_dropped = {r.vec_id for r in _dropped(assigned).collect()}
+    assert batch_dropped  # fixture must exercise drops
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    n = emb.count()
+    mid = n // 2
+    src = str(tmp_path / "sem_src")
+    # two id-ordered files -> two ordered micro-batches
+    emb.where(F.col("vec_id") < mid).coalesce(1).sortWithinPartitions(
+        "vec_id"
+    ).write.parquet(src)
+    emb.where(F.col("vec_id") >= mid).coalesce(1).sortWithinPartitions(
+        "vec_id"
+    ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_semantic_dedup(stream, centroids)
+        .writeStream.format("memory")
+        .queryName("sem_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.sql("select * from sem_out").collect()
+    assert len(out) == n  # one verdict per vector
+    streamed_dropped = {r.vec_id for r in out if r.dropped == 1}
+    assert streamed_dropped == batch_dropped
+
+    # every drop names a LOWER-id match in the same cell at sim >= tau
+    from event_store_spark.plans.semantic import SEM_TAU
+
+    cell_of = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    for r in out:
+        if r.dropped:
+            assert r.match_vec_id < r.vec_id
+            assert r.sim >= SEM_TAU
+            assert cell_of[r.match_vec_id] == cell_of[r.vec_id] == r.cell
+
+    # boundary coverage: at least one drop's match sits in the OTHER batch
+    assert any(
+        r.dropped and r.match_vec_id < mid <= r.vec_id for r in out
+    ), "fixture produced no cross-batch duplicate; split point needs moving"
