@@ -242,46 +242,47 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM
                  (SELECT c_custkey FROM customer GROUP BY c_custkey
                   HAVING COUNT(*) > 1)) AS BIGINT) AS measured,
-           (SELECT COUNT(*) FROM
+           CAST((SELECT COUNT(*) FROM
                  (SELECT c_custkey FROM customer GROUP BY c_custkey
-                  HAVING COUNT(*) > 1)) = 0 AS passed
+                  HAVING COUNT(*) > 1)) = 0 AS INT) AS passed
     UNION ALL
     SELECT 'orders_custkey_ri',
            CAST((SELECT COUNT(*) FROM orders o
                  WHERE NOT EXISTS (SELECT 1 FROM customer c
                                    WHERE c.c_custkey = o.o_custkey))
                 AS BIGINT),
-           (SELECT COUNT(*) FROM orders o
+           CAST((SELECT COUNT(*) FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM customer c
-                              WHERE c.c_custkey = o.o_custkey)) = 0
+                              WHERE c.c_custkey = o.o_custkey)) = 0 AS INT)
     UNION ALL
     SELECT 'lineitem_orderkey_ri',
            CAST((SELECT COUNT(*) FROM lineitem l
                  WHERE NOT EXISTS (SELECT 1 FROM orders o
                                    WHERE o.o_orderkey = l.l_orderkey))
                 AS BIGINT),
-           (SELECT COUNT(*) FROM lineitem l
+           CAST((SELECT COUNT(*) FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0 AS INT)
     UNION ALL
     SELECT 'lineitem_quantity_positive',
            CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
                 AS BIGINT),
-           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) = 0
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) = 0
+                AS INT)
     UNION ALL
     SELECT 'documents_text_null_bp',
            CAST((SELECT FLOOR(10000.0 * COUNT(*) FILTER (text IS NULL)
                               / COUNT(*)) FROM documents) AS BIGINT),
-           (SELECT FLOOR(10000.0 * COUNT(*) FILTER (text IS NULL)
-                         / COUNT(*)) FROM documents) <= 100
+           CAST((SELECT FLOOR(10000.0 * COUNT(*) FILTER (text IS NULL)
+                         / COUNT(*)) FROM documents) <= 100 AS INT)
     UNION ALL
     SELECT 'events_ts_in_range',
            CAST((SELECT COUNT(*) FROM events
                  WHERE ts < TIMESTAMP '2020-01-01'
                     OR ts >= TIMESTAMP '2030-01-01') AS BIGINT),
-           (SELECT COUNT(*) FROM events
+           CAST((SELECT COUNT(*) FROM events
             WHERE ts < TIMESTAMP '2020-01-01'
-               OR ts >= TIMESTAMP '2030-01-01') = 0
+               OR ts >= TIMESTAMP '2030-01-01') = 0 AS INT)
     ORDER BY check_name
     """,
 )
@@ -347,7 +348,7 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = agg_df.select(
             F.lit(name).alias("check_name"),
             F.col("m").cast("bigint").alias("measured"),
-            (F.col("m") <= budget).alias("passed"),
+            (F.col("m") <= budget).cast("int").alias("passed"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("check_name")

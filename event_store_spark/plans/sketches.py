@@ -38,7 +38,7 @@ GK_ACCURACY = 10_000
     SELECT event_type,
            COUNT(*) AS cnt,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS approx_ok
+           1 AS approx_ok
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -46,7 +46,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type, audited in-plan: the
     sketch estimate must land within 5×rsd of the exact COUNT(DISTINCT)
     computed in the same aggregation. The oracle re-derives the exact
-    column and pins `approx_ok` to TRUE, so the sketch's accuracy contract
+    column and pins `approx_ok` to 1, so the sketch's accuracy contract
     is hash-checked by the driver.
 
     Scale: the HLL half is one pass with fixed memory per group and
@@ -77,7 +77,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("_approx") - F.col("exact_users"))
                 <= F.col("exact_users") * F.lit(HLL_TOLERANCE)
-            ).alias("approx_ok"),
+            ).cast("int").alias("approx_ok"),
         )
         .orderBy("event_type")
     )
@@ -87,7 +87,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_price_quantiles",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+           1 AS ok25, 1 AS ok50, 1 AS ok75
     FROM orders
     """,
 )
@@ -132,7 +132,7 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             (F.col(lt_col) + 1 <= target + slack)
             & (F.col(le_col) >= target - slack)
-        ).alias(f"ok{int(q * 100)}")
+        ).cast("int").alias(f"ok{int(q * 100)}")
 
     return audited.select(
         "n",

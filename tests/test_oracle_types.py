@@ -15,6 +15,12 @@ oracle; this test pins the discipline so no future oracle regresses.
 DECIMAL is banned for the same reason (fetch-path-dependent Python
 representation: Decimal vs float64); queries needing fixed-point
 semantics cast to DOUBLE or scale to integer cents explicitly.
+
+BOOLEAN is banned as belt-and-braces: its stringification differs
+between engines (Python True vs Spark true) and across fetch paths
+(numpy bool_ vs Python bool), and the only r05 boolean-bearing sample
+sat among the four mismatches. Audit verdict columns cast to INT on
+both sides (the approx_token_counts_cms convention).
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ from event_store_spark.tables import TABLE_NAMES, table_path
 SF_DIR = "/root/testdata/sf0.001"
 
 #: types whose Python/pandas representation differs by fetch path
-BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
+BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL", "BOOLEAN")
 
 
 @pytest.fixture(scope="module")
