@@ -475,7 +475,11 @@ def test_stale_lock_steal_elects_single_winner(tmp_path):
 
     from event_store_spark.core.state import TopicMutex
 
-    mutex = TopicMutex(str(tmp_path / "locks"), timeout_seconds=10.0, stale_seconds=2.0)
+    # generous acquire timeout: the assertion is mutual exclusion
+    # (max_in_cs == 1), not latency — at 10 s a co-resident Spark JVM's
+    # GC stall mid-suite can time a waiter out and flake the test
+    # (observed once in a 518-test run; 0/60 repro standalone)
+    mutex = TopicMutex(str(tmp_path / "locks"), timeout_seconds=60.0, stale_seconds=2.0)
     # orphan lock from a "crashed" holder: foreign token, ancient mtime
     path = mutex._path("t")
     with open(path, "w") as f:

@@ -54,11 +54,19 @@ def test_approx_quantiles_within_tolerance(spark, sf_correct):
 
 def test_sketches_declared_with_audit_oracle():
     """Approx operators are oracle-checked via their accuracy contract: the
-    oracle recomputes the exact columns and pins the verdicts TRUE (raw
-    sketch values stay out of the compared columns — algorithm-specific)."""
-    for name in ("approx_distinct_users", "approx_price_quantiles"):
+    oracle recomputes the exact columns and pins the verdicts to 1 (INT,
+    not BOOLEAN — the fetch-path type discipline of test_oracle_types;
+    raw sketch values stay out of the compared columns)."""
+    for name, verdicts in (
+        ("approx_distinct_users", ["1 AS approx_ok"]),
+        (
+            "approx_price_quantiles",
+            ["1 AS ok25", "1 AS ok50", "1 AS ok75"],
+        ),
+    ):
         assert name in QUERIES and name in ORACLE
-        assert "TRUE" in ORACLE[name]
+        for v in verdicts:
+            assert v in ORACLE[name], (name, v)
 
 
 def test_schema_evolution_old_frames_still_decode(tmp_path):
