@@ -20,8 +20,8 @@ Spark-first build, shared machinery end to end:
   JVM — the same blocked-GEMM shape as `dedup_embedding`'s vectorized
   path. The first cut was a self-equi-join on `cell` with per-pair
   Catalyst folds; at the 10× corpus (20k vectors, ~2.5k per cell, 25M
-  in-cell pairs) that measured 49 s warm vs 1.3 s for the GEMM form —
-  interpreted per-element folds lose to BLAS by ~40× on the quadratic
+  in-cell pairs) that measured 49 s warm vs 0.7 s for the GEMM form —
+  interpreted per-element folds lose to BLAS by ~70× on the quadratic
   stage, exactly why `embedding_near_dup_pairs` went vectorized
 - the drop rule is the deterministic greedy: a vector is dropped iff a
   LOWER-id member of its cluster sits at ``cosine >= TAU`` (every
