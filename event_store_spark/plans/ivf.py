@@ -326,3 +326,107 @@ def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
     )
+
+
+# ------------------------------------------------- index persistence API
+
+def save_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str, variant: str = "full"
+) -> None:
+    """Persist the trained IVF index: the FAISS write_index analog.
+
+    Two artifacts, matching what the two halves of the index ARE:
+    ``centroids.json`` (k×d doubles — driver-side metadata, the only
+    state a searcher must load before planning) and ``cells/`` (the
+    assignment table written parquet PARTITIONED BY cell — the on-disk
+    inverted file, so a single-cell search lists exactly ``cell=c/``
+    and partition pruning does the rest). Live additions are a SEPARATE
+    segment: `streaming.index.ivf_assign_stream` maintains its own
+    stream-managed cell-partitioned dir (its `_spark_metadata` log is
+    what makes the sink exactly-once, and that log must own its
+    directory), and `load_ivf_index(..., additions_path=...)` unions
+    base + delta lazily — the FAISS add-vs-retrain split as base+segment
+    serving; this function is the periodic retrain checkpoint that
+    folds the segment back in."""
+    import json
+    import os
+
+    centroids, assigned = _ivf_index(spark, sf_dir, variant)
+    os.makedirs(path, exist_ok=True)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    # write centroids LAST: their presence marks the index complete
+    # (readers of a half-written cells/ dir fail loudly on load)
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump([[cell, c] for cell, c in centroids], fh)
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str, additions_path: str | None = None
+):
+    """(centroids, assigned) from a saved index — no retraining, no
+    corpus scan; the assignment table stays lazy (cell-pruned reads).
+    ``additions_path`` unions a live-additions segment (an
+    `ivf_assign_stream` target) under the same schema — both sides are
+    cell-partitioned, so a cell probe prunes base and segment alike."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = [(int(cell), [float(x) for x in c]) for cell, c in json.load(fh)]
+    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    if additions_path is not None:
+        adds = spark.read.parquet(additions_path)
+        assigned = assigned.unionByName(adds.select(*assigned.columns))
+    return centroids, assigned
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_v: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-k cosine over the nprobe nearest cells of a saved/loaded index.
+
+    The query is a plan LITERAL (centroid ranking happens driver-side on
+    k×d floats — the metadata a vector store keeps hot), so the executed
+    plan is a partition-pruned scan of the probed cells + one top-k: no
+    join, no shuffle beyond TakeOrdered's heaps. The oracle-checked
+    `ann_ivf_topk`/`ann_ivf_nprobe` pin these semantics against SQL; this
+    is the serving-path API over the persisted layout (equality with the
+    in-session plans is pinned by tests/test_ivf_persistence.py)."""
+    import math
+
+    ranked = sorted(
+        (
+            sum((a - b) * (a - b) for a, b in zip(query_v, c)),
+            cell,
+        )
+        for cell, c in centroids
+    )
+    probe_cells = [cell for _, cell in ranked[:nprobe]]
+    qn = math.sqrt(sum(x * x for x in query_v))
+    qcol = F.lit([float(x) for x in query_v])
+    sim = F.aggregate(
+        F.zip_with(F.col("v"), qcol, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * F.lit(qn)
+    )
+    return (
+        assigned.where(F.col("cell").isin(probe_cells))
+        .select("vec_id", F.round(sim, 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )

