@@ -338,3 +338,65 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adist", "vec_id")
         .limit(5)
     )
+
+
+# ------------------------------------------------- index persistence API
+
+def save_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the PQ index: codebook.json (M×K×DSUB doubles + the sparse
+    code-id lists — driver metadata) and the encoded corpus as a flat
+    (vec_id, codes) parquet table, the ~4-byte-per-vector artifact that
+    replaces the raw embeddings on the serving path. No partitioning:
+    ADC serving is a FLAT SCAN by design (every row is scored against
+    the per-query lookup table), so the layout optimizes for sequential
+    columnar reads, not pruning — the opposite trade from
+    `ivf.save_ivf_index`, matching how FAISS stores Flat-PQ vs IVF
+    lists. Codebook written last as the completeness marker."""
+    import json
+    import os
+
+    book, encoded = _pq_index(spark, sf_dir)
+    os.makedirs(path, exist_ok=True)
+    encoded.select("vec_id", "codes").write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "codebook.json"), "w") as fh:
+        json.dump(
+            [[[cid, c] for cid, c in rows] for rows in book], fh
+        )
+
+
+def load_pq_index(spark: SparkSession, path: str):
+    """(codebook, codes DataFrame) from a saved index — the serving-side
+    state: 1 KiB-scale codebook on the driver, lazy codes scan."""
+    import json
+    import os
+
+    with open(os.path.join(path, "codebook.json")) as fh:
+        book = [
+            [(int(cid), [float(x) for x in c]) for cid, c in rows]
+            for rows in json.load(fh)
+        ]
+    return book, spark.read.parquet(os.path.join(path, "codes"))
+
+
+def pq_search(
+    codes: DataFrame,
+    book: list,
+    query_v: list[float],
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by ADC squared L2 over a saved/loaded codes table.
+
+    The per-query M×K lookup table is built driver-side in index order
+    (bit-identical with the in-plan fold — `_adc_table`) and rides as a
+    literal; the executed plan is ONE whole-stage-codegen projection over
+    the codes scan + TakeOrdered. No join, no shuffle, no raw vectors
+    read — the 100 TB serving shape. Equality with the oracle-checked
+    `ann_pq_topk` is pinned by tests/test_ivf_persistence.py."""
+    adist = _adc_expr(book, F.lit(_adc_table(book, [float(x) for x in query_v])))
+    return (
+        codes.select("vec_id", F.round(adist, 4).alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(k)
+    )

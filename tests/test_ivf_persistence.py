@@ -134,3 +134,47 @@ def test_streamed_additions_join_the_persisted_index(spark, sf_smoke, tmp_path):
         for r in ivf_search(reloaded, centroids, v1, k=2).collect()
     ]
     assert set(top) == {1, 1_000_001}
+
+
+def test_pq_save_load_search_matches_in_session_plan(spark, sf_smoke, tmp_path):
+    """PQ lifecycle: the persisted codes table (no raw vectors) serves
+    the same ADC top-5 as the in-session, oracle-checked ann_pq_topk;
+    the serving plan is a joinless, shuffle-free scan + TakeOrdered."""
+    from event_store_spark.plans.pq import (
+        _pq_index,
+        load_pq_index,
+        pq_search,
+        save_pq_index,
+    )
+
+    idx = str(tmp_path / "pq")
+    save_pq_index(spark, sf_smoke, idx)
+    book, codes = load_pq_index(spark, idx)
+
+    mem_book, mem_encoded = _pq_index(spark, sf_smoke)
+    assert book == mem_book  # exact doubles through JSON
+    assert "v" not in codes.columns  # serving path never reads raw vectors
+
+    qv = [
+        float(x)
+        for x in mem_encoded.where(F.col("vec_id") == 0).first()["v"]
+    ]
+    got = [
+        (r.vec_id, r.adist)
+        for r in pq_search(codes, book, qv, k=6).collect()
+        if r.vec_id != 0
+    ][:5]
+    want = [
+        (r.vec_id, r.adist)
+        for r in QUERIES["ann_pq_topk"](spark, sf_smoke).collect()
+    ]
+    assert got == want
+
+    plan = (
+        pq_search(codes, book, qv, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
