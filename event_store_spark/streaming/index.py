@@ -45,3 +45,36 @@ def ivf_assign_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def pq_encode_stream(
+    embeddings_stream: DataFrame,
+    codebook: list,
+    target_path: str,
+    checkpoint: str,
+):
+    """PQ twin of :func:`ivf_assign_stream`: encode arriving embeddings
+    (columns ``vec_id``, ``v: array<double>``) to their 4-byte PQ codes
+    map-side (broadcast codebook argmin per subspace — the same
+    `_encode_expr` the batch build uses; zero shuffle) and append the
+    (vec_id, codes) rows as a flat codes segment. Serve base + segment by
+    unioning this dir onto `pq.load_pq_index`'s codes table — codebook
+    retraining stays a periodic batch job, exactly the IVF split.
+    Returns the StreamingQuery."""
+    from event_store_spark.plans.pq import _encode_expr
+
+    if not embeddings_stream.isStreaming:
+        raise ValueError("pq_encode_stream requires a streaming DataFrame")
+    from pyspark.sql import functions as F
+
+    encoded = embeddings_stream.select(
+        "vec_id", _encode_expr(F.col("v"), codebook).alias("codes")
+    )
+    return (
+        encoded.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

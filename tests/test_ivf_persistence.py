@@ -178,3 +178,46 @@ def test_pq_save_load_search_matches_in_session_plan(spark, sf_smoke, tmp_path):
     )
     assert "Join" not in plan and "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_encode_stream_segment_serves_with_base(spark, sf_smoke, tmp_path):
+    """Streamed PQ additions: arriving vectors encode map-side with the
+    broadcast codebook, the codes segment unions onto the persisted base,
+    and an exact copy of vector 1 ties its original at ADC distance 0
+    from codes alone."""
+    from event_store_spark.plans.pq import (
+        _pq_index,
+        load_pq_index,
+        pq_search,
+        save_pq_index,
+    )
+    from event_store_spark.streaming.index import pq_encode_stream
+
+    idx = str(tmp_path / "pq")
+    adds = str(tmp_path / "pq_adds")
+    save_pq_index(spark, sf_smoke, idx)
+    book, codes = load_pq_index(spark, idx)
+
+    _, mem_encoded = _pq_index(spark, sf_smoke)
+    new = mem_encoded.where(F.col("vec_id").between(1, 3)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = pq_encode_stream(stream, book, adds, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    seg = spark.read.parquet(adds)
+    # streamed codes == the batch build's codes for the same vectors
+    batch_codes = {
+        r.vec_id: list(r.codes)
+        for r in mem_encoded.where(F.col("vec_id").between(1, 3)).collect()
+    }
+    for r in seg.collect():
+        assert list(r.codes) == batch_codes[r.vec_id - 1_000_000]
+
+    served = codes.unionByName(seg)
+    v1 = [float(x) for x in mem_encoded.where(F.col("vec_id") == 1).first()["v"]]
+    top = {r.vec_id: r.adist for r in pq_search(served, book, v1, k=3).collect()}
+    assert top[1] == top[1_000_001]  # identical codes -> identical ADC
