@@ -430,3 +430,37 @@ def ivf_search(
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def compact_ivf_index(
+    spark: SparkSession, path: str, additions_path: str
+) -> None:
+    """Fold a streamed additions segment into the base index WITHOUT
+    retraining — the cheap half of index maintenance (Lucene-style
+    segment merge), distinct from `save_ivf_index`'s periodic retrain:
+    centroids are untouched, so every existing cell assignment stays
+    valid; the merge is one union + cell-partitioned rewrite. Staged
+    next to the live base and swapped in with two renames (readers of
+    `cells/` never see a half-written directory); the additions segment
+    is left in place — its stream owns its directory and checkpoint, and
+    re-folding the same rows on the next compaction is idempotent
+    (vec_id rows overwrite by full rewrite, not append). DataFrames
+    loaded BEFORE the compaction pin their file listing and must be
+    reloaded; this function refreshes the session's path cache so new
+    `load_ivf_index` calls list fresh."""
+    import os
+    import shutil
+
+    centroids, merged = load_ivf_index(spark, path, additions_path)
+    staged = os.path.join(path, "cells._staged")
+    merged.dropDuplicates(["vec_id"]).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(staged)
+    live = os.path.join(path, "cells")
+    old = os.path.join(path, "cells._old")
+    os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old)
+    # the swap changed the files behind an already-listed path: drop the
+    # session's cached file listing or later scans chase renamed parts
+    spark.catalog.refreshByPath(live)

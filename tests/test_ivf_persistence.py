@@ -221,3 +221,43 @@ def test_pq_encode_stream_segment_serves_with_base(spark, sf_smoke, tmp_path):
     v1 = [float(x) for x in mem_encoded.where(F.col("vec_id") == 1).first()["v"]]
     top = {r.vec_id: r.adist for r in pq_search(served, book, v1, k=3).collect()}
     assert top[1] == top[1_000_001]  # identical codes -> identical ADC
+
+
+def test_compact_folds_segment_into_base(spark, sf_smoke, tmp_path):
+    """Compaction merges the streamed segment into the base layout
+    without retraining; a re-compaction of the same segment is
+    idempotent (no duplicate vec_ids), and search serves the merged
+    base alone."""
+    from event_store_spark.plans.ivf import compact_ivf_index
+    from event_store_spark.streaming.index import ivf_assign_stream
+
+    idx = str(tmp_path / "ivf")
+    adds_dir = str(tmp_path / "adds")
+    save_ivf_index(spark, sf_smoke, idx)
+    centroids, assigned = load_ivf_index(spark, idx)
+    base_n = assigned.count()
+
+    new = assigned.where(F.col("vec_id").between(1, 3)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = ivf_assign_stream(stream, centroids, adds_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    compact_ivf_index(spark, idx, adds_dir)
+    c2, merged = load_ivf_index(spark, idx)  # no additions_path needed now
+    assert c2 == centroids  # compaction never retrains
+    assert merged.count() == base_n + 3
+
+    compact_ivf_index(spark, idx, adds_dir)  # idempotent re-fold
+    _, again = load_ivf_index(spark, idx)
+    assert again.count() == base_n + 3
+
+    # NOTE: DataFrames loaded BEFORE a compaction pin their file listing
+    # and break after the in-place swap — reload after compacting (the
+    # operator refreshes the path cache so new loads list fresh)
+    v1 = [float(x) for x in again.where(F.col("vec_id") == 1).first()["v"]]
+    top = {r.vec_id for r in ivf_search(again, centroids, v1, k=2).collect()}
+    assert top == {1, 1_000_001}
