@@ -322,3 +322,113 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
     )
+
+
+# --------------------------------------------- SQ8 index persistence API
+
+def save_sq8_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the SQ8 index: limits.json (per-dimension (min, max) — the
+    whole codebook is 2×DIM doubles) and the quantized corpus as a flat
+    (vec_id, q: array<tinyint>) parquet table — the 4×-smaller artifact a
+    100 TB vector corpus ships instead of raw floats. Flat layout like
+    `pq.save_pq_index` (scoring is a scan, not a probe); limits written
+    last as the completeness marker."""
+    import json
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    rows = sorted(
+        (r["i"], r["mn"], r["mx"])
+        for r in emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mns = [float(mn) for _, mn, _ in rows]
+    mxs = [float(mx) for _, _, mx in rows]
+    quant = (
+        emb.withColumn("_mns", F.lit(mns))
+        .withColumn("_mxs", F.lit(mxs))
+        .select(
+            "vec_id",
+            F.expr(
+                """
+                transform(sequence(0, size(v) - 1), i ->
+                    CASE WHEN _mxs[i] = _mns[i] THEN CAST(0 AS TINYINT)
+                         ELSE CAST(FLOOR((v[i] - _mns[i]) * 255.0D
+                                         / (_mxs[i] - _mns[i]) + 0.5D) - 128
+                                   AS TINYINT)
+                    END)
+                """
+            ).alias("q"),
+        )
+    )
+    os.makedirs(path, exist_ok=True)
+    quant.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "limits.json"), "w") as fh:
+        json.dump({"mns": mns, "mxs": mxs}, fh)
+
+
+def load_sq8_index(spark: SparkSession, path: str):
+    """((mns, mxs), codes DataFrame) from a saved SQ8 index."""
+    import json
+    import os
+
+    with open(os.path.join(path, "limits.json")) as fh:
+        lims = json.load(fh)
+    return (
+        ([float(x) for x in lims["mns"]], [float(x) for x in lims["mxs"]]),
+        spark.read.parquet(os.path.join(path, "codes")),
+    )
+
+
+def sq8_search(
+    codes: DataFrame,
+    limits: tuple[list[float], list[float]],
+    query_v: list[float],
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine over a saved SQ8 index, scoring RECONSTRUCTED vectors.
+
+    The raw query quantizes + reconstructs driver-side with the identical
+    IEEE op order the corpus-side expression runs (floor-half-up to int8,
+    then (q+128)·span/255+mn), so serving a corpus vector as the query
+    reproduces the oracle-checked `ann_sq8_topk` exactly (pinned by
+    tests/test_ivf_persistence.py). The plan is a scan + TakeOrdered —
+    the query rides as a literal, no join."""
+    import math
+
+    mns, mxs = limits
+    qr = []
+    for x, mn, mx in zip(query_v, mns, mxs):
+        if mx == mn:
+            qr.append(mn)
+        else:
+            q = math.floor((x - mn) * 255.0 / (mx - mn) + 0.5) - 128
+            qr.append((q + 128.0) * (mx - mn) / 255.0 + mn)
+    recon = (
+        codes.withColumn("_mns", F.lit(mns))
+        .withColumn("_mxs", F.lit(mxs))
+        .select(
+            "vec_id",
+            F.expr(
+                """
+                transform(sequence(0, size(q) - 1), i ->
+                    CASE WHEN _mxs[i] = _mns[i] THEN _mns[i]
+                         ELSE (CAST(q[i] AS DOUBLE) + 128.0D)
+                              * (_mxs[i] - _mns[i]) / 255.0D + _mns[i]
+                    END)
+                """
+            ).alias("r"),
+        )
+    )
+    return (
+        recon.select(
+            "vec_id",
+            F.round(cosine(F.col("r"), F.lit(qr)), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )

@@ -261,3 +261,46 @@ def test_compact_folds_segment_into_base(spark, sf_smoke, tmp_path):
     v1 = [float(x) for x in again.where(F.col("vec_id") == 1).first()["v"]]
     top = {r.vec_id for r in ivf_search(again, centroids, v1, k=2).collect()}
     assert top == {1, 1_000_001}
+
+
+def test_sq8_save_load_search_matches_in_session_plan(spark, sf_smoke, tmp_path):
+    """SQ8 lifecycle: the persisted int8 codes + 2xDIM-double limits
+    serve the same reconstructed-cosine top-5 as the oracle-checked
+    ann_sq8_topk; the serving plan is a joinless scan + TakeOrdered."""
+    from event_store_spark.plans.pipeline5 import (
+        load_sq8_index,
+        save_sq8_index,
+        sq8_search,
+    )
+    from event_store_spark.tables import load_table
+
+    idx = str(tmp_path / "sq8")
+    save_sq8_index(spark, sf_smoke, idx)
+    limits, codes = load_sq8_index(spark, idx)
+    assert codes.schema["q"].dataType.simpleString() == "array<tinyint>"
+
+    qv = [
+        float(x)
+        for x in load_table(spark, sf_smoke, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    got = [
+        (r.vec_id, r.sim)
+        for r in sq8_search(codes, limits, qv, k=6).collect()
+        if r.vec_id != 0
+    ][:5]
+    want = [
+        (r.vec_id, r.sim)
+        for r in QUERIES["ann_sq8_topk"](spark, sf_smoke).collect()
+    ]
+    assert got == want
+
+    plan = (
+        sq8_search(codes, limits, qv, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
