@@ -44,24 +44,25 @@ from event_store_spark.plans import evalq as _evalq  # noqa: F401,E402
 #: the same tail queries perpetually unchecked, and the round-2 static
 #: priority list had the dual flaw (previously-green queries pushed to the
 #: tail are the least likely to be re-checked for regressions — ADVICE r3).
-#: The fair policy is rotation: queries that did NOT get a green row in the
-#: most recent driver pass come first (in registration order), queries that
-#: did come last. Over two consecutive rounds every query gets a driver row;
-#: regressions in green queries surface at most one round late. Local parity
-#: (tests/test_oracle_parity.py) stays exhaustive every run regardless.
-def _load_checked_last_round():
-    """(latest_green, ever_green) query names from CORRECTNESS_r*.json files.
+#: The fair policy is rotation: queries ordered by the round of their most
+#: recent GREEN driver row, ascending — never-checked first (zero evidence),
+#: then oldest-checked, then the latest round's greens last. Each round the
+#: driver's prefix sample therefore drains exactly the stalest cohort
+#: (VERDICT r6 #1 required the 44 r02/r03-checked queries to front the r07
+#: sample; a coarse checked/unchecked split left 17 of them out). Local
+#: parity (tests/test_oracle_parity.py) stays exhaustive every run.
+def _load_latest_green_round():
+    """Map query name → round number of its newest green driver row.
 
     Round 4 hardcoded the r03 green list here, which went stale the moment
-    r04 landed (VERDICT r4 "What's wrong" #1): the sample would have
-    re-checked the r04 half and again skipped the never-checked tail.
-    Deriving the set from the latest driver artifact at import time makes the
-    rotation self-maintaining — each round the most recently checked queries
-    move to the back and everything else (including brand-new registrations,
-    which by definition appear in no CORRECTNESS file) fronts the sample.
+    r04 landed (VERDICT r4 "What's wrong" #1). Deriving the map from the
+    CORRECTNESS_r*.json artifacts at import time makes the rotation
+    self-maintaining — each round the most recently checked queries move to
+    the back and everything else (including brand-new registrations, which
+    by definition appear in no CORRECTNESS file) fronts the sample.
 
-    A query that ERRORED in the latest round (err != null or any mismatch)
-    is treated as unchecked so it re-fronts immediately.
+    A round in which a query ERRORED or mismatched does not count as a
+    check, so a regression re-fronts the query immediately.
     """
     import json
     import re
@@ -73,15 +74,14 @@ def _load_checked_last_round():
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
         if m:
             rounds.append((int(m.group(1)), p))
-    if not rounds:
-        return set(), set()
+    rounds.sort()
 
-    def _green(path):
+    latest = {}
+    for n, p in rounds:
         try:
-            data = json.loads(path.read_text())
+            data = json.loads(p.read_text())
         except (OSError, ValueError):
-            return set()
-        out = set()
+            continue
         for name, row in data.items():
             if (
                 isinstance(row, dict)
@@ -90,34 +90,20 @@ def _load_checked_last_round():
                 and row.get("schema_match", True)
                 and row.get("hash_match", True)
             ):
-                out.add(name)
-        return out
-
-    rounds.sort()
-    latest = _green(rounds[-1][1])
-    ever = set()
-    for _, p in rounds:
-        ever |= _green(p)
-    return latest, ever
+                latest[name] = n  # rounds ascend, so last write wins
+    return latest
 
 
-_CHECKED_LAST_ROUND, _EVER_CHECKED = _load_checked_last_round()
+_LATEST_GREEN_ROUND = _load_latest_green_round()
 
 
 def _apply_rotation() -> None:
-    """Three-tier fairness: never-driver-checked queries come absolutely
-    first (they have zero evidence), then queries whose most recent check is
-    stale (not in the latest round's green set), then the latest-round green
-    set. Within each tier, registration order."""
-    order = (
-        [n for n in QUERIES if n not in _EVER_CHECKED]
-        + [
-            n
-            for n in QUERIES
-            if n in _EVER_CHECKED and n not in _CHECKED_LAST_ROUND
-        ]
-        + [n for n in QUERIES if n in _CHECKED_LAST_ROUND]
-    )
+    """Order by newest-green-round ascending: never-driver-checked queries
+    come absolutely first (round -1 — zero evidence), then ascending
+    staleness, so the driver's prefix sample always drains the cohort whose
+    evidence is oldest. Ties (same round) keep registration order —
+    Python's sort is stable."""
+    order = sorted(QUERIES, key=lambda n: _LATEST_GREEN_ROUND.get(n, -1))
     for d in (QUERIES, ORACLE):
         items = [(n, d[n]) for n in order if n in d]
         d.clear()
