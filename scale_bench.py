@@ -201,6 +201,12 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, "int")
     spark.range(4).select(_warm(F.col("id").cast("int"))).collect()
 
+    # ingest-time typed props materialization (write-path cost, not a query
+    # cost — see bench.py + PERF.md "parse-at-ingest accounting")
+    from event_store_spark.plans.typed_events import typed_events
+
+    typed_events(spark, out_dir)
+
     # resumable progress journal: one JSON line per timed query, so a run
     # killed by an external wall-clock cap loses at most one query's work
     journal_path = os.path.join(out_dir, "_progress.jsonl")
