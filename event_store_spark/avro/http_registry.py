@@ -129,10 +129,20 @@ class HttpSchemaRegistry:
         The wire call returns version numbers; each (subject, version) is
         immutable so the version→id mapping is cached — listing versions
         of a stable subject costs one HTTP call after warmup.
+
+        An unknown subject returns [] — drop-in parity with
+        `LocalSchemaRegistry.versions` (ADVICE r6: the HTTP 404 used to
+        surface as KeyError here, breaking code written against the
+        local registry's empty-list contract; `codec_by_id`/`id_by_name`
+        keep KeyError, where Local raises too).
         """
         subject = self._resolve_subject(name)
+        try:
+            listed = self._call("GET", f"/subjects/{subject}/versions")
+        except KeyError:
+            return []
         out = []
-        for v in self._call("GET", f"/subjects/{subject}/versions"):
+        for v in listed:
             key = (subject, int(v))
             if key not in self._version_ids:
                 body = self._call("GET", f"/subjects/{subject}/versions/{v}")

@@ -45,12 +45,23 @@ def keyset_predicate_sql(after: Cursor) -> str:
 def scan_query(table: str, after: Cursor | None = None) -> str:
     """Pushdown subquery for the `dbtable` option: projection pinned to
     the event columns (column pruning at the SOURCE — the database never
-    serializes columns Spark would drop) plus the optional keyset
-    predicate."""
+    serializes columns Spark would drop) plus the keyset predicate.
+
+    ``lsn IS NOT NULL`` is unconditional (ADVICE r6): in the reference,
+    events.lsn is NULLABLE — stamped asynchronously by the LSN Updater —
+    and every replicator read filters ``WHERE lsn IS NOT NULL AND
+    (lsn, id) > ...`` (`EventReplicatorWorker.java:66-72`). Without it a
+    full scan returns unstamped rows whose commit order does not exist
+    yet (orderBy sorts NULLs first, so "ordered replay" would consume
+    them ahead of everything, and a cursor taken from one is garbage);
+    it also keeps an lsn-partitioned read from dumping every NULL-lsn
+    row into one partition's slice."""
     if not table.replace("_", "").replace(".", "").isalnum():
         raise ValueError(f"suspicious table name {table!r}")
     cols = ", ".join(EVENT_COLUMNS)
-    where = f" WHERE {keyset_predicate_sql(after)}" if after is not None else ""
+    where = " WHERE lsn IS NOT NULL"
+    if after is not None:
+        where += f" AND {keyset_predicate_sql(after)}"
     return f"(SELECT {cols} FROM {table}{where}) AS esp_scan"
 
 

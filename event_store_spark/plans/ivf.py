@@ -353,9 +353,35 @@ def save_ivf_index(
 
     centroids, assigned = _ivf_index(spark, sf_dir, variant)
     os.makedirs(path, exist_ok=True)
+    # A retrain over an existing index must stay atomic for readers too:
+    # write the new generation beside the live one and pointer-flip (the
+    # naive overwrite of the live dir would both race readers AND be
+    # shadowed by a post-compaction pointer naming cells-<n>).
+    cur = _cells_dirname(path)
+    if os.path.isdir(os.path.join(path, cur)):
+        gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
+        target = f"cells-{gen}"
+    else:
+        target = "cells"  # fresh index: original layout, no pointer needed
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "cells")
+        os.path.join(path, target)
     )
+    if target != "cells":
+        tmp, ptr = os.path.join(path, "CELLS.tmp"), os.path.join(path, "CELLS")
+        with open(tmp, "w") as fh:
+            fh.write(target)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, ptr)
+        import shutil
+
+        for entry in os.listdir(path):
+            if (
+                (entry == "cells" or entry.startswith("cells-"))
+                and entry != target
+                and not entry.endswith(".tmp")
+            ):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
     # write centroids LAST: their presence marks the index complete
     # (readers of a half-written cells/ dir fail loudly on load)
     with open(os.path.join(path, "centroids.json"), "w") as fh:
@@ -375,7 +401,7 @@ def load_ivf_index(
 
     with open(os.path.join(path, "centroids.json")) as fh:
         centroids = [(int(cell), [float(x) for x in c]) for cell, c in json.load(fh)]
-    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    assigned = spark.read.parquet(os.path.join(path, _cells_dirname(path)))
     if additions_path is not None:
         adds = spark.read.parquet(additions_path)
         assigned = assigned.unionByName(adds.select(*assigned.columns))
@@ -432,6 +458,20 @@ def ivf_search(
     )
 
 
+def _cells_dirname(path: str) -> str:
+    """Resolve the LIVE cells directory: the `CELLS` pointer file names it
+    (post-compaction generations `cells-<n>`); absent a pointer, the
+    original `cells` layout from `save_ivf_index`."""
+    import os
+
+    ptr = os.path.join(path, "CELLS")
+    try:
+        with open(ptr) as fh:
+            return fh.read().strip()
+    except OSError:
+        return "cells"
+
+
 def compact_ivf_index(
     spark: SparkSession, path: str, additions_path: str
 ) -> None:
@@ -439,28 +479,45 @@ def compact_ivf_index(
     retraining — the cheap half of index maintenance (Lucene-style
     segment merge), distinct from `save_ivf_index`'s periodic retrain:
     centroids are untouched, so every existing cell assignment stays
-    valid; the merge is one union + cell-partitioned rewrite. Staged
-    next to the live base and swapped in with two renames (readers of
-    `cells/` never see a half-written directory); the additions segment
-    is left in place — its stream owns its directory and checkpoint, and
-    re-folding the same rows on the next compaction is idempotent
-    (vec_id rows overwrite by full rewrite, not append). DataFrames
-    loaded BEFORE the compaction pin their file listing and must be
-    reloaded; this function refreshes the session's path cache so new
-    `load_ivf_index` calls list fresh."""
+    valid; the merge is one union + cell-partitioned rewrite.
+
+    Publication is a POINTER FLIP (ADVICE r6): the merged generation is
+    written fully to a fresh `cells-<n>` dir, then the `CELLS` pointer
+    file is os.replace()d to name it — one atomic step, so a crash at
+    any point leaves either the old or the new generation fully live
+    (the prior rename-rename scheme had a window with NO cells dir at
+    all, and concurrent loads during the swap errored). Matches the
+    repo's commit-marker discipline (CdcMaterializer, ivm._SNAP). Old
+    generations are GC'd after the flip; a crash before GC leaves only
+    an unreferenced dir, swept by the next compaction. The additions
+    segment is left in place — its stream owns its directory and
+    checkpoint, and re-folding the same rows on the next compaction is
+    idempotent (vec_id rows overwrite by full rewrite, not append)."""
     import os
     import shutil
 
     centroids, merged = load_ivf_index(spark, path, additions_path)
-    staged = os.path.join(path, "cells._staged")
+    cur = _cells_dirname(path)
+    gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
+    nxt = f"cells-{gen}"
     merged.dropDuplicates(["vec_id"]).write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(staged)
-    live = os.path.join(path, "cells")
-    old = os.path.join(path, "cells._old")
-    os.rename(live, old)
-    os.rename(staged, live)
-    shutil.rmtree(old)
-    # the swap changed the files behind an already-listed path: drop the
-    # session's cached file listing or later scans chase renamed parts
-    spark.catalog.refreshByPath(live)
+    ).parquet(os.path.join(path, nxt))
+
+    ptr, tmp = os.path.join(path, "CELLS"), os.path.join(path, "CELLS.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(nxt)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)  # atomic publish
+
+    # GC: every generation the pointer no longer names (incl. orphans a
+    # pre-GC crash left behind)
+    for entry in os.listdir(path):
+        if (
+            (entry == "cells" or entry.startswith("cells-"))
+            and entry != nxt
+            and not entry.endswith(".tmp")
+        ):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    spark.catalog.refreshByPath(os.path.join(path, nxt))

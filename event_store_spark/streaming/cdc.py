@@ -220,7 +220,15 @@ class CdcMaterializer:
         if current is None:
             return 0
         full = self._full(current)
-        dead = F.col("_deleted") & (F.col("ts_ms") < F.lit(int(older_than_ms)))
+        # coalesce the NULL leg explicitly (ADVICE r6): parse() guards op
+        # but not ts_ms, and with a NULL stamp `dead` evaluates NULL —
+        # excluded from where(dead) AND from where(~dead), silently
+        # deleting a live row in the rewrite. NULL-stamped rows are
+        # never GC-eligible (no evidence their lateness window passed).
+        dead = F.coalesce(
+            F.col("_deleted") & (F.col("ts_ms") < F.lit(int(older_than_ms))),
+            F.lit(False),
+        )
         n = full.where(dead).count()
         if n == 0:
             return 0

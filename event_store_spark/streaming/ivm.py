@@ -249,6 +249,15 @@ class JoinAggregateView:
         # OWN subdir with overwrite semantics (idempotent under replay;
         # see _side_pre for why the layout also keeps the pre-state exact)
         for side, delta_df in (("l", dl), ("r", dr)):
+            snap = self._side_snapshot(side)
+            if snap is not None and batch_id <= snap[0]:
+                # replay of a batch already folded into the snapshot
+                # (ADVICE r6): re-creating b{id} here would orphan it
+                # forever — id <= the snapshot watermark is excluded from
+                # pre-state and from every future fold, so it would
+                # accumulate on each such replay. The data is already in
+                # the snapshot; skip.
+                continue
             sub = os.path.join(self._side_dir(side), f"b{batch_id}")
             delta_df.write.mode("overwrite").parquet(sub)
             self.spark.catalog.refreshByPath(sub)
@@ -290,6 +299,12 @@ class JoinAggregateView:
             shutil.rmtree(
                 os.path.join(self._side_dir(side), snap[1]), ignore_errors=True
             )
+        # sweep below-watermark orphans too: subdirs a pre-fix replay
+        # re-created after their content was folded (their data is in the
+        # snapshot by the fold invariant, so removal is always safe)
+        for i, p in self._side_subdirs(side):
+            if i <= base_w:
+                shutil.rmtree(p, ignore_errors=True)
 
     def _gc(self, keep: str) -> None:
         versions = sorted(

@@ -219,3 +219,31 @@ def test_cdc_tombstone_gc_drops_only_aged_deletes(spark, tmp_path):
     assert [r.id for r in mat.table().select("id").collect()] == []
     # no-op when nothing qualifies
     assert mat.gc_tombstones(older_than_ms=500, batch_id=1000) == 0
+
+
+def test_cdc_gc_keeps_null_stamped_live_rows(spark, tmp_path):
+    """ADVICE r6: with a NULL ts_ms, the `dead` predicate evaluates NULL —
+    excluded from where(dead) AND where(~dead), so the rewrite silently
+    DELETED a live row. NULL-stamped rows must survive GC untouched
+    (there is no evidence their lateness window has passed)."""
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            _env("c", None, 1, {"id": 1, "name": "nullstamp", "amount": 1}),
+            _env("c", 10, 1, {"id": 2, "name": "b", "amount": 2}),
+            _env("d", 20, 2, before={"id": 2, "name": "b", "amount": 2}),
+        ],
+        0,
+    )
+    mat = _mat(spark, tmp_path)
+    _run(spark, mat, src)
+    assert [r.id for r in mat.table().select("id").collect()] == [1]
+
+    dropped = mat.gc_tombstones(older_than_ms=500, batch_id=999)
+    assert dropped == 1  # only key 2's aged tombstone
+    # the NULL-stamped live row is still materialized
+    assert [r.id for r in mat.table().select("id").collect()] == [1]
+    full = mat._full(mat._current_version())
+    assert full.count() == 1

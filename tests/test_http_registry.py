@@ -280,8 +280,11 @@ def test_errors(registry_env):
     reg = HttpSchemaRegistry(base)
     with pytest.raises(KeyError):
         reg.codec_by_id(999)
-    with pytest.raises(KeyError):
-        reg.versions("NoSuchSubject")
+    # drop-in parity with LocalSchemaRegistry (ADVICE r6): an unseen
+    # subject lists as EMPTY, not KeyError — and writer_schemas, which
+    # composes versions(), follows
+    assert reg.versions("NoSuchSubject") == []
+    assert reg.writer_schemas("NoSuchSubject") == {}
     with pytest.raises(SchemaRegistryError) as ei:
         reg._call("POST", "/subjects/x/versions", {"schema": "not json"})
     assert ei.value.status == 422

@@ -304,3 +304,58 @@ def test_sq8_save_load_search_matches_in_session_plan(spark, sf_smoke, tmp_path)
     )
     assert "Join" not in plan and "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_compact_publishes_by_pointer_flip(spark, sf_smoke, tmp_path):
+    """ADVICE r6: the old rename-rename swap had a crash window with NO
+    cells dir at all. Publication is now a CELLS pointer flip: at every
+    point there is a fully-written generation the pointer names; an
+    orphan generation from a crash-before-flip is invisible to loads and
+    swept by the next compaction; a retrain save after a compaction is
+    still what loads resolve."""
+    from event_store_spark.plans.ivf import (
+        _cells_dirname,
+        compact_ivf_index,
+    )
+    from event_store_spark.streaming.index import ivf_assign_stream
+
+    idx = str(tmp_path / "ivf")
+    adds_dir = str(tmp_path / "adds")
+    save_ivf_index(spark, sf_smoke, idx)
+    assert _cells_dirname(idx) == "cells"  # fresh index: original layout
+    centroids, assigned = load_ivf_index(spark, idx)
+    base_n = assigned.count()
+
+    new = assigned.where(F.col("vec_id").between(1, 2)).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = ivf_assign_stream(stream, centroids, adds_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    compact_ivf_index(spark, idx, adds_dir)
+    live = _cells_dirname(idx)
+    assert live.startswith("cells-")
+    assert os.path.isdir(os.path.join(idx, live))
+    assert not os.path.isdir(os.path.join(idx, "cells"))  # old gen GC'd
+    _, merged = load_ivf_index(spark, idx)
+    assert merged.count() == base_n + 2
+
+    # crash-before-flip: a fully-staged but unpublished generation is
+    # ignored by loads and swept by the next compaction
+    orphan = os.path.join(idx, "cells-99")
+    os.makedirs(orphan)
+    _, still = load_ivf_index(spark, idx)
+    assert still.count() == base_n + 2
+    compact_ivf_index(spark, idx, adds_dir)
+    assert not os.path.exists(orphan)
+
+    # retrain after compaction: save must publish a generation the
+    # pointer names (the old code overwrote shadowed `cells/`)
+    save_ivf_index(spark, sf_smoke, idx)
+    gen = _cells_dirname(idx)
+    assert gen.startswith("cells-")
+    _, retrained = load_ivf_index(spark, idx)
+    assert retrained.count() == base_n

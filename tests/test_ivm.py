@@ -249,3 +249,38 @@ def test_ivm_side_compaction_bounds_subdirs_and_preserves_state(
     _run(spark, view, src)
     got = {r.nation: (r.revenue, r.n_orders) for r in view.table().collect()}
     assert got == _full_recompute(spark, CUST, ORDERS)
+
+
+def test_ivm_replay_of_folded_batch_leaves_no_orphan_subdir(spark, tmp_path):
+    """ADVICE r6: replaying a committed batch whose side delta was already
+    folded into a _SNAP snapshot must NOT re-create its b{id} subdir —
+    such a dir (id <= snapshot watermark) is excluded from pre-state and
+    every future fold, so it would be a permanent orphan. The view's
+    state must also stay correct after the replay."""
+    src = str(tmp_path / "src")
+    view = _view(spark, tmp_path, compact_every=2)
+    batches = [
+        _tagged(spark, CUST[:2], []),
+        _tagged(spark, [], ORDERS[:2]),
+        _tagged(spark, CUST[2:], ORDERS[2:4]),
+        _tagged(spark, [], ORDERS[4:5]),
+    ]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, view, src)
+    snaps = {side: view._side_snapshot(side) for side in ("l", "r")}
+    assert all(s is not None for s in snaps.values())
+
+    # replay a batch below each side's snapshot watermark via the public
+    # merge path (exactly what a checkpoint-loss restart does)
+    for side, snap in snaps.items():
+        folded_id = snap[0]  # watermark batch itself is folded
+        view._merge(batches[folded_id], folded_id)
+        subdirs = dict(view._side_subdirs(side))
+        assert folded_id not in subdirs, (
+            f"side {side}: replay re-created folded subdir b{folded_id}"
+        )
+        assert all(i > snap[0] for i in subdirs), subdirs
+
+    got = {r.nation: (r.revenue, r.n_orders) for r in view.table().collect()}
+    assert got == _full_recompute(spark, CUST, ORDERS[:5])

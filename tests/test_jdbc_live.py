@@ -32,11 +32,18 @@ def test_keyset_predicate_is_row_value_comparison():
 def test_scan_query_prunes_columns_and_pushes_keyset():
     q = scan_query("app_events", Cursor(5, 2))
     assert q.startswith("(SELECT id, key, timestamp, metadata, data, lsn ")
-    assert "FROM app_events WHERE (lsn, id) > (5, 2)" in q
+    assert "FROM app_events WHERE lsn IS NOT NULL AND (lsn, id) > (5, 2)" in q
     assert q.endswith(") AS esp_scan")
-    assert "WHERE" not in scan_query("app_events")
     with pytest.raises(ValueError, match="suspicious"):
         scan_query("events; DROP TABLE x")
+
+
+def test_scan_query_always_excludes_unstamped_rows():
+    """lsn is stamped ASYNCHRONOUSLY in the reference (LsnUpdater); rows
+    whose commit order does not yet exist must never reach a replay scan,
+    cursor-less or not (`EventReplicatorWorker.java:66-72` — ADVICE r6)."""
+    assert "WHERE lsn IS NOT NULL" in scan_query("app_events")
+    assert "AND" not in scan_query("app_events")
 
 
 def test_reader_options_partition_the_lsn_range():
