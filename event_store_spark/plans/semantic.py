@@ -97,17 +97,36 @@ _KMEANS_CTE = """
            FROM e JOIN a1 a USING (vec_id))"""
 
 
-def _dropped(assigned: DataFrame) -> DataFrame:
-    """vec_ids dropped by the greedy rule: any LOWER-id same-cell member at
-    ``round(cosine, 4) >= SEM_TAU``.
+def _dropped(
+    assigned: DataFrame, centroids: list | None = None
+) -> DataFrame:
+    """vec_ids dropped by the greedy rule: any EARLIER-ranked same-cell
+    member at ``round(cosine, 4) >= SEM_TAU``.
+
+    Rank order IS the keep policy. Default (``centroids=None``): rank by
+    vec_id — the deterministic min-id-survives greedy. With
+    ``centroids`` (the trained k-means list from `_ivf_index`): rank by
+    (typicality, vec_id) ascending, where typicality = round(cosine to
+    the cell's centroid, 4) — the paper-faithful SemDeDup policy (Abbas
+    et al. 2023 §2: "keep the example with the LOWEST cosine similarity
+    to the cluster centroid", i.e. the most-atypical member of every
+    above-threshold clique survives).
 
     One `applyInPandas` per cell: the cell's vectors cross Arrow once as
     an n×d matrix, cosines are one BLAS matmul + outer-norm divide, and
     the boolean column-wise any() over the strict upper triangle (rows
-    sorted by vec_id, so [i, j] with i<j means "a lower id is similar")
-    is the whole drop rule. Only dropped ids return to the JVM."""
+    sorted in rank order, so [i, j] with i<j means "an earlier-ranked
+    member is similar") is the whole drop rule. Only dropped ids return
+    to the JVM. Centroids are K rows of driver metadata riding the
+    closure — never a join, never shuffled."""
     import numpy as np
     import pandas as pd
+
+    cmap = (
+        {int(cell): np.asarray(c, dtype="float64") for cell, c in centroids}
+        if centroids is not None
+        else None
+    )
 
     def cell_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
@@ -119,7 +138,16 @@ def _dropped(assigned: DataFrame) -> DataFrame:
                 f"{n} vectors (SEM_MAX_CELL={SEM_MAX_CELL}); retrain with "
                 "more centroids"
             )
-        pdf = pdf.sort_values("vec_id")
+        if cmap is None:
+            pdf = pdf.sort_values("vec_id")
+        else:
+            c = cmap[int(pdf["cell"].iloc[0])]
+            Vt = np.stack(pdf["v"].to_numpy())
+            tnrm = np.sqrt(np.einsum("ij,ij->i", Vt, Vt))
+            typ = np.round(
+                (Vt @ c) / (tnrm * np.sqrt(c @ c)), 4
+            )
+            pdf = pdf.assign(_typ=typ).sort_values(["_typ", "vec_id"])
         ids = pdf["vec_id"].to_numpy()
         V = np.stack(pdf["v"].to_numpy())
         nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
@@ -206,6 +234,79 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assigned.join(dropped, "vec_id", "left_anti")
         .select(F.col("vec_id").cast("bigint"), F.col("cell").cast("bigint"))
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@register(
+    "semantic_dedup_atypical",
+    oracle=f"""
+    WITH {_KMEANS_CTE},
+    typ AS (SELECT av.vec_id, av.cell, av.v, av.nrm,
+                   ROUND(list_sum(list_transform(range(1, 65),
+                       i -> av.v[i] * c.c[i]))
+                   / (av.nrm * sqrt(list_sum(list_transform(range(1, 65),
+                       i -> c.c[i] * c.c[i])))), 4) AS typ
+            FROM av JOIN c1 c ON av.cell = c.cell),
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM typ a JOIN typ b
+                  ON a.cell = b.cell
+                 AND (a.typ < b.typ
+                      OR (a.typ = b.typ AND a.vec_id < b.vec_id))
+                WHERE {_SIM} >= {SEM_TAU})
+    SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+           CAST(t.cell AS BIGINT) AS cell,
+           t.typ AS typ
+    FROM typ t LEFT JOIN dropped d ON t.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    ORDER BY t.vec_id LIMIT 50
+    """,
+)
+def semantic_dedup_atypical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-faithful SemDeDup keep policy (VERDICT r6 #4): every
+    above-threshold clique keeps its MOST-ATYPICAL member — the one with
+    the lowest cosine to its cluster centroid (Abbas et al. 2023 §2) —
+    instead of `semantic_dedup_survivors`' greedy min-id. Matters to
+    anyone reproducing the paper's recall numbers: atypical survivors
+    preserve the cluster's boundary examples, which the paper shows is
+    what keeps downstream accuracy. Same shared k-means index, same
+    per-cell GEMM kernel, different rank order inside the cell; the
+    survivor's typicality rides along so the policy is visible in the
+    output. Keep-policy comparison measured in PERF.md."""
+    centroids, assigned = _ivf_index(spark, sf_dir, "full")
+    dropped = _dropped(assigned, centroids=centroids)
+    cmap = {int(cell): [float(x) for x in c] for cell, c in centroids}
+    cnorm = {
+        cell: sum(x * x for x in c) ** 0.5 for cell, c in cmap.items()
+    }
+    cent_col = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in sorted(cmap)]),
+        F.array(*[F.lit(cmap[c]) for c in sorted(cmap)]),
+    )
+    cnorm_col = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in sorted(cnorm)]),
+        F.array(*[F.lit(cnorm[c]) for c in sorted(cnorm)]),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), cent_col[F.col("cell")], lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.col("cell").cast("bigint"),
+            F.round(dot / (vnorm * cnorm_col[F.col("cell")]), 4).alias("typ"),
+        )
         .orderBy("vec_id")
         .limit(50)
     )

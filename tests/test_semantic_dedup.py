@@ -99,3 +99,82 @@ def test_dropped_guard_raises_on_oversized_cell(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="SEM_MAX_CELL"):
         sem._dropped(df).collect()
+
+
+# ---------------------------------------------------------------- atypical
+
+def _brute_dropped_atypical(rows, centroids):
+    """Greedy over (typicality, vec_id) rank: drop b iff ANY same-cell a
+    ranked earlier with round(cos(a,b), 4) >= SEM_TAU, where typicality =
+    round(cos(v, centroid of cell), 4)."""
+    cmap = dict(centroids)
+
+    def typ(v, cell):
+        c = cmap[cell]
+        d = sum(x * y for x, y in zip(v, c))
+        nv = math.sqrt(sum(x * x for x in v))
+        nc = math.sqrt(sum(x * x for x in c))
+        return round(d / (nv * nc), 4)
+
+    ranked = {(vid): (typ(v, cell), vid) for vid, v, cell in rows}
+    out = set()
+    for bid, bv, bcell in rows:
+        for aid, av, acell in rows:
+            if acell != bcell or aid == bid:
+                continue
+            if ranked[aid] >= ranked[bid]:
+                continue
+            d = sum(x * y for x, y in zip(av, bv))
+            na = math.sqrt(sum(x * x for x in av))
+            nb = math.sqrt(sum(x * x for x in bv))
+            if round(d / (na * nb), 4) >= SEM_TAU:
+                out.add(bid)
+                break
+    return out
+
+
+def _run_atypical(spark, rows, centroids):
+    from event_store_spark.plans.semantic import _dropped as dropped_fn
+
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, v array<double>, cell int"
+    )
+    got = {r.vec_id for r in dropped_fn(df, centroids=centroids).collect()}
+    assert got == _brute_dropped_atypical(rows, centroids), rows
+    return got
+
+
+def test_atypical_random_cells(spark):
+    rng = random.Random(7)
+    for _ in range(4):
+        centroids = [
+            (cell, [rng.uniform(-1, 1) for _ in range(6)]) for cell in range(3)
+        ]
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(6)], rng.randrange(3))
+            for i in range(30)
+        ]
+        _run_atypical(spark, rows, centroids)
+
+
+def test_atypical_clique_keeps_farthest_from_centroid(spark):
+    """The paper's criterion (Abbas et al. 2023 §2): in a similar clique
+    the survivor is the member with the LOWEST cosine to the centroid —
+    not the minimum id."""
+    centroids = [(0, [1.0, 0.0])]
+    # all three near-identical (pairwise cos ~1), typicality ordered 3<2<1
+    rows = [
+        (1, [1.0, 0.001], 0),
+        (2, [1.0, 0.011], 0),
+        (3, [1.0, 0.021], 0),
+    ]
+    got = _run_atypical(spark, rows, centroids)
+    assert got == {1, 2}  # id 3 (most atypical) survives; min-id would keep 1
+
+
+def test_atypical_typ_tie_breaks_by_vec_id(spark):
+    centroids = [(0, [1.0, 0.0])]
+    v = [0.5, 0.5]
+    rows = [(9, v, 0), (4, v, 0)]  # identical → identical typicality
+    got = _run_atypical(spark, rows, centroids)
+    assert got == {9}
