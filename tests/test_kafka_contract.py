@@ -527,3 +527,107 @@ def test_kafka_topic_without_partition_zero(spark, store, tmp_path):
     ).run(TOPIC, processor)
     q.awaitTermination(120)
     assert len(seen) == 8
+
+
+def test_kafka_checkpoint_loss_duplicate_window_is_one_batch(
+    spark, store, tmp_path
+):
+    """VERDICT r6 #3 — the Kafka-sink EOS contract, bounded and pinned.
+
+    The reference sends events + cursor in ONE Kafka transaction
+    (`EventReplicatorWorker.java:184-208`), so its read_committed
+    consumers never see duplicates. Spark's Kafka sink has no
+    transactions; after CHECKPOINT LOSS the replicator runs in recovery
+    mode filtering by the cursor FROZEN at query start. The duplicate
+    window foreign consumers can observe is therefore EXACTLY the rows of
+    the one micro-batch that reached the broker but whose progress save
+    did not land before the crash (≤ maxFilesPerTrigger files' rows) —
+    never the relisted backlog, never more than one batch. Consumers
+    going through this engine's Subscription recover exactly-once via the
+    (lsn, id) keyset dedupe regardless. Contract documented in
+    MIGRATION.md ("Kafka sink duplicate window")."""
+    _seed(spark, store, n=8, batches=4)
+    broker = _FakeBroker(spark, store, str(tmp_path / "broker"))
+    progress = ProgressStore(str(tmp_path / "progress.json"))
+    calls = {"n": 0}
+    crashed_batch_rows: set[tuple[int, int]] = set()
+
+    def _row_keys(out) -> set[tuple[int, int]]:
+        hdr = lambda n: F.expr(  # noqa: E731
+            f"decode(filter(headers, h -> h.key = '{n}')[0].value, 'UTF-8')"
+        ).cast("long")
+        return {
+            (r["l"], r["i"])
+            for r in out.select(hdr("lsn").alias("l"), hdr("id").alias("i")).collect()
+        }
+
+    def crashing_sink(out):
+        keys = _row_keys(out)
+        broker.accept(out)  # the send reached the broker...
+        calls["n"] += 1
+        if calls["n"] == 3 and keys:
+            # ...then the worker dies before progress.save for THIS batch
+            crashed_batch_rows.update(keys)
+            raise RuntimeError("simulated crash after produce")
+
+    def replicator(ckpt, sink_fn):
+        return Replicator(
+            store,
+            str(tmp_path / "target"),
+            progress,
+            ckpt,
+            max_files_per_trigger=1,
+            sink="kafka",
+            bootstrap_servers="injected:9092",
+            kafka_record_sink=sink_fn,
+        )
+
+    q = replicator(str(tmp_path / "rck1"), crashing_sink).replicate(TOPIC)
+    with pytest.raises(Exception, match="simulated crash"):
+        q.awaitTermination(120)
+    assert crashed_batch_rows  # the crash really straddled a non-empty batch
+    frozen = progress.last_cursor(TOPIC) or Cursor.zero()
+    # the frozen cursor covers everything BEFORE the crashed batch
+    assert all((lsn, i) > (frozen.lsn, frozen.id) for lsn, i in crashed_batch_rows)
+
+    # checkpoint LOSS: restart under a brand-new lineage (recovery mode)
+    q = replicator(str(tmp_path / "rck2"), broker.accept).replicate(TOPIC)
+    q.awaitTermination(120)
+    assert progress.last_cursor(TOPIC) is not None
+
+    # broker-log census: the crashed batch's rows appear EXACTLY twice,
+    # every other row exactly once — the duplicate window is one batch
+    hdr = lambda n: F.expr(  # noqa: E731
+        f"decode(filter(headers, h -> h.key = '{n}')[0].value, 'UTF-8')"
+    ).cast("long")
+    log = spark.read.schema(KAFKA_SOURCE_SCHEMA).parquet(broker.dir)
+    census = {
+        (r["l"], r["i"]): r["n"]
+        for r in log.select(hdr("lsn").alias("l"), hdr("id").alias("i"))
+        .groupBy("l", "i")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    expected = {
+        (r["lsn"], r["id"])
+        for r in store.read_events(TOPIC).select("lsn", "id").collect()
+    }
+    assert set(census) == expected  # nothing lost, nothing alien
+    for key, n in census.items():
+        if key in crashed_batch_rows:
+            assert n == 2, f"{key}: duplicate window must cover the crashed batch"
+        else:
+            assert n == 1, f"{key}: duplicated outside the crashed batch"
+
+    # and a Subscription over the duplicate-bearing log is still EOS
+    offsets = OffsetsTable(str(tmp_path / "offsets.json"))
+    seen: list[tuple[int, int]] = []
+
+    def processor(df, batch_id):
+        seen.extend((r["lsn"], r["id"]) for r in df.select("lsn", "id").collect())
+
+    q = _subscription(spark, store, offsets, broker.dir, str(tmp_path / "ck")).run(
+        TOPIC, processor
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == sorted(expected)
