@@ -1,0 +1,142 @@
+"""One facade over the three ANN index persistence APIs (VERDICT r6 #7).
+
+`save_ivf_index`/`save_pq_index`/`save_sq8_index` grew independently with
+parallel save/load/search triples; :class:`VectorIndex` unifies them
+behind one lifecycle —
+
+    idx = VectorIndex.build(spark, sf_dir, path, kind="ivf")   # train+persist
+    idx = VectorIndex.open(spark, path)                        # kind from manifest
+    idx.search(query_vec, k=5)                                 # native top-k plan
+    idx.compact(additions_path)                                # ivf segment fold
+
+— without changing any on-disk layout: the facade delegates to the
+existing per-kind functions (whose layouts each match what the index IS:
+cell-partitioned inverted file for IVF, flat code tables for PQ/SQ8), so
+indexes saved by the old API open under the facade and vice versa. The
+only new artifact is `index.json` naming the kind; `open` falls back to
+sniffing the per-kind completeness markers for pre-facade indexes.
+
+Search result shape stays native to the kind ((vec_id, sim) cosine for
+IVF/SQ8, (vec_id, adist) squared-L2 ADC for PQ) — a facade that forced
+one score type would silently re-rank. Post-compaction search equality +
+recall are pinned by tests/test_ivf_persistence.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+KINDS = ("ivf", "pq", "sq8")
+
+#: per-kind completeness marker written by the underlying save (also the
+#: sniff key for pre-facade indexes)
+_MARKERS = {"ivf": "centroids.json", "pq": "codebook.json", "sq8": "limits.json"}
+
+
+class VectorIndex:
+    def __init__(self, spark: SparkSession, path: str, kind: str):
+        if kind not in KINDS:
+            raise ValueError(f"unknown index kind {kind!r}; one of {KINDS}")
+        self.spark = spark
+        self.path = path
+        self.kind = kind
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        path: str,
+        kind: str,
+        *,
+        variant: str = "full",
+    ) -> "VectorIndex":
+        """Train on the corpus at ``sf_dir`` and persist at ``path``.
+
+        ``variant`` is IVF-only (``"full"`` | ``"sampled"`` — the
+        100 TB build trains centroids on the md5 bottom-k sample)."""
+        idx = cls(spark, path, kind)
+        if kind == "ivf":
+            from event_store_spark.plans.ivf import save_ivf_index
+
+            save_ivf_index(spark, sf_dir, path, variant)
+        elif kind == "pq":
+            from event_store_spark.plans.pq import save_pq_index
+
+            save_pq_index(spark, sf_dir, path)
+        else:
+            from event_store_spark.plans.pipeline5 import save_sq8_index
+
+            save_sq8_index(spark, sf_dir, path)
+        with open(os.path.join(path, "index.json"), "w") as fh:
+            json.dump({"kind": kind}, fh)
+        return idx
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "VectorIndex":
+        """Open a persisted index; kind from the manifest, else sniffed
+        from the per-kind completeness marker (pre-facade layouts)."""
+        manifest = os.path.join(path, "index.json")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                return cls(spark, path, json.load(fh)["kind"])
+        for kind, marker in _MARKERS.items():
+            if os.path.exists(os.path.join(path, marker)):
+                return cls(spark, path, kind)
+        raise FileNotFoundError(f"no vector index at {path}")
+
+    # ------------------------------------------------------------- serving
+
+    def search(
+        self,
+        query_v: list[float],
+        k: int = 5,
+        *,
+        nprobe: int = 1,
+        additions_path: str | None = None,
+    ) -> DataFrame:
+        """Top-k under the kind's native plan. ``nprobe``/
+        ``additions_path`` are IVF knobs (cell fan-out; live-additions
+        segment union) and rejected for the flat-scan kinds, where they
+        cannot mean anything."""
+        if self.kind == "ivf":
+            from event_store_spark.plans.ivf import ivf_search, load_ivf_index
+
+            centroids, assigned = load_ivf_index(
+                self.spark, self.path, additions_path
+            )
+            return ivf_search(assigned, centroids, query_v, k=k, nprobe=nprobe)
+        if additions_path is not None or nprobe != 1:
+            raise ValueError(
+                f"{self.kind} is a flat-scan index: nprobe/additions_path "
+                "do not apply (IVF-only knobs)"
+            )
+        if self.kind == "pq":
+            from event_store_spark.plans.pq import load_pq_index, pq_search
+
+            book, codes = load_pq_index(self.spark, self.path)
+            return pq_search(codes, book, query_v, k=k)
+        from event_store_spark.plans.pipeline5 import load_sq8_index, sq8_search
+
+        limits, codes = load_sq8_index(self.spark, self.path)
+        return sq8_search(codes, limits, query_v, k=k)
+
+    # --------------------------------------------------------- maintenance
+
+    def compact(self, additions_path: str) -> None:
+        """Fold a streamed additions segment into the base (IVF only —
+        the flat kinds re-encode by rebuild; their additions segments are
+        served by unioning code tables, see `pq_encode_stream`)."""
+        if self.kind != "ivf":
+            raise ValueError(
+                f"compact is IVF-only (segment fold into the inverted "
+                f"file); {self.kind} rebuilds instead"
+            )
+        from event_store_spark.plans.ivf import compact_ivf_index
+
+        compact_ivf_index(self.spark, self.path, additions_path)

@@ -359,3 +359,109 @@ def test_compact_publishes_by_pointer_flip(spark, sf_smoke, tmp_path):
     assert gen.startswith("cells-")
     _, retrained = load_ivf_index(spark, idx)
     assert retrained.count() == base_n
+
+
+def test_vector_index_facade_unifies_three_kinds(spark, sf_smoke, tmp_path):
+    """VERDICT r6 #7: one VectorIndex lifecycle over the IVF/PQ/SQ8
+    layouts. build→open→search must reproduce each kind's registered,
+    oracle-checked query; open() must also sniff pre-facade layouts
+    (no index.json); the flat kinds must reject IVF-only knobs."""
+    from event_store_spark.plans.vector_index import VectorIndex
+
+    _, assigned = _ivf_index(spark, sf_smoke, "full")
+    qv = _query_vec(assigned)
+
+    want = {
+        "ivf": [
+            (r.vec_id, r.sim)
+            for r in QUERIES["ann_ivf_topk"](spark, sf_smoke).collect()
+        ],
+        "pq": [
+            (r.vec_id, r.adist)
+            for r in QUERIES["ann_pq_topk"](spark, sf_smoke).collect()
+        ],
+        "sq8": [
+            (r.vec_id, r.sim)
+            for r in QUERIES["ann_sq8_topk"](spark, sf_smoke).collect()
+        ],
+    }
+    score_col = {"ivf": "sim", "pq": "adist", "sq8": "sim"}
+    for kind in ("ivf", "pq", "sq8"):
+        path = str(tmp_path / kind)
+        VectorIndex.build(spark, sf_smoke, path, kind)
+        idx = VectorIndex.open(spark, path)
+        assert idx.kind == kind
+        got = [
+            (r.vec_id, r[score_col[kind]])
+            for r in idx.search(qv, k=6).collect()
+            if r.vec_id != 0  # registered queries exclude the query row
+        ][:5]
+        assert got == want[kind], kind
+
+    # pre-facade layout (no manifest): open() sniffs the marker
+    import os
+
+    os.remove(str(tmp_path / "pq" / "index.json"))
+    assert VectorIndex.open(spark, str(tmp_path / "pq")).kind == "pq"
+
+    with pytest.raises(ValueError, match="IVF-only"):
+        VectorIndex.open(spark, str(tmp_path / "sq8")).search(qv, nprobe=2)
+    with pytest.raises(ValueError, match="IVF-only"):
+        VectorIndex.open(spark, str(tmp_path / "pq")).compact("/nowhere")
+
+
+def test_vector_index_compaction_preserves_recall(spark, sf_smoke, tmp_path):
+    """The post-compaction recall pin (VERDICT r6 #7): folding a streamed
+    additions segment into the IVF base must leave search results — and
+    therefore recall@5 against the exact top-5 over the augmented corpus
+    — exactly as they were when serving base+segment."""
+    import numpy as np
+
+    from event_store_spark.plans.vector_index import VectorIndex
+    from event_store_spark.streaming.index import ivf_assign_stream
+
+    path = str(tmp_path / "ivf")
+    adds_dir = str(tmp_path / "adds")
+    idx = VectorIndex.build(spark, sf_smoke, path, "ivf")
+    centroids, assigned = load_ivf_index(spark, path)
+    qv = _query_vec(assigned)
+
+    new = assigned.where(F.col("vec_id").between(2, 4)).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = ivf_assign_stream(stream, centroids, adds_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def _recall(rows, exact_ids):
+        return len({r.vec_id for r in rows} & exact_ids) / len(exact_ids)
+
+    # exact top-5 (excluding the query row itself) over corpus + additions
+    corpus = [
+        (r.vec_id, np.asarray(r.v))
+        for r in assigned.select("vec_id", "v").collect()
+    ] + [(r.vec_id, np.asarray(r.v)) for r in new.collect()]
+    qarr = np.asarray(qv)
+    sims = sorted(
+        (
+            (float(v @ qarr / (np.linalg.norm(v) * np.linalg.norm(qarr))), vid)
+            for vid, v in corpus
+            if vid != 0
+        ),
+        reverse=True,
+    )
+    exact5 = {vid for _, vid in sims[:5]}
+
+    before = [r for r in idx.search(
+        qv, k=6, nprobe=2, additions_path=adds_dir
+    ).collect() if r.vec_id != 0][:5]
+    idx.compact(adds_dir)
+    after = [r for r in idx.search(qv, k=6, nprobe=2).collect()
+             if r.vec_id != 0][:5]
+
+    assert [(r.vec_id, r.sim) for r in after] == [
+        (r.vec_id, r.sim) for r in before
+    ]
+    assert _recall(after, exact5) >= _recall(before, exact5)
