@@ -42,7 +42,10 @@ import sys
 import threading
 import time
 
-COPIES = 10
+# corpus multiplier: 10 = the per-round sf1-equivalent artifact; 30 gives
+# the second scale point VERDICT r6 #6 asks for (per-query scaling
+# exponents need two non-unit points)
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -184,6 +187,18 @@ def main() -> None:
     cap = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "90"))
 
     from event_store_spark.plans import ORACLE, QUERIES
+
+    # optional subset (comma-separated names): the 30x point targets the
+    # shuffle-heaviest queries rather than re-running the full suite
+    subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if subset:
+        keep = {n.strip() for n in subset.split(",")}
+        unknown = keep - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown queries in subset: {sorted(unknown)}")
+        QUERIES = {n: f for n, f in QUERIES.items() if n in keep}
+        ORACLE = {n: s for n, s in ORACLE.items() if n in keep}
+
     from event_store_spark.session import get_spark
 
     spark = get_spark("event-store-spark-scale-bench", cpus=cpus)
@@ -196,7 +211,8 @@ def main() -> None:
 
     from event_store_spark.shipping import ensure_shipped
 
-    QUERIES["q1"](spark, out_dir).collect()
+    warm_q = "q1" if "q1" in QUERIES else next(iter(QUERIES))
+    QUERIES[warm_q](spark, out_dir).collect()
     ensure_shipped(spark)
     _warm = F.pandas_udf(lambda s: s, "int")
     spark.range(4).select(_warm(F.col("id").cast("int"))).collect()
@@ -274,7 +290,7 @@ def main() -> None:
     ora_cmp = round(sum(oracle[n] for n in comparable), 3)
 
     detail = {
-        "scale": "10x sf0.1 (sf1-equivalent), re-keyed + shingle-broken",
+        "scale": f"{COPIES}x sf0.1, re-keyed + shingle-broken",
         "build_s": build_s,
         "reps": reps,
         "oracle_cap_s": cap,
@@ -295,13 +311,14 @@ def main() -> None:
         },
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_SCALE.json"), "w") as fh:
+    out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+    with open(os.path.join(here, out_name), "w") as fh:
         json.dump(detail, fh, indent=1)
 
     print(
         json.dumps(
             {
-                "metric": f"scale suite ({len(engine)} queries, 10x sf0.1)",
+                "metric": f"scale suite ({len(engine)} queries, {COPIES}x sf0.1)",
                 "value": engine_total,
                 "unit": "sec",
                 "engine_vs_oracle_comparable": detail["engine_vs_oracle_comparable"],
