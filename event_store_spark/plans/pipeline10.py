@@ -374,3 +374,60 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("check_name")
+
+
+@register(
+    "shard_manifest",
+    oracle="""
+    SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 16 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(CAST(concat('0x', substr(md5(
+                    CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)
+               ), 1, 8)) AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM documents
+    GROUP BY shard ORDER BY shard
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data EXPORT manifest: deterministic shard assignment +
+    per-shard integrity record — the step between a curated corpus and
+    the dataloader's file list.
+
+    Shard = md5(doc_id) mod 16: a pure row-local function, so assignment
+    is map-side (the physical export is `write.partitionBy("shard")` on
+    the same column), uniform regardless of id distribution (hash, not
+    range), and STABLE — re-exporting a grown corpus never moves an
+    existing doc between shards, so downstream caches stay valid. The
+    per-shard fingerprint is an order-independent SUM of per-doc content
+    hashes (md5 over id:length) — two exports can be compared
+    shard-by-shard without reading the data; a driver validating a
+    100 TB export reads 16 manifest rows, not the corpus. One hash agg,
+    one shuffle of 16 keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    h8 = lambda col: F.conv(  # noqa: E731
+        F.substring(F.md5(col), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        docs.select(
+            (h8(F.col("doc_id").cast("string")) % 16).alias("shard"),
+            "doc_id",
+            "n_chars",
+            h8(
+                F.concat_ws(":", F.col("doc_id").cast("string"),
+                            F.col("n_chars").cast("string"))
+            ).alias("_fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+            F.sum("_fp").cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("shard")
+    )

@@ -52,6 +52,27 @@ def _typed_dir(sf_dir: str) -> str:
     )
 
 
+def typed_projection(df: DataFrame) -> DataFrame:
+    """The one parse: events envelope → typed columns. Shared by the
+    batch backfill below and the streaming maintainer
+    (`streaming.typed_ingest.TypedEventsMaterializer`), so the two paths
+    cannot drift."""
+    parsed = F.from_json("props", "map<string,string>")
+    return df.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.map_keys(parsed)[0].alias("key_name"),
+        parsed["k"].alias("k_str"),
+        # try_cast: ANSI mode makes plain CAST throw on a non-numeric
+        # value; ingest must tolerate foreign payloads (NULL, like
+        # DuckDB's TRY_CAST) rather than poison the whole batch
+        parsed["k"].try_cast("int").alias("k_int"),
+    )
+
+
 def typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest-parsed events table (all envelope columns, `props`
     replaced by typed projections). Materialized once per corpus; served
@@ -64,21 +85,7 @@ def typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     final = _typed_dir(sf_dir)
     if not os.path.isdir(final):
-        ev = load_table(spark, sf_dir, "events")
-        parsed = F.from_json("props", "map<string,string>")
-        typed = ev.select(
-            "event_id",
-            "ts",
-            "user_id",
-            "event_type",
-            "value",
-            F.map_keys(parsed)[0].alias("key_name"),
-            parsed["k"].alias("k_str"),
-            # try_cast: ANSI mode makes plain CAST throw on a non-numeric
-            # value; ingest must tolerate foreign payloads (NULL, like
-            # DuckDB's TRY_CAST) rather than poison the whole batch
-            parsed["k"].try_cast("int").alias("k_int"),
-        )
+        typed = typed_projection(load_table(spark, sf_dir, "events"))
         staged = f"{final}.staged-{os.getpid()}"
         # Spread the write so readers scan in parallel: the fixture arrives
         # as 1-2 row-groups, and a single-file typed table would serialize

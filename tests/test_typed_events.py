@@ -78,3 +78,54 @@ def test_typed_columns_match_string_parse(spark, sf_smoke):
         for r in typed_events(spark, sf_smoke).select("event_id", "k_str").collect()
     )
     assert got == expected
+
+
+def test_streaming_typed_ingest_matches_batch_backfill(spark, sf_smoke, tmp_path):
+    """The streaming maintainer's typed table must equal the batch
+    backfill over the same rows regardless of micro-batch cuts, and a
+    replayed batch must not duplicate (overwrite-by-batch-id)."""
+    from event_store_spark.streaming.typed_ingest import TypedEventsMaterializer
+    from event_store_spark.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "src")
+    n = ev.count()
+    half = n // 2
+    from pyspark.sql import functions as F
+
+    ev.orderBy("event_id").limit(half).coalesce(1).write.mode("append").parquet(src)
+    ev.orderBy(F.col("event_id").desc()).limit(n - half).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    mat = TypedEventsMaterializer(
+        spark, str(tmp_path / "typed"), str(tmp_path / "ck")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = mat.start(stream)
+    q.awaitTermination(240)
+
+    want = sorted(
+        map(tuple, typed_events(spark, sf_smoke).select(
+            "event_id", "key_name", "k_str", "k_int"
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, mat.table().select(
+            "event_id", "key_name", "k_str", "k_int"
+        ).collect())
+    )
+    assert got == want
+
+    # replay the whole source under the same checkpoint: no new rows
+    q = mat.start(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q.awaitTermination(240)
+    assert mat.table().count() == n
