@@ -604,3 +604,46 @@ def test_semantic_dedup_pair_stage_is_per_cell_gemm(spark, sf_correct):
         assert "FlatMapGroupsInPandas" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_shard_manifest_is_one_agg_exchange(spark, sf_correct):
+    """Shard assignment is a row-local hash — the only exchanges are the
+    16-key aggregation and the 16-row output sort; no joins, no UDFs."""
+    plan = _plan(spark, sf_correct, "shard_manifest")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_typed_twins_scan_typed_table_without_json(spark, sf_correct):
+    """q28_typed/q52_typed serve from the ingest-parsed table: no JSON
+    parse anywhere in the executed plan, pruned scan of the typed side
+    table (the 100 TB claim of VERDICT r6 #2, pinned in-suite)."""
+    from event_store_spark.plans.typed_events import typed_events
+
+    typed_events(spark, sf_correct)  # materialize once
+    for name in ("q28_typed", "q52_typed"):
+        plan = _plan(spark, sf_correct, name)
+        assert "from_json" not in plan and "get_json_object" not in plan, name
+        assert "events_typed" in plan, name
+
+
+def test_contamination_gate_is_exchange_free(spark, sf_correct):
+    """The streaming gate's per-batch plan is one narrow map stage: the
+    benchmark set rides a broadcast variable, so there is NO Exchange and
+    no join — the corpus never crosses the network for the check."""
+    from event_store_spark.streaming.contamination import (
+        benchmark_grams,
+        contamination_gate,
+    )
+    from event_store_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_correct, "documents").select(
+        "doc_id", "source", "text"
+    )
+    grams = benchmark_grams(docs.where(F.col("source") == "src0").limit(5))
+    gated = contamination_gate(docs.where(F.col("source") != "src0"), grams)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
