@@ -366,6 +366,19 @@ def save_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         )
 
 
+def _codes_dirname(path: str) -> str:
+    """Resolve the LIVE codes directory: the `CODES` pointer file names it
+    (post-compaction generations `codes-<n>`); absent a pointer, the
+    original `codes` layout from `save_pq_index`."""
+    import os
+
+    try:
+        with open(os.path.join(path, "CODES")) as fh:
+            return fh.read().strip()
+    except OSError:
+        return "codes"
+
+
 def load_pq_index(spark: SparkSession, path: str):
     """(codebook, codes DataFrame) from a saved index — the serving-side
     state: 1 KiB-scale codebook on the driver, lazy codes scan."""
@@ -377,7 +390,44 @@ def load_pq_index(spark: SparkSession, path: str):
             [(int(cid), [float(x) for x in c]) for cid, c in rows]
             for rows in json.load(fh)
         ]
-    return book, spark.read.parquet(os.path.join(path, "codes"))
+    return book, spark.read.parquet(os.path.join(path, _codes_dirname(path)))
+
+
+def compact_pq_index(spark: SparkSession, path: str, additions_path: str) -> None:
+    """Fold a `pq_encode_stream` additions segment into the base codes
+    table WITHOUT re-encoding — the codebook is untouched, so every code
+    stays valid; the fold is one union + flat rewrite. Same atomic
+    pointer-flip publication as `ivf.compact_ivf_index` (ADVICE r6): the
+    merged generation writes fully to `codes-<n>`, then the `CODES`
+    pointer os.replace()s to name it; old generations (and orphans from
+    a crash-before-flip) are swept after. Re-folding the same segment is
+    idempotent (dropDuplicates on vec_id; full rewrite, not append)."""
+    import os
+    import shutil
+
+    _, merged = load_pq_index(spark, path)
+    seg = spark.read.parquet(additions_path)
+    merged = merged.unionByName(seg).dropDuplicates(["vec_id"])
+    cur = _codes_dirname(path)
+    gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
+    nxt = f"codes-{gen}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
+
+    ptr, tmp = os.path.join(path, "CODES"), os.path.join(path, "CODES.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(nxt)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)  # atomic publish
+
+    for entry in os.listdir(path):
+        if (
+            (entry == "codes" or entry.startswith("codes-"))
+            and entry != nxt
+            and not entry.endswith(".tmp")
+        ):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    spark.catalog.refreshByPath(os.path.join(path, nxt))
 
 
 def pq_search(

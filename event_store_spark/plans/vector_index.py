@@ -129,14 +129,22 @@ class VectorIndex:
     # --------------------------------------------------------- maintenance
 
     def compact(self, additions_path: str) -> None:
-        """Fold a streamed additions segment into the base (IVF only —
-        the flat kinds re-encode by rebuild; their additions segments are
-        served by unioning code tables, see `pq_encode_stream`)."""
-        if self.kind != "ivf":
-            raise ValueError(
-                f"compact is IVF-only (segment fold into the inverted "
-                f"file); {self.kind} rebuilds instead"
-            )
-        from event_store_spark.plans.ivf import compact_ivf_index
+        """Fold a streamed additions segment into the base: the IVF
+        inverted file (`ivf_assign_stream` segment) or the PQ codes table
+        (`pq_encode_stream` segment) — both behind the same atomic
+        pointer-flip publication. SQ8 has no segment encoder (its
+        codebook is the per-dimension limits, which additions can move);
+        it rebuilds instead."""
+        if self.kind == "ivf":
+            from event_store_spark.plans.ivf import compact_ivf_index
 
-        compact_ivf_index(self.spark, self.path, additions_path)
+            compact_ivf_index(self.spark, self.path, additions_path)
+        elif self.kind == "pq":
+            from event_store_spark.plans.pq import compact_pq_index
+
+            compact_pq_index(self.spark, self.path, additions_path)
+        else:
+            raise ValueError(
+                "compact is not defined for sq8 (additions can move the "
+                "per-dimension limits — rebuild instead)"
+            )

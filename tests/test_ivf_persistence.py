@@ -406,8 +406,56 @@ def test_vector_index_facade_unifies_three_kinds(spark, sf_smoke, tmp_path):
 
     with pytest.raises(ValueError, match="IVF-only"):
         VectorIndex.open(spark, str(tmp_path / "sq8")).search(qv, nprobe=2)
-    with pytest.raises(ValueError, match="IVF-only"):
-        VectorIndex.open(spark, str(tmp_path / "pq")).compact("/nowhere")
+    with pytest.raises(ValueError, match="rebuild"):
+        VectorIndex.open(spark, str(tmp_path / "sq8")).compact("/nowhere")
+
+
+def test_pq_compaction_folds_segment_behind_pointer(spark, sf_smoke, tmp_path):
+    """PQ segment fold: codes merge without re-encoding, publication is
+    the atomic CODES pointer flip, re-fold is idempotent, and ADC search
+    over the folded base reproduces base+segment serving exactly."""
+    from event_store_spark.plans.pq import (
+        _codes_dirname,
+        _pq_index,
+        load_pq_index,
+        pq_search,
+        save_pq_index,
+    )
+    from event_store_spark.plans.vector_index import VectorIndex
+    from event_store_spark.streaming.index import pq_encode_stream
+
+    idx = str(tmp_path / "pq")
+    adds = str(tmp_path / "adds")
+    VectorIndex.build(spark, sf_smoke, idx, "pq")
+    book, codes = load_pq_index(spark, idx)
+    base_n = codes.count()
+
+    _, mem_encoded = _pq_index(spark, sf_smoke)
+    new = mem_encoded.where(F.col("vec_id").between(1, 2)).select(
+        (F.col("vec_id") + 4_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = pq_encode_stream(stream, book, adds, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    v1 = [float(x) for x in mem_encoded.where(F.col("vec_id") == 1).first()["v"]]
+    served = codes.unionByName(spark.read.parquet(adds))
+    want = [(r.vec_id, r.adist) for r in pq_search(served, book, v1, k=4).collect()]
+
+    vi = VectorIndex.open(spark, idx)
+    vi.compact(adds)
+    assert _codes_dirname(idx).startswith("codes-")
+    book2, merged = load_pq_index(spark, idx)
+    assert book2 == book  # compaction never re-trains the codebook
+    assert merged.count() == base_n + 2
+    got = [(r.vec_id, r.adist) for r in vi.search(v1, k=4).collect()]
+    assert got == want
+
+    vi.compact(adds)  # idempotent re-fold
+    _, again = load_pq_index(spark, idx)
+    assert again.count() == base_n + 2
 
 
 def test_vector_index_compaction_preserves_recall(spark, sf_smoke, tmp_path):
