@@ -353,39 +353,36 @@ def save_ivf_index(
 
     centroids, assigned = _ivf_index(spark, sf_dir, variant)
     os.makedirs(path, exist_ok=True)
-    # A retrain over an existing index must stay atomic for readers too:
-    # write the new generation beside the live one and pointer-flip (the
-    # naive overwrite of the live dir would both race readers AND be
-    # shadowed by a post-compaction pointer naming cells-<n>).
+    # A retrain over an existing index must stay atomic for readers: both
+    # halves (assignments AND the centroids they were trained by) are
+    # written fully as a fresh generation, then ONE pointer flip names the
+    # pair — the naive in-place overwrite raced readers, could be shadowed
+    # by a post-compaction pointer, and had a crash window serving new
+    # assignments under old centroids.
     cur = _cells_dirname(path)
     if os.path.isdir(os.path.join(path, cur)):
         gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
-        target = f"cells-{gen}"
+        target, cfile = f"cells-{gen}", f"centroids-{gen}.json"
     else:
-        target = "cells"  # fresh index: original layout, no pointer needed
+        target, cfile = "cells", "centroids.json"  # fresh: original layout
+    if target != "cells":
+        with open(os.path.join(path, cfile), "w") as fh:
+            json.dump([[cell, c] for cell, c in centroids], fh)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, target)
     )
     if target != "cells":
-        tmp, ptr = os.path.join(path, "CELLS.tmp"), os.path.join(path, "CELLS")
-        with open(tmp, "w") as fh:
-            fh.write(target)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, ptr)
-        import shutil
-
-        for entry in os.listdir(path):
-            if (
-                (entry == "cells" or entry.startswith("cells-"))
-                and entry != target
-                and not entry.endswith(".tmp")
-            ):
-                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
-    # write centroids LAST: their presence marks the index complete
-    # (readers of a half-written cells/ dir fail loudly on load)
-    with open(os.path.join(path, "centroids.json"), "w") as fh:
-        json.dump([[cell, c] for cell, c in centroids], fh)
+        _flip_pointer(path, target, cfile)
+        # refresh the convenience marker copy (loaders resolve through the
+        # pointer; a crash here leaves only a stale marker, never a stale
+        # serving path)
+        with open(os.path.join(path, "centroids.json"), "w") as fh:
+            json.dump([[cell, c] for cell, c in centroids], fh)
+    else:
+        # write centroids LAST: their presence marks the index complete
+        # (readers of a half-written cells/ dir fail loudly on load)
+        with open(os.path.join(path, cfile), "w") as fh:
+            json.dump([[cell, c] for cell, c in centroids], fh)
 
 
 def load_ivf_index(
@@ -399,9 +396,10 @@ def load_ivf_index(
     import json
     import os
 
-    with open(os.path.join(path, "centroids.json")) as fh:
+    cells_dir, centroids_file = _live_names(path)
+    with open(os.path.join(path, centroids_file)) as fh:
         centroids = [(int(cell), [float(x) for x in c]) for cell, c in json.load(fh)]
-    assigned = spark.read.parquet(os.path.join(path, _cells_dirname(path)))
+    assigned = spark.read.parquet(os.path.join(path, cells_dir))
     if additions_path is not None:
         adds = spark.read.parquet(additions_path)
         assigned = assigned.unionByName(adds.select(*assigned.columns))
@@ -458,18 +456,63 @@ def ivf_search(
     )
 
 
-def _cells_dirname(path: str) -> str:
-    """Resolve the LIVE cells directory: the `CELLS` pointer file names it
-    (post-compaction generations `cells-<n>`); absent a pointer, the
-    original `cells` layout from `save_ivf_index`."""
+def _live_names(path: str) -> tuple[str, str]:
+    """Resolve the LIVE (cells dir, centroids file) pair: the `CELLS`
+    pointer names both (post-retrain/compaction generations `cells-<n>
+    centroids-<n>.json`), so the pair always flips ATOMICALLY — a
+    pointerless layout is `save_ivf_index`'s original (cells,
+    centroids.json). Naming both in one pointer closes the retrain crash
+    window where new assignments could be served under old centroids
+    (two separate artifact writes can never be individually atomic)."""
     import os
 
-    ptr = os.path.join(path, "CELLS")
     try:
-        with open(ptr) as fh:
-            return fh.read().strip()
+        with open(os.path.join(path, "CELLS")) as fh:
+            parts = fh.read().split()
     except OSError:
-        return "cells"
+        return "cells", "centroids.json"
+    if len(parts) == 1:  # pre-round-7 pointer: cells only
+        return parts[0], "centroids.json"
+    return parts[0], parts[1]
+
+
+def _cells_dirname(path: str) -> str:
+    return _live_names(path)[0]
+
+
+def _flip_pointer(path: str, cells_dir: str, centroids_file: str) -> None:
+    """Atomically publish the (cells, centroids) pair, then GC every
+    generation artifact the pointer no longer names (incl. orphans a
+    crash-before-GC left behind). The original `cells`/`centroids.json`
+    files are swept like any other superseded generation — except
+    centroids.json, kept as the index-exists marker (it may be stale;
+    loaders resolve through the pointer, never the marker)."""
+    import os
+    import shutil
+
+    tmp, ptr = os.path.join(path, "CELLS.tmp"), os.path.join(path, "CELLS")
+    with open(tmp, "w") as fh:
+        fh.write(f"{cells_dir} {centroids_file}")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)  # atomic publish
+
+    for entry in os.listdir(path):
+        if (
+            (entry == "cells" or entry.startswith("cells-"))
+            and entry != cells_dir
+            and not entry.endswith(".tmp")
+        ):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        if (
+            entry.startswith("centroids-")
+            and entry.endswith(".json")
+            and entry != centroids_file
+        ):
+            try:
+                os.remove(os.path.join(path, entry))
+            except OSError:
+                pass
 
 
 def compact_ivf_index(
@@ -494,30 +537,15 @@ def compact_ivf_index(
     checkpoint, and re-folding the same rows on the next compaction is
     idempotent (vec_id rows overwrite by full rewrite, not append)."""
     import os
-    import shutil
 
     centroids, merged = load_ivf_index(spark, path, additions_path)
-    cur = _cells_dirname(path)
+    cur, cfile = _live_names(path)
     gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
     nxt = f"cells-{gen}"
     merged.dropDuplicates(["vec_id"]).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(os.path.join(path, nxt))
-
-    ptr, tmp = os.path.join(path, "CELLS"), os.path.join(path, "CELLS.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(nxt)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, ptr)  # atomic publish
-
-    # GC: every generation the pointer no longer names (incl. orphans a
-    # pre-GC crash left behind)
-    for entry in os.listdir(path):
-        if (
-            (entry == "cells" or entry.startswith("cells-"))
-            and entry != nxt
-            and not entry.endswith(".tmp")
-        ):
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    # compaction never retrains: the pointer keeps naming the SAME
+    # centroids file, only the cells generation advances
+    _flip_pointer(path, nxt, cfile)
     spark.catalog.refreshByPath(os.path.join(path, nxt))

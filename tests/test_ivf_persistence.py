@@ -513,3 +513,50 @@ def test_vector_index_compaction_preserves_recall(spark, sf_smoke, tmp_path):
         (r.vec_id, r.sim) for r in before
     ]
     assert _recall(after, exact5) >= _recall(before, exact5)
+
+
+def test_retrain_pointer_names_centroids_and_cells_as_one_pair(
+    spark, sf_smoke, tmp_path
+):
+    """A retrain over a pointer-published index must flip BOTH halves in
+    one atomic step: the pointer names the centroids file the new cells
+    were assigned by, and the loaded pair is self-consistent (every
+    stored assignment is the argmin cell under the loaded centroids) —
+    the crash window that could serve new assignments under old
+    centroids is closed by construction."""
+    import math
+
+    from event_store_spark.plans.ivf import _live_names, compact_ivf_index
+    from event_store_spark.streaming.index import ivf_assign_stream
+
+    idx = str(tmp_path / "ivf")
+    adds_dir = str(tmp_path / "adds")
+    save_ivf_index(spark, sf_smoke, idx)
+    centroids, assigned = load_ivf_index(spark, idx)
+
+    new = assigned.where(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = ivf_assign_stream(stream, centroids, adds_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    compact_ivf_index(spark, idx, adds_dir)
+
+    save_ivf_index(spark, sf_smoke, idx)  # retrain after compaction
+    cells_dir, cfile = _live_names(idx)
+    assert cells_dir.startswith("cells-")
+    assert cfile.startswith("centroids-")
+
+    c2, a2 = load_ivf_index(spark, idx)
+    cmap = dict(c2)
+    for r in a2.collect():
+        d = {
+            cell: sum((x - y) ** 2 for x, y in zip(r.v, c))
+            for cell, c in cmap.items()
+        }
+        best = min(d, key=lambda cell: (d[cell], cell))
+        assert math.isclose(d[r.cell], d[best], rel_tol=0, abs_tol=0) or (
+            r.cell == best
+        ), (r.vec_id, r.cell, best)
