@@ -387,7 +387,8 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(doc_id) AS BIGINT) AS max_doc,
            CAST(SUM(CAST(concat('0x', substr(md5(
                     CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)
-               ), 1, 8)) AS BIGINT)) AS BIGINT) AS fingerprint
+               ), 1, 8)) AS BIGINT))
+               % 9223372036854775783 AS BIGINT) AS fingerprint
     FROM documents
     GROUP BY shard ORDER BY shard
     """,
@@ -406,7 +407,13 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (md5 over id:length) — two exports can be compared
     shard-by-shard without reading the data; a driver validating a
     100 TB export reads 16 manifest rows, not the corpus. One hash agg,
-    one shuffle of 16 keys."""
+    one shuffle of 16 keys. The sum accumulates in DECIMAL(38,0) and is
+    reported mod the largest int64 prime: at 10^11 docs a raw BIGINT sum
+    of 32-bit hashes overflows (ANSI Spark would fail the job); the
+    modular form never does, stays order-independent, and DuckDB's
+    natural SUM(BIGINT)→HUGEINT widening takes the same mod — identical
+    values, no fetch-path-sensitive HUGEINT in the OUTPUT (the
+    test_oracle_types discipline)."""
     docs = load_table(spark, sf_dir, "documents")
     h8 = lambda col: F.conv(  # noqa: E731
         F.substring(F.md5(col), 1, 8), 16, 10
@@ -427,7 +434,12 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
             F.min("doc_id").cast("bigint").alias("min_doc"),
             F.max("doc_id").cast("bigint").alias("max_doc"),
-            F.sum("_fp").cast("bigint").alias("fingerprint"),
+            (
+                F.sum(F.col("_fp").cast("decimal(38,0)"))
+                % F.lit(9223372036854775783).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("fingerprint"),
         )
         .orderBy("shard")
     )
