@@ -147,6 +147,7 @@ class Replicator:
         bootstrap_servers: str | None = None,
         lock: LockManager | None = None,
         kafka_record_sink=None,
+        kafka_record_reader=None,
     ):
         if sink not in ("files", "kafka"):
             raise ValueError("sink must be 'files' or 'kafka'")
@@ -166,6 +167,19 @@ class Replicator:
         #: `.write.format("kafka").save()` — everything upstream (keyset
         #: filter, record projection, cursor save) runs unchanged.
         self.kafka_record_sink = kafka_record_sink
+        #: recovery read-back (closes the kafka duplicate window): a
+        #: callable `(topic) -> DataFrame` returning the target topic's
+        #: existing records in the `format("kafka")` SOURCE schema. When
+        #: set, recovery-mode batches anti-join against the (lsn, id)
+        #: pairs already ON the broker — the same absorption the files
+        #: sink does against its target — so even foreign read_committed
+        #: consumers see every event exactly once across checkpoint loss
+        #: (and a crash MID-produce converges: only the missing rows
+        #: re-produce). When unset and bootstrap_servers names a real
+        #: broker, the default reader is a batch `format("kafka")` read of
+        #: the topic; frozen-cursor at-least-once remains the fallback
+        #: when the target topic cannot be read at all.
+        self.kafka_record_reader = kafka_record_reader
 
     def target_path(self, topic: str) -> str:
         return f"{self.target_root}/{topic}"
@@ -216,6 +230,8 @@ class Replicator:
             try:
                 if recovery and self.sink == "files":
                     records = self._absorb_existing(topic, staged)
+                elif recovery and self.sink == "kafka":
+                    records = self._absorb_broker(topic, staged)
                 hw = records.agg(F.max(F.struct("lsn", "id"))).first()[0]
                 if records is staged:
                     hw_all = hw
@@ -337,6 +353,56 @@ class Replicator:
             self.store.spark.read.parquet(self.target_path(topic))
             .where((F.col("lsn") >= bounds.lo) & (F.col("lsn") <= bounds.hi))
             .select("lsn", "id")
+        )
+        return records.join(existing, ["lsn", "id"], "left_anti")
+
+    def _broker_records(self, topic: str):
+        """The target topic's existing records (kafka SOURCE schema), or
+        None when the topic cannot be read — injected reader first, then
+        a batch `format("kafka")` read of the real broker."""
+        if self.kafka_record_reader is not None:
+            return self.kafka_record_reader(topic)
+        try:
+            return (
+                self.store.spark.read.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrap_servers)
+                .option("subscribe", topic)
+                .option("startingOffsets", "earliest")
+                .option("kafka.isolation.level", "read_committed")
+                .option("includeHeaders", "true")
+                .load()
+            )
+        except Exception:
+            # connector absent / broker unreadable: the frozen-cursor
+            # at-least-once fallback is SAFE (never loses), just wider
+            return None
+
+    def _absorb_broker(self, topic: str, records: DataFrame) -> DataFrame:
+        """Recovery-mode exactness for the KAFKA sink (the `_absorb_existing`
+        pattern pointed at the broker): drop batch rows whose (lsn, id) is
+        already on the target topic, read back from its (lsn, id) headers —
+        order-independent, so it absorbs a crash MID-produce too (only the
+        rows that never landed re-produce; a torn batch converges with zero
+        duplicates instead of re-producing whole). The read is bounded to
+        the batch's lsn range after decode (Kafka cannot push the predicate,
+        so recovery re-reads the topic — a recovery-only cost, same trade
+        the reference makes reading its progress topic start-to-end). Falls
+        back to the frozen-cursor filter (bounded at-least-once, see
+        MIGRATION.md) when the topic cannot be read."""
+        src = self._broker_records(topic)
+        if src is None:
+            return records
+        bounds = records.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).first()
+        if bounds.lo is None:
+            return records
+        hdr = lambda n: F.expr(  # noqa: E731
+            f"decode(filter(headers, h -> h.key = '{n}')[0].value, 'UTF-8')"
+        ).cast("long")
+        existing = (
+            src.select(hdr("lsn").alias("lsn"), hdr("id").alias("id"))
+            .where((F.col("lsn") >= bounds.lo) & (F.col("lsn") <= bounds.hi))
         )
         return records.join(existing, ["lsn", "id"], "left_anti")
 
