@@ -44,7 +44,7 @@ def test_gate_matches_batch_plan_across_micro_batches(
     )
     train = docs.where(F.col("source") != "src0")
     grams = benchmark_grams(docs.where(F.col("source") == "src0"))
-    assert grams  # fixture benchmark is non-empty
+    assert len(grams)  # fixture benchmark is non-empty
 
     truth = _batch_truth(spark, sf_smoke)
     assert truth  # fixture has contaminated docs (src0 prefixes reused)
