@@ -357,26 +357,86 @@ def save_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
     book, encoded = _pq_index(spark, sf_dir)
     os.makedirs(path, exist_ok=True)
+    # A retrain over an existing index publishes BOTH halves (codes AND
+    # the codebook that encoded them) as one fresh generation behind one
+    # atomic pointer flip — ADC codes are meaningless under the wrong
+    # codebook, so the two artifacts must never be observable out of
+    # step (the IVF save's pair discipline, where the stake is merely
+    # wrong pruning; here it is wrong distances).
+    cur, _ = _live_names(path)
+    if os.path.isdir(os.path.join(path, cur)):
+        gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
+        target, bfile = f"codes-{gen}", f"codebook-{gen}.json"
+    else:
+        target, bfile = "codes", "codebook.json"  # fresh: original layout
+    book_json = [[[cid, c] for cid, c in rows] for rows in book]
+    if target != "codes":
+        with open(os.path.join(path, bfile), "w") as fh:
+            json.dump(book_json, fh)
     encoded.select("vec_id", "codes").write.mode("overwrite").parquet(
-        os.path.join(path, "codes")
+        os.path.join(path, target)
     )
-    with open(os.path.join(path, "codebook.json"), "w") as fh:
-        json.dump(
-            [[[cid, c] for cid, c in rows] for rows in book], fh
-        )
+    if target != "codes":
+        _flip_pointer(path, target, bfile)
+        with open(os.path.join(path, "codebook.json"), "w") as fh:
+            json.dump(book_json, fh)  # marker copy; never load-bearing
+    else:
+        # codebook written LAST: its presence marks the index complete
+        with open(os.path.join(path, bfile), "w") as fh:
+            json.dump(book_json, fh)
 
 
-def _codes_dirname(path: str) -> str:
-    """Resolve the LIVE codes directory: the `CODES` pointer file names it
-    (post-compaction generations `codes-<n>`); absent a pointer, the
-    original `codes` layout from `save_pq_index`."""
+def _live_names(path: str) -> tuple[str, str]:
+    """Resolve the LIVE (codes dir, codebook file) pair: the `CODES`
+    pointer names both (generations `codes-<n> codebook-<n>.json`) so the
+    pair flips atomically; a pointerless layout is the original (codes,
+    codebook.json)."""
     import os
 
     try:
         with open(os.path.join(path, "CODES")) as fh:
-            return fh.read().strip()
+            parts = fh.read().split()
     except OSError:
-        return "codes"
+        return "codes", "codebook.json"
+    if len(parts) == 1:  # early pointer format: codes dir only
+        return parts[0], "codebook.json"
+    return parts[0], parts[1]
+
+
+def _codes_dirname(path: str) -> str:
+    return _live_names(path)[0]
+
+
+def _flip_pointer(path: str, codes_dir: str, codebook_file: str) -> None:
+    """Atomically publish the (codes, codebook) pair, then GC superseded
+    generations (the root codebook.json survives as the index-exists
+    marker — loaders resolve through the pointer, never the marker)."""
+    import os
+    import shutil
+
+    tmp, ptr = os.path.join(path, "CODES.tmp"), os.path.join(path, "CODES")
+    with open(tmp, "w") as fh:
+        fh.write(f"{codes_dir} {codebook_file}")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)  # atomic publish
+
+    for entry in os.listdir(path):
+        if (
+            (entry == "codes" or entry.startswith("codes-"))
+            and entry != codes_dir
+            and not entry.endswith(".tmp")
+        ):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        if (
+            entry.startswith("codebook-")
+            and entry.endswith(".json")
+            and entry != codebook_file
+        ):
+            try:
+                os.remove(os.path.join(path, entry))
+            except OSError:
+                pass
 
 
 def load_pq_index(spark: SparkSession, path: str):
@@ -385,12 +445,13 @@ def load_pq_index(spark: SparkSession, path: str):
     import json
     import os
 
-    with open(os.path.join(path, "codebook.json")) as fh:
+    codes_dir, codebook_file = _live_names(path)
+    with open(os.path.join(path, codebook_file)) as fh:
         book = [
             [(int(cid), [float(x) for x in c]) for cid, c in rows]
             for rows in json.load(fh)
         ]
-    return book, spark.read.parquet(os.path.join(path, _codes_dirname(path)))
+    return book, spark.read.parquet(os.path.join(path, codes_dir))
 
 
 def compact_pq_index(spark: SparkSession, path: str, additions_path: str) -> None:
@@ -403,30 +464,17 @@ def compact_pq_index(spark: SparkSession, path: str, additions_path: str) -> Non
     a crash-before-flip) are swept after. Re-folding the same segment is
     idempotent (dropDuplicates on vec_id; full rewrite, not append)."""
     import os
-    import shutil
 
     _, merged = load_pq_index(spark, path)
     seg = spark.read.parquet(additions_path)
     merged = merged.unionByName(seg).dropDuplicates(["vec_id"])
-    cur = _codes_dirname(path)
+    cur, bfile = _live_names(path)
     gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
     nxt = f"codes-{gen}"
     merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
-
-    ptr, tmp = os.path.join(path, "CODES"), os.path.join(path, "CODES.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(nxt)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, ptr)  # atomic publish
-
-    for entry in os.listdir(path):
-        if (
-            (entry == "codes" or entry.startswith("codes-"))
-            and entry != nxt
-            and not entry.endswith(".tmp")
-        ):
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    # compaction never retrains: the pointer keeps naming the SAME
+    # codebook file, only the codes generation advances
+    _flip_pointer(path, nxt, bfile)
     spark.catalog.refreshByPath(os.path.join(path, nxt))
 
 

@@ -560,3 +560,55 @@ def test_retrain_pointer_names_centroids_and_cells_as_one_pair(
         assert math.isclose(d[r.cell], d[best], rel_tol=0, abs_tol=0) or (
             r.cell == best
         ), (r.vec_id, r.cell, best)
+
+
+def test_pq_retrain_after_compaction_publishes_pair(spark, sf_smoke, tmp_path):
+    """save_pq_index over a compacted index must publish (codes, codebook)
+    as one pointer pair — ADC codes under the wrong codebook are wrong
+    DISTANCES, so the two can never be observable out of step; the old
+    overwrite-in-place was also shadowed by a post-compaction pointer."""
+    from event_store_spark.plans.pq import (
+        _live_names,
+        _pq_index,
+        compact_pq_index,
+        load_pq_index,
+        pq_search,
+        save_pq_index,
+    )
+    from event_store_spark.streaming.index import pq_encode_stream
+
+    idx = str(tmp_path / "pq")
+    adds = str(tmp_path / "adds")
+    save_pq_index(spark, sf_smoke, idx)
+    book, codes = load_pq_index(spark, idx)
+    base_n = codes.count()
+
+    _, mem_encoded = _pq_index(spark, sf_smoke)
+    new = mem_encoded.where(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 6_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = pq_encode_stream(stream, book, adds, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    compact_pq_index(spark, idx, adds)
+
+    save_pq_index(spark, sf_smoke, idx)  # retrain after compaction
+    codes_dir, bfile = _live_names(idx)
+    assert codes_dir.startswith("codes-") and bfile.startswith("codebook-")
+    book2, codes2 = load_pq_index(spark, idx)
+    assert book2 == book  # deterministic build retrains to the same book
+    assert codes2.count() == base_n  # retrain is a fresh full encode
+    # search over the retrained pair reproduces the oracle-checked plan
+    qv = [float(x) for x in mem_encoded.where(F.col("vec_id") == 0).first()["v"]]
+    got = [
+        (r.vec_id, r.adist)
+        for r in pq_search(codes2, book2, qv, k=6).collect()
+        if r.vec_id != 0
+    ][:5]
+    want = [
+        (r.vec_id, r.adist)
+        for r in QUERIES["ann_pq_topk"](spark, sf_smoke).collect()
+    ]
+    assert got == want
