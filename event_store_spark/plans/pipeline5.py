@@ -366,9 +366,67 @@ def save_sq8_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         )
     )
     os.makedirs(path, exist_ok=True)
-    quant.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-    with open(os.path.join(path, "limits.json"), "w") as fh:
-        json.dump({"mns": mns, "mxs": mxs}, fh)
+    # retrain over an existing index: both halves (codes AND the limits
+    # they were quantized by) publish as one fresh generation behind one
+    # atomic pointer flip — int8 codes reconstructed under the wrong
+    # limits are wrong values (the PQ/IVF pair discipline; additions can
+    # move per-dimension limits, which is also why SQ8 has no compaction)
+    cur, _ = _sq8_live_names(path)
+    if os.path.isdir(os.path.join(path, cur)):
+        gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
+        target, lfile = f"codes-{gen}", f"limits-{gen}.json"
+    else:
+        target, lfile = "codes", "limits.json"  # fresh: original layout
+    if target != "codes":
+        with open(os.path.join(path, lfile), "w") as fh:
+            json.dump({"mns": mns, "mxs": mxs}, fh)
+    quant.write.mode("overwrite").parquet(os.path.join(path, target))
+    if target != "codes":
+        import shutil
+
+        tmp, ptr = os.path.join(path, "CODES.tmp"), os.path.join(path, "CODES")
+        with open(tmp, "w") as fh:
+            fh.write(f"{target} {lfile}")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, ptr)  # atomic publish
+        for entry in os.listdir(path):
+            if (
+                (entry == "codes" or entry.startswith("codes-"))
+                and entry != target
+                and not entry.endswith(".tmp")
+            ):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            if (
+                entry.startswith("limits-")
+                and entry.endswith(".json")
+                and entry != lfile
+            ):
+                try:
+                    os.remove(os.path.join(path, entry))
+                except OSError:
+                    pass
+        with open(os.path.join(path, "limits.json"), "w") as fh:
+            json.dump({"mns": mns, "mxs": mxs}, fh)  # marker copy
+    else:
+        # limits written LAST: their presence marks the index complete
+        with open(os.path.join(path, lfile), "w") as fh:
+            json.dump({"mns": mns, "mxs": mxs}, fh)
+
+
+def _sq8_live_names(path: str) -> tuple[str, str]:
+    """Resolve the LIVE (codes dir, limits file) pair via the `CODES`
+    pointer; pointerless = the original (codes, limits.json) layout."""
+    import os
+
+    try:
+        with open(os.path.join(path, "CODES")) as fh:
+            parts = fh.read().split()
+    except OSError:
+        return "codes", "limits.json"
+    if len(parts) == 1:
+        return parts[0], "limits.json"
+    return parts[0], parts[1]
 
 
 def load_sq8_index(spark: SparkSession, path: str):
@@ -376,11 +434,12 @@ def load_sq8_index(spark: SparkSession, path: str):
     import json
     import os
 
-    with open(os.path.join(path, "limits.json")) as fh:
+    codes_dir, limits_file = _sq8_live_names(path)
+    with open(os.path.join(path, limits_file)) as fh:
         lims = json.load(fh)
     return (
         ([float(x) for x in lims["mns"]], [float(x) for x in lims["mxs"]]),
-        spark.read.parquet(os.path.join(path, "codes")),
+        spark.read.parquet(os.path.join(path, codes_dir)),
     )
 
 

@@ -612,3 +612,43 @@ def test_pq_retrain_after_compaction_publishes_pair(spark, sf_smoke, tmp_path):
         for r in QUERIES["ann_pq_topk"](spark, sf_smoke).collect()
     ]
     assert got == want
+
+
+def test_sq8_retrain_publishes_pair(spark, sf_smoke, tmp_path):
+    """SQ8 retrain over an existing index flips (codes, limits) as one
+    pointer pair (codes under the wrong limits reconstruct wrong values);
+    the retrained index reproduces the oracle-checked ann_sq8_topk."""
+    from event_store_spark.plans.pipeline5 import (
+        _sq8_live_names,
+        load_sq8_index,
+        save_sq8_index,
+        sq8_search,
+    )
+
+    idx = str(tmp_path / "sq8")
+    save_sq8_index(spark, sf_smoke, idx)
+    assert _sq8_live_names(idx) == ("codes", "limits.json")
+    limits, codes = load_sq8_index(spark, idx)
+    base_n = codes.count()
+
+    save_sq8_index(spark, sf_smoke, idx)  # retrain in place
+    codes_dir, lfile = _sq8_live_names(idx)
+    assert codes_dir == "codes-1" and lfile == "limits-1.json"
+    limits2, codes2 = load_sq8_index(spark, idx)
+    assert limits2 == limits  # deterministic retrain
+    assert codes2.count() == base_n
+
+    from event_store_spark.plans.ivf import _ivf_index
+
+    _, assigned = _ivf_index(spark, sf_smoke, "full")
+    qv = [float(x) for x in assigned.where(F.col("vec_id") == 0).first()["v"]]
+    got = [
+        (r.vec_id, r.sim)
+        for r in sq8_search(codes2, limits2, qv, k=6).collect()
+        if r.vec_id != 0
+    ][:5]
+    want = [
+        (r.vec_id, r.sim)
+        for r in QUERIES["ann_sq8_topk"](spark, sf_smoke).collect()
+    ]
+    assert got == want
