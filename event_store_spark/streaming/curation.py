@@ -54,11 +54,17 @@ class CurationPipeline:
         target_path: str,
         checkpoint: str,
         quota: int = 40,
+        compact_every: int = 16,
     ):
         self.spark = spark
         self.target_path = target_path
         self.checkpoint = checkpoint
         self.quota = quota
+        #: fold per-batch subdirs into one snapshot once this many
+        #: accumulate (ivm's cadence): a long-lived ingest otherwise
+        #: grows one directory per micro-batch forever, and the
+        #: seen-ledger anti-join pays the listing every batch
+        self.compact_every = compact_every
 
     # ------------------------------------------------------------ state
 
@@ -81,20 +87,68 @@ class CurationPipeline:
             os.fsync(fh.fileno())
         os.replace(tmp, self._ptr())
 
+    def _snapshot(self, kind: str) -> tuple[int, str] | None:
+        """(watermark batch id, dir name) of the kind's folded snapshot."""
+        try:
+            with open(os.path.join(self.target_path, kind, "_SNAP")) as fh:
+                w, name = fh.read().split()
+                return int(w), name
+        except OSError:
+            return None
+
     def _subdirs(self, kind: str, upto: int) -> list[str]:
-        """Committed per-batch subdirs (id <= upto) of admitted/ or seen/."""
+        """Committed per-batch subdirs (snapshot watermark < id <= upto)."""
         root = os.path.join(self.target_path, kind)
         if not os.path.isdir(root):
             return []
+        snap = self._snapshot(kind)
+        base_w = snap[0] if snap else -1
         out = []
         for d in os.listdir(root):
-            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= upto:
+            if d.startswith("b") and d[1:].isdigit() and base_w < int(d[1:]) <= upto:
                 out.append(os.path.join(root, d))
         return out
 
+    def _read_state(self, kind: str, upto: int) -> list[str]:
+        """All committed paths of a kind: snapshot (if any) + live subdirs."""
+        dirs = self._subdirs(kind, upto)
+        snap = self._snapshot(kind)
+        if snap is not None:
+            dirs.insert(0, os.path.join(self.target_path, kind, snap[1]))
+        return dirs
+
+    def _maybe_compact(self, kind: str, upto: int) -> None:
+        """Fold snapshot + per-batch subdirs into one snap<upto> dir behind
+        an atomic _SNAP pointer flip (ivm's crash-safe ordering: fold
+        written fully, pointer flipped, inputs GC'd — a crash leaves the
+        pointer naming a complete snapshot or the prior state)."""
+        import shutil
+
+        live = self._subdirs(kind, upto)
+        if len(live) < self.compact_every:
+            return
+        paths = self._read_state(kind, upto)
+        root = os.path.join(self.target_path, kind)
+        out = os.path.join(root, f"snap{upto}")
+        if os.path.exists(out):
+            shutil.rmtree(out)  # crashed earlier attempt at the same fold
+        self.spark.read.parquet(*paths).write.mode("overwrite").parquet(out)
+        self.spark.catalog.refreshByPath(out)
+        old_snap = self._snapshot(kind)
+        tmp = os.path.join(root, "_SNAP.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"{upto} snap{upto}")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(root, "_SNAP"))
+        for p in live:
+            shutil.rmtree(p, ignore_errors=True)
+        if old_snap is not None and old_snap[1] != f"snap{upto}":
+            shutil.rmtree(os.path.join(root, old_snap[1]), ignore_errors=True)
+
     def table(self) -> DataFrame:
         """The admitted corpus so far (committed batches only)."""
-        dirs = self._subdirs("admitted", self._last_batch())
+        dirs = self._read_state("admitted", self._last_batch())
         if not dirs:
             return self.spark.createDataFrame(
                 [], "doc_id bigint, source string, lang string, n_chars bigint"
@@ -124,7 +178,7 @@ class CurationPipeline:
             )
         )
 
-        seen_dirs = self._subdirs("seen", last)
+        seen_dirs = self._read_state("seen", last)
         if seen_dirs:
             ledger = self.spark.read.parquet(*seen_dirs)
             passed = passed.join(ledger, passed["_h"] == ledger["h"], "left_anti")
@@ -173,6 +227,10 @@ class CurationPipeline:
             os.path.join(self.target_path, "seen", f"b{batch_id}")
         )
         self._commit(batch_id)
+        # post-commit maintenance: fold per-batch subdirs once enough
+        # accumulate (everything folded is <= the committed pointer)
+        self._maybe_compact("seen", batch_id)
+        self._maybe_compact("admitted", batch_id)
 
     def start(self, docs_stream: DataFrame) -> StreamingQuery:
         return (

@@ -146,3 +146,58 @@ def test_cross_batch_duplicate_and_quota_reject_interplay(spark, tmp_path):
     # batch 2: 10 (dup of 1) and 11 (dup of quota-rejected 3) both dropped,
     # 12 is fresh and s1 has capacity
     assert admitted == [0, 1, 12]
+
+
+def test_ledger_compaction_bounds_subdirs_and_preserves_state(
+    spark, sf_smoke, tmp_path
+):
+    """With compact_every=2, the seen/admitted per-batch subdirs fold into
+    snapshots behind _SNAP pointers: dir counts stay bounded, the final
+    admitted corpus still equals the batch chain, and dedup still sees
+    hashes that live only in the snapshot."""
+    import os
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    src = str(tmp_path / "src")
+    _deliver_in_batches(spark, docs, src, n_batches=6)
+
+    pipe = CurationPipeline(
+        spark, str(tmp_path / "cur"), str(tmp_path / "ck"),
+        quota=QUOTA, compact_every=2,
+    )
+    q = pipe.start(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q.awaitTermination(240)
+
+    for kind in ("seen", "admitted"):
+        assert pipe._snapshot(kind) is not None, kind
+        n_sub = len(pipe._subdirs(kind, pipe._last_batch()))
+        assert n_sub < 6, f"{kind}: {n_sub} subdirs, no fold"
+
+    got = sorted((r.doc_id, r.source, r.lang) for r in pipe.table().collect())
+    want = sorted(
+        (r.doc_id, r.source, r.lang)
+        for r in _batch_reference(spark, sf_smoke).collect()
+    )
+    assert got == want
+
+    # a duplicate whose original hash now lives ONLY in the snapshot is
+    # still dropped (the ledger read goes through the snapshot)
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(99_999_999, first.source, first.lang, first.n_chars, first.text)],
+        docs.schema,
+    )
+    dup.coalesce(1).write.mode("append").parquet(src)
+    q = pipe.start(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q.awaitTermination(240)
+    assert 99_999_999 not in {r.doc_id for r in pipe.table().collect()}
