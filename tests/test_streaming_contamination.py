@@ -113,3 +113,49 @@ def test_gate_on_batch_frame_equals_stream(spark, sf_smoke):
         if r.n_contaminated > 0
     }
     assert got == _batch_truth(spark, sf_smoke)
+
+
+def test_probe_kernel_matches_set_reference():
+    """The flattened searchsorted + segment-sum kernel == the obvious
+    per-row set intersection, over randomized gram lists including empty
+    rows, all-hit rows, duplicate grams, and int64 extremes. Pure numpy
+    (no SparkSession) — the same code path the pandas_udf runs."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(11)
+    for trial in range(20):
+        bench_vals = {rng.randrange(-(2**63), 2**63 - 1) for _ in range(200)}
+        b = np.sort(np.fromiter(bench_vals, dtype=np.int64))
+        rows = []
+        for _ in range(50):
+            k = rng.choice([0, 1, 3, 30])
+            gs = [
+                rng.choice([rng.randrange(-(2**63), 2**63 - 1),
+                            rng.choice(tuple(bench_vals))])
+                for _ in range(k)
+            ]
+            if gs and rng.random() < 0.3:
+                gs = gs + gs[:2]  # duplicate grams inside one doc
+            rows.append(gs)
+        want = [len(set(gs) & bench_vals) for gs in rows]
+
+        # inline copy of the kernel's math (the udf closure isn't
+        # callable outside a worker, but the numpy path is identical)
+        gram_lists = pd.Series([np.asarray(g, dtype=np.int64) for g in rows])
+        uniqs = [np.unique(np.asarray(gs, dtype=np.int64)) for gs in gram_lists]
+        lens = np.fromiter((len(u) for u in uniqs), dtype=np.int64, count=len(uniqs))
+        if lens.sum() == 0 or len(b) == 0:
+            got = [0] * len(rows)
+        else:
+            flat = np.concatenate([u for u in uniqs if len(u)])
+            pos = np.searchsorted(b, flat)
+            pos[pos == len(b)] = 0
+            hit = (b[pos] == flat).astype(np.int64)
+            bounds = np.zeros(len(uniqs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            csum = np.concatenate(([0], np.cumsum(hit)))
+            got = list((csum[bounds[1:]] - csum[bounds[:-1]]).astype(int))
+        assert got == want, (trial, got[:5], want[:5])
