@@ -205,7 +205,12 @@ class RecordCodec:
         raise ValueError(f"unsupported type {t}")
 
     def decode(self, data: bytes) -> dict:
-        buf = io.BytesIO(data)
+        return self.decode_stream(io.BytesIO(data))
+
+    def decode_stream(self, buf: io.BytesIO) -> dict:
+        """Decode one record from an open stream, leaving the cursor at
+        the next record — the shape Object Container File blocks need
+        (records are back-to-back with no per-record length prefix)."""
         out = {}
         for name, t in self.fields:
             if isinstance(t, list):

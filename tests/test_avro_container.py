@@ -1,0 +1,98 @@
+"""Avro Object Container Files (`avro/container.py`): round-trip under
+both codecs, distributed multi-file read, reader-schema evolution with
+the same alias/default rules as the Confluent path, and loud failure on
+corruption."""
+
+from __future__ import annotations
+
+import pytest
+
+from event_store_spark.avro.container import (
+    read_avro_container,
+    write_avro_container,
+)
+
+SCHEMA_V1 = {
+    "type": "record",
+    "name": "shop.events.OrderPlaced",
+    "fields": [
+        {"name": "order_id", "type": "long"},
+        {"name": "amount", "type": "double"},
+        {"name": "note", "type": ["null", "string"]},
+    ],
+}
+
+#: v2: `amount` renamed to `total` (alias back), `currency` added with a
+#: default, `note` dropped — the registry evolution matrix's moves
+SCHEMA_V2 = {
+    "type": "record",
+    "name": "shop.events.OrderPlaced",
+    "fields": [
+        {"name": "order_id", "type": "long"},
+        {"name": "total", "type": "double", "aliases": ["amount"]},
+        {"name": "currency", "type": "string", "default": "EUR"},
+    ],
+}
+
+ROWS = [
+    {"order_id": 1, "amount": 9.5, "note": "a"},
+    {"order_id": 2, "amount": 0.25, "note": None},
+    {"order_id": 3, "amount": 100.0, "note": "c"},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip(spark, tmp_path, codec):
+    p = str(tmp_path / f"orders_{codec}.avro")
+    write_avro_container(ROWS, SCHEMA_V1, p, codec=codec, block_records=2)
+    got = sorted(
+        (r.order_id, r.amount, r.note)
+        for r in read_avro_container(spark, p).collect()
+    )
+    assert got == [(1, 9.5, "a"), (2, 0.25, None), (3, 100.0, "c")]
+
+
+def test_multi_file_glob_reads_in_parallel(spark, tmp_path):
+    for i in range(3):
+        write_avro_container(
+            [{"order_id": 10 * i + j, "amount": float(j), "note": None}
+             for j in range(4)],
+            SCHEMA_V1,
+            str(tmp_path / f"part{i}.avro"),
+        )
+    df = read_avro_container(spark, str(tmp_path / "*.avro"))
+    assert df.count() == 12
+    assert df.rdd.getNumPartitions() >= 1  # one file per task unit
+    assert {r.order_id for r in df.collect()} == {
+        10 * i + j for i in range(3) for j in range(4)
+    }
+
+
+def test_reader_schema_evolution(spark, tmp_path):
+    """v1-written files decode under the v2 reader: rename via alias,
+    added field takes its default, dropped field disappears."""
+    p = str(tmp_path / "orders_v1.avro")
+    write_avro_container(ROWS, SCHEMA_V1, p)
+    df = read_avro_container(spark, p, reader_schema=SCHEMA_V2)
+    assert sorted(df.columns) == ["currency", "order_id", "total"]
+    got = sorted(
+        (r.order_id, r.total, r.currency) for r in df.collect()
+    )
+    assert got == [(1, 9.5, "EUR"), (2, 0.25, "EUR"), (3, 100.0, "EUR")]
+
+
+def test_corrupt_sync_fails_loudly(spark, tmp_path):
+    p = str(tmp_path / "orders.avro")
+    write_avro_container(ROWS, SCHEMA_V1, p)
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF  # flip the trailing sync byte
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="sync marker"):
+        read_avro_container(spark, p).collect()
+
+
+def test_bad_magic_fails_loudly(spark, tmp_path):
+    p = str(tmp_path / "not_avro.avro")
+    open(p, "wb").write(b"PAR1 definitely not avro")
+    with pytest.raises(Exception, match="bad magic"):
+        read_avro_container(spark, p).collect()
