@@ -17,10 +17,14 @@ flat envelope records the store uses):
   natural unit of a lake of bounded-size .avro files; block-level
   splitting of one huge file is the vendored-connector job this module
   deliberately leaves out (write bounded files instead).
-- :func:`write_avro_container` — a driver-side writer (null/deflate
-  codecs) for exports and fixtures; it is NOT a distributed sink (the
-  event log's distributed substrate is parquet by design — this exists
-  so .avro consumers can be handed their native format, bounded sizes).
+- :func:`write_avro_container` — a driver-side single-file writer
+  (null/deflate codecs) for fixtures and small exports.
+- :func:`write_avro_container_dist` — the distributed sink: one
+  `part-<pid>.avro` per partition (deterministic names, so retried
+  tasks rewrite idempotently) + a (path, rows) manifest; the file-per-
+  partition layout is exactly the parallelism unit the reader consumes.
+  The event log's canonical substrate stays parquet by design — this
+  exists so .avro consumers can be handed their native format.
 
 Wire format per the public Avro 1.11 spec "Object Container Files".
 The sync marker is derived deterministically from the schema (md5) so
@@ -207,3 +211,60 @@ def read_avro_container(
             )
 
     return files.select("content").mapInPandas(decode_files, ddl)
+
+
+def write_avro_container_dist(
+    df: DataFrame, schema: dict | str, out_dir: str, codec: str = "null"
+) -> list[tuple[str, int]]:
+    """Distributed OCF SINK: each partition writes one `part-<pid>.avro`
+    under ``out_dir`` and the returned manifest lists (path, rows).
+
+    The per-partition file is the parallelism unit `read_avro_container`
+    consumes, so export→read round-trips at any width; file names are
+    deterministic by partition id, so a retried/speculated task rewrites
+    its own file with identical content (idempotent, same discipline as
+    the engine's batch-keyed sinks). Schema fields must be flat
+    primitives matching df columns (the envelope's shape — the
+    reference's events table DDL); timestamps are exported as epoch
+    longs by the caller (Avro has no bare timestamp primitive in the
+    subset the codec supports). ``out_dir`` must be storage every
+    executor can reach (a shared filesystem / fuse mount — same contract
+    as every other path in local mode)."""
+    import os
+
+    import pandas as pd
+
+    from event_store_spark.shipping import ensure_shipped
+
+    rc = RecordCodec(schema)
+    names = [n for n, _ in rc.fields]
+    missing = set(names) - set(df.columns)
+    if missing:
+        raise ValueError(f"df lacks schema fields: {sorted(missing)}")
+    os.makedirs(out_dir, exist_ok=True)
+    schema_obj = rc.schema
+    ensure_shipped(df.sparkSession)
+
+    def part(pdfs):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        records: list[dict] = []
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                records.append(
+                    {
+                        k: (bytes(v) if isinstance(v, (bytearray, memoryview)) else v)
+                        for k, v in rec.items()
+                    }
+                )
+        if not records:
+            yield pd.DataFrame({"path": pd.Series([], dtype="object"),
+                                "rows": pd.Series([], dtype="int64")})
+            return
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        write_avro_container(records, schema_obj, path, codec=codec)
+        yield pd.DataFrame({"path": [path], "rows": [len(records)]})
+
+    manifest = df.select(*names).mapInPandas(part, "path string, rows bigint")
+    return [(r.path, r.rows) for r in manifest.collect()]
