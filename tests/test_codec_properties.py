@@ -75,3 +75,44 @@ def test_record_roundtrip(s, n, d, b, opt):
     codec = RecordCodec(record_schema)
     rec = {"s": s, "n": n, "d": d, "b": b, "opt": opt}
     assert codec.decode(codec.encode(rec)) == rec
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=30),
+            longs,
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.none() | st.binary(max_size=32),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_stream_over_back_to_back_records(rows):
+    """`RecordCodec.decode_stream` must walk records written back-to-back
+    with NO per-record framing (the Object Container File block layout)
+    and leave the cursor exactly at each boundary — a one-byte drift on
+    any field type corrupts every later record in the block."""
+    import io
+
+    from event_store_spark.avro.codec import RecordCodec
+
+    schema = {
+        "type": "record",
+        "name": "t.Block",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": ["null", "bytes"]},
+        ],
+    }
+    rc = RecordCodec(schema)
+    recs = [{"s": s, "n": n, "d": d, "b": b} for s, n, d, b in rows]
+    blob = b"".join(rc.encode(r) for r in recs)
+    buf = io.BytesIO(blob)
+    got = [rc.decode_stream(buf) for _ in recs]
+    assert buf.read() == b""  # cursor landed exactly at the end
+    assert got == recs
