@@ -359,7 +359,7 @@ def save_ivf_index(
     # pair — the naive in-place overwrite raced readers, could be shadowed
     # by a post-compaction pointer, and had a crash window serving new
     # assignments under old centroids.
-    cur = _cells_dirname(path)
+    cur, prev_cfile = _live_names(path)
     if os.path.isdir(os.path.join(path, cur)):
         gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
         target, cfile = f"cells-{gen}", f"centroids-{gen}.json"
@@ -372,7 +372,7 @@ def save_ivf_index(
         os.path.join(path, target)
     )
     if target != "cells":
-        _flip_pointer(path, target, cfile)
+        _flip_pointer(path, target, cfile, keep={cur, prev_cfile})
         # refresh the convenience marker copy (loaders resolve through the
         # pointer; a crash here leaves only a stale marker, never a stale
         # serving path)
@@ -480,12 +480,21 @@ def _cells_dirname(path: str) -> str:
     return _live_names(path)[0]
 
 
-def _flip_pointer(path: str, cells_dir: str, centroids_file: str) -> None:
-    """Atomically publish the (cells, centroids) pair, then GC every
-    generation artifact the pointer no longer names (incl. orphans a
-    crash-before-GC left behind). The original `cells`/`centroids.json`
-    files are swept like any other superseded generation — except
-    centroids.json, kept as the index-exists marker (it may be stale;
+def _flip_pointer(
+    path: str,
+    cells_dir: str,
+    centroids_file: str,
+    keep: frozenset[str] | set[str] = frozenset(),
+) -> None:
+    """Atomically publish the (cells, centroids) pair, then GC superseded
+    generation artifacts — EXCEPT the ``keep`` set: callers pass the
+    generation that was live just before this flip, so a reader that
+    resolved `_live_names` immediately pre-flip (or holds a lazily-listed
+    DataFrame over the old dir) can finish its scan instead of failing on
+    a mid-read rmtree (ADVICE r7 — "atomic for readers" requires the N-1
+    generation to outlive in-flight reads; it is GC'd by the NEXT flip).
+    Orphans from a crash-before-flip and generations ≤ N-2 are swept.
+    centroids.json survives as the index-exists marker (it may be stale;
     loaders resolve through the pointer, never the marker)."""
     import os
     import shutil
@@ -498,6 +507,8 @@ def _flip_pointer(path: str, cells_dir: str, centroids_file: str) -> None:
     os.replace(tmp, ptr)  # atomic publish
 
     for entry in os.listdir(path):
+        if entry in keep:
+            continue
         if (
             (entry == "cells" or entry.startswith("cells-"))
             and entry != cells_dir
@@ -530,22 +541,41 @@ def compact_ivf_index(
     any point leaves either the old or the new generation fully live
     (the prior rename-rename scheme had a window with NO cells dir at
     all, and concurrent loads during the swap errored). Matches the
-    repo's commit-marker discipline (CdcMaterializer, ivm._SNAP). Old
-    generations are GC'd after the flip; a crash before GC leaves only
-    an unreferenced dir, swept by the next compaction. The additions
-    segment is left in place — its stream owns its directory and
-    checkpoint, and re-folding the same rows on the next compaction is
-    idempotent (vec_id rows overwrite by full rewrite, not append)."""
+    repo's commit-marker discipline (CdcMaterializer, ivm._SNAP). The
+    N-1 generation survives this flip for in-flight readers and is GC'd
+    by the NEXT one (ADVICE r7); older generations and crash orphans are
+    swept now. The additions segment is left in place — its stream owns
+    its directory and checkpoint, and re-folding the same rows on the
+    next compaction is idempotent. When a vec_id exists in BOTH base and
+    segment (a re-assigned/updated vector), the SEGMENT row wins
+    explicitly — dropDuplicates kept an arbitrary one, which could
+    nondeterministically resurrect the stale base assignment (ADVICE
+    r7)."""
     import os
 
-    centroids, merged = load_ivf_index(spark, path, additions_path)
+    from pyspark.sql import Window
+
     cur, cfile = _live_names(path)
+    base = spark.read.parquet(os.path.join(path, cur))
+    seg = spark.read.parquet(additions_path).select(*base.columns)
+    merged = (
+        base.withColumn("_pri", F.lit(0))
+        .unionByName(seg.withColumn("_pri", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("_pri").desc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
     gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
     nxt = f"cells-{gen}"
-    merged.dropDuplicates(["vec_id"]).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(path, nxt))
+    merged.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, nxt)
+    )
     # compaction never retrains: the pointer keeps naming the SAME
     # centroids file, only the cells generation advances
-    _flip_pointer(path, nxt, cfile)
+    _flip_pointer(path, nxt, cfile, keep={cur, cfile})
     spark.catalog.refreshByPath(os.path.join(path, nxt))

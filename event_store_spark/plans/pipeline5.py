@@ -371,7 +371,7 @@ def save_sq8_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     # atomic pointer flip — int8 codes reconstructed under the wrong
     # limits are wrong values (the PQ/IVF pair discipline; additions can
     # move per-dimension limits, which is also why SQ8 has no compaction)
-    cur, _ = _sq8_live_names(path)
+    cur, prev_lfile = _sq8_live_names(path)
     if os.path.isdir(os.path.join(path, cur)):
         gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
         target, lfile = f"codes-{gen}", f"limits-{gen}.json"
@@ -390,7 +390,13 @@ def save_sq8_index(spark: SparkSession, sf_dir: str, path: str) -> None:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, ptr)  # atomic publish
+        # GC superseded generations EXCEPT the one live just before this
+        # flip — in-flight readers of it finish their scans; it is swept
+        # by the NEXT flip (ADVICE r7, matching ivf/pq._flip_pointer)
+        keep = {cur, prev_lfile}
         for entry in os.listdir(path):
+            if entry in keep:
+                continue
             if (
                 (entry == "codes" or entry.startswith("codes-"))
                 and entry != target

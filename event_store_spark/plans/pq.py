@@ -363,7 +363,7 @@ def save_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     # codebook, so the two artifacts must never be observable out of
     # step (the IVF save's pair discipline, where the stake is merely
     # wrong pruning; here it is wrong distances).
-    cur, _ = _live_names(path)
+    cur, prev_bfile = _live_names(path)
     if os.path.isdir(os.path.join(path, cur)):
         gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
         target, bfile = f"codes-{gen}", f"codebook-{gen}.json"
@@ -377,7 +377,7 @@ def save_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         os.path.join(path, target)
     )
     if target != "codes":
-        _flip_pointer(path, target, bfile)
+        _flip_pointer(path, target, bfile, keep={cur, prev_bfile})
         with open(os.path.join(path, "codebook.json"), "w") as fh:
             json.dump(book_json, fh)  # marker copy; never load-bearing
     else:
@@ -407,10 +407,18 @@ def _codes_dirname(path: str) -> str:
     return _live_names(path)[0]
 
 
-def _flip_pointer(path: str, codes_dir: str, codebook_file: str) -> None:
+def _flip_pointer(
+    path: str,
+    codes_dir: str,
+    codebook_file: str,
+    keep: frozenset[str] | set[str] = frozenset(),
+) -> None:
     """Atomically publish the (codes, codebook) pair, then GC superseded
-    generations (the root codebook.json survives as the index-exists
-    marker — loaders resolve through the pointer, never the marker)."""
+    generations EXCEPT the ``keep`` set — callers pass the just-superseded
+    generation so in-flight readers of it finish their scans; it is GC'd
+    by the NEXT flip (ADVICE r7). The root codebook.json survives as the
+    index-exists marker — loaders resolve through the pointer, never the
+    marker."""
     import os
     import shutil
 
@@ -422,6 +430,8 @@ def _flip_pointer(path: str, codes_dir: str, codebook_file: str) -> None:
     os.replace(tmp, ptr)  # atomic publish
 
     for entry in os.listdir(path):
+        if entry in keep:
+            continue
         if (
             (entry == "codes" or entry.startswith("codes-"))
             and entry != codes_dir
@@ -460,21 +470,39 @@ def compact_pq_index(spark: SparkSession, path: str, additions_path: str) -> Non
     stays valid; the fold is one union + flat rewrite. Same atomic
     pointer-flip publication as `ivf.compact_ivf_index` (ADVICE r6): the
     merged generation writes fully to `codes-<n>`, then the `CODES`
-    pointer os.replace()s to name it; old generations (and orphans from
-    a crash-before-flip) are swept after. Re-folding the same segment is
-    idempotent (dropDuplicates on vec_id; full rewrite, not append)."""
+    pointer os.replace()s to name it; the N-1 generation survives this
+    flip for in-flight readers (GC'd by the next one — ADVICE r7), older
+    generations and crash orphans are swept now. Re-folding the same
+    segment is idempotent (full rewrite, not append). When a vec_id
+    exists in BOTH base and segment with different codes (a re-encoded
+    vector), the SEGMENT row wins explicitly — dropDuplicates kept an
+    arbitrary one, which could nondeterministically resurrect the stale
+    base code (ADVICE r7)."""
     import os
 
-    _, merged = load_pq_index(spark, path)
-    seg = spark.read.parquet(additions_path)
-    merged = merged.unionByName(seg).dropDuplicates(["vec_id"])
+    from pyspark.sql import Window
+
     cur, bfile = _live_names(path)
+    base = spark.read.parquet(os.path.join(path, cur))
+    seg = spark.read.parquet(additions_path).select(*base.columns)
+    merged = (
+        base.withColumn("_pri", F.lit(0))
+        .unionByName(seg.withColumn("_pri", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("_pri").desc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
     gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
     nxt = f"codes-{gen}"
     merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
     # compaction never retrains: the pointer keeps naming the SAME
     # codebook file, only the codes generation advances
-    _flip_pointer(path, nxt, bfile)
+    _flip_pointer(path, nxt, bfile, keep={cur, bfile})
     spark.catalog.refreshByPath(os.path.join(path, nxt))
 
 

@@ -9,14 +9,21 @@ the engine's standard state discipline instead of a readStream:
 
 - **Unit of work = one file = one append.** All of a file's rows land
   under one lsn (same-commit siblings), and every row carries a
-  ``src`` metadata entry naming its file — the idempotence key.
+  ``src`` metadata entry naming its file — the idempotence key, the
+  path RELATIVE to the landing root (the pattern's non-glob prefix),
+  so recursive globs whose leaves share a basename cannot collide
+  (ADVICE r7).
 - **Exactly-once across crashes** without transactions: a processed-
   files ledger (fsync + os.replace JSON, the ProgressStore pattern)
   short-circuits the normal path; if a crash lands BETWEEN the append
   and the ledger write, the retry finds the file absent from the ledger
-  but PRESENT in the topic (one metadata-filtered scan, recovery-only)
-  and records it without re-appending — no duplicates, no loss, the
-  same absorb-don't-reprocess shape as the replicator's recovery.
+  but PRESENT in the topic and records it without re-appending — no
+  duplicates, no loss, the same absorb-don't-reprocess shape as the
+  replicator's recovery. The presence probe is ONE scan of the topic's
+  distinct ``src`` values, run only on the FIRST poll of a process
+  that starts with unprocessed files (the only window a crash can have
+  left an unledgered append) — never per-file, never on later polls
+  (ADVICE r7: the per-file probe was O(new_files × topic_size)).
 - Files are processed in name order (producers that need strict
   ordering name files monotonically — the standard landing-zone
   contract); a file must be fully written before it matches the glob
@@ -65,6 +72,25 @@ class OcfIngest:
         self.state_path = state_path
         self.to_envelope = to_envelope
         self.key_type = key_type
+        #: crash-window recovery probe pending? True until the first poll
+        #: completes; subsequent polls in this process cannot have an
+        #: unledgered append (``_record`` runs before the next file).
+        self._recovery_pending = True
+
+    def _src_id(self, path: str) -> str:
+        """Idempotence key for a file: its path relative to the landing
+        root — the longest glob-free directory prefix of the pattern —
+        falling back to the basename for a rootless pattern. Distinct
+        files under a recursive glob therefore get distinct keys even
+        when their basenames collide."""
+        root = self.pattern
+        while any(ch in os.path.basename(root) for ch in "*?["):
+            root = os.path.dirname(root)
+            if not root:
+                return os.path.basename(path)
+        if not os.path.isdir(root):
+            root = os.path.dirname(root) or "."
+        return os.path.relpath(path, root)
 
     # ------------------------------------------------------------- state
 
@@ -84,49 +110,60 @@ class OcfIngest:
             os.fsync(fh.fileno())
         os.replace(tmp, self.state_path)
 
-    def _already_in_topic(self, fname: str) -> bool:
-        """Recovery-only presence probe: did a crashed run already append
-        this file? One metadata-filtered scan of the topic."""
+    def _srcs_in_topic(self) -> set[str]:
+        """Recovery-only presence probe: which src keys did a crashed run
+        already append? ONE scan of the topic collecting its distinct
+        ``src`` metadata values — O(topic) once per process start, result
+        bounded by #files-ever-ingested (ledger-sized), versus the r7
+        shape's full scan per unprocessed file."""
         try:
             events = self.store.read_events(self.topic)
         except Exception:
-            return False  # topic not created yet
-        return (
-            events.where(
-                F.col("metadata")[SRC_KEY] == F.lit(fname.encode())
-            ).limit(1).count()
-            > 0
+            return set()  # topic not created yet
+        rows = (
+            events.select(F.col("metadata")[SRC_KEY].alias("src"))
+            .where(F.col("src").isNotNull())
+            .distinct()
+            .collect()
         )
+        return {bytes(r.src).decode() for r in rows}
 
     # -------------------------------------------------------------- poll
 
     def poll_once(self) -> list[str]:
         """Ingest every unprocessed file matching the pattern, oldest
-        name first; returns the file names appended this call."""
+        name first; returns the src keys appended this call."""
         spark = self.store.spark
         done = self._ledger()
+        recursive = "**" in self.pattern
         new = [
-            p
-            for p in sorted(_glob.glob(self.pattern))
-            if os.path.basename(p) not in done
+            (p, self._src_id(p))
+            for p in sorted(_glob.glob(self.pattern, recursive=recursive))
+            if self._src_id(p) not in done
         ]
+        if self._recovery_pending:
+            # first poll of this process: a crash may have appended a file
+            # without recording it — absorb from ONE topic scan, but only
+            # when there is anything unledgered to check
+            if new:
+                in_topic = self._srcs_in_topic()
+                absorbed = {src for _, src in new if src in in_topic}
+                if absorbed:
+                    done |= absorbed
+                    self._record(done)
+                    new = [(p, s) for p, s in new if s not in absorbed]
+            self._recovery_pending = False
         appended: list[str] = []
-        for path in new:
-            fname = os.path.basename(path)
-            if self._already_in_topic(fname):
-                # crash landed between append and ledger: absorb
-                done.add(fname)
-                self._record(done)
-                continue
+        for path, src in new:
             rows = read_avro_container(spark, path)
             env = self.to_envelope(rows).withColumn(
                 "metadata",
                 F.create_map(
-                    F.lit(SRC_KEY), F.lit(fname.encode())
+                    F.lit(SRC_KEY), F.lit(src.encode())
                 ).cast("map<string,binary>"),
             )
             self.store.append(self.topic, env, key_type=self.key_type)
-            done.add(fname)
+            done.add(src)
             self._record(done)
-            appended.append(fname)
+            appended.append(src)
         return appended

@@ -363,7 +363,7 @@ class Replicator:
         if self.kafka_record_reader is not None:
             return self.kafka_record_reader(topic)
         try:
-            return (
+            src = (
                 self.store.spark.read.format("kafka")
                 .option("kafka.bootstrap.servers", self.bootstrap_servers)
                 .option("subscribe", topic)
@@ -372,6 +372,14 @@ class Replicator:
                 .option("includeHeaders", "true")
                 .load()
             )
+            # `.load()` is lazy: with the connector present but the broker
+            # unreachable, failure would otherwise surface at action time
+            # inside `_absorb_broker`'s anti-join and FAIL the recovery
+            # batch instead of engaging the frozen-cursor fallback. Force a
+            # cheap eager probe here so unreadability is detected where the
+            # fallback can still catch it (ADVICE r7).
+            src.limit(1).isEmpty()
+            return src
         except Exception:
             # connector absent / broker unreadable: the frozen-cursor
             # at-least-once fallback is SAFE (never loses), just wider

@@ -339,7 +339,10 @@ def test_compact_publishes_by_pointer_flip(spark, sf_smoke, tmp_path):
     live = _cells_dirname(idx)
     assert live.startswith("cells-")
     assert os.path.isdir(os.path.join(idx, live))
-    assert not os.path.isdir(os.path.join(idx, "cells"))  # old gen GC'd
+    # ADVICE r7: the just-superseded generation SURVIVES this flip so a
+    # reader that resolved it pre-flip finishes its scan; it is GC'd by
+    # the NEXT flip, along with any crash orphans
+    assert os.path.isdir(os.path.join(idx, "cells"))
     _, merged = load_ivf_index(spark, idx)
     assert merged.count() == base_n + 2
 
@@ -349,8 +352,11 @@ def test_compact_publishes_by_pointer_flip(spark, sf_smoke, tmp_path):
     os.makedirs(orphan)
     _, still = load_ivf_index(spark, idx)
     assert still.count() == base_n + 2
+    prev = live
     compact_ivf_index(spark, idx, adds_dir)
     assert not os.path.exists(orphan)
+    assert os.path.isdir(os.path.join(idx, prev))  # N-1 kept for readers
+    assert not os.path.isdir(os.path.join(idx, "cells"))  # N-2 swept now
 
     # retrain after compaction: save must publish a generation the
     # pointer names (the old code overwrote shadowed `cells/`)
@@ -652,3 +658,51 @@ def test_sq8_retrain_publishes_pair(spark, sf_smoke, tmp_path):
         for r in QUERIES["ann_sq8_topk"](spark, sf_smoke).collect()
     ]
     assert got == want
+
+
+def test_compaction_segment_wins_over_stale_base(spark, sf_smoke, tmp_path):
+    """ADVICE r7: when a vec_id exists in BOTH base and segment with
+    different content (an updated/re-encoded vector), compaction must
+    keep the SEGMENT row deterministically — dropDuplicates kept an
+    arbitrary one, which could resurrect the stale base row. Pinned for
+    both compactable layouts (IVF assignments, PQ codes)."""
+    from event_store_spark.plans.ivf import compact_ivf_index
+    from event_store_spark.plans.pq import (
+        compact_pq_index,
+        load_pq_index,
+        save_pq_index,
+    )
+
+    # --- IVF: re-assign vec_id=1 to vec_id=2's (v, cell) via the segment
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(spark, sf_smoke, idx)
+    _, assigned = load_ivf_index(spark, idx)
+    base_n = assigned.count()
+    donor = assigned.where(F.col("vec_id") == 2).first()
+    adds = str(tmp_path / "ivf_adds")
+    assigned.where(F.col("vec_id") == 2).select(
+        F.lit(1).cast("long").alias("vec_id"), "v", "cell"
+    ).write.parquet(adds)
+    compact_ivf_index(spark, idx, adds)
+    _, merged = load_ivf_index(spark, idx)
+    assert merged.count() == base_n  # update, not insert
+    got = merged.where(F.col("vec_id") == 1).collect()
+    assert len(got) == 1
+    assert got[0].cell == donor.cell and list(got[0].v) == list(donor.v)
+
+    # --- PQ: re-encode vec_id=1 with vec_id=2's codes via the segment
+    pidx = str(tmp_path / "pq")
+    save_pq_index(spark, sf_smoke, pidx)
+    _, codes = load_pq_index(spark, pidx)
+    pbase_n = codes.count()
+    pdonor = codes.where(F.col("vec_id") == 2).first()
+    padds = str(tmp_path / "pq_adds")
+    codes.where(F.col("vec_id") == 2).select(
+        F.lit(1).cast("long").alias("vec_id"), "codes"
+    ).write.parquet(padds)
+    compact_pq_index(spark, pidx, padds)
+    _, merged_codes = load_pq_index(spark, pidx)
+    assert merged_codes.count() == pbase_n
+    pgot = merged_codes.where(F.col("vec_id") == 1).collect()
+    assert len(pgot) == 1
+    assert list(pgot[0].codes) == list(pdonor.codes)
