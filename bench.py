@@ -109,6 +109,7 @@ def main() -> None:
     detail = {
         "sf": sf,
         "reps": reps,
+        "duckdb": duckdb.__version__,  # oracle version skew is hash-affecting
         "engine_total": total,
         "oracle_total": oracle_total,
         "per_query": {
@@ -133,6 +134,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "duckdb": duckdb.__version__,
                 "oracle_total": oracle_total,
                 "engine_vs_oracle": round(total / oracle_total, 3)
                 if oracle_total

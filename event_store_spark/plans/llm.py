@@ -405,8 +405,157 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
         .withColumn("block", F.expr("substr(sig, block_idx * 8 + 1, 8)"))
     )
+    blocked = _simhash_bucket_guard(blocked, "dedup_simhash")
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.sig_int").bitwiseXOR(F.col("b.sig_int")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= 3)
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return cand.agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs"))
+
+
+def _simhash_bucket_guard(blocked: DataFrame, name: str) -> DataFrame:
+    """In-plan blocking-bucket size guard (dedup_embedding's discipline,
+    VERDICT r7 #2): bucket sizes are one tiny aggregation broadcast back
+    onto the blocked rows; any row in an oversized (block_idx, block)
+    bucket raises THROUGH the executed plan — distributed, no driver
+    round-trip — instead of letting the pigeonhole equi-join go quadratic
+    silently. Recovery is a wider signature (dedup_simhash64's 16-bit
+    blocks give 65,536 bucket values per block index vs the 32-bit form's
+    256) or a higher explicit ceiling via SPARK_GRAFT_SIMHASH_MAX_BUCKET."""
+    import os
+
+    max_bucket = int(os.environ.get("SPARK_GRAFT_SIMHASH_MAX_BUCKET", "8192"))
+    counts = blocked.groupBy("block_idx", "block").agg(
+        F.count(F.lit(1)).alias("_bcnt")
+    )
+    guard = F.when(
+        F.col("_bcnt") > max_bucket,
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit(f"{name}: pigeonhole bucket (block_idx, block)=("),
+                F.col("block_idx").cast("string"),
+                F.col("block"),
+                F.lit(") holds"),
+                F.col("_bcnt").cast("string"),
+                F.lit(
+                    f"signatures (max {max_bucket}); widen the signature "
+                    "(dedup_simhash64) or raise SPARK_GRAFT_SIMHASH_MAX_BUCKET"
+                ),
+            )
+        ).cast("int"),
+    ).otherwise(F.lit(1))
+    return (
+        blocked.join(F.broadcast(counts), ["block_idx", "block"])
+        .withColumn("_guard", guard)
+        .where(F.col("_guard") == 1)  # keeps the guard in the executed plan
+        .drop("_bcnt", "_guard")
+    )
+
+
+@register(
+    "dedup_simhash64",
+    oracle="""
+    WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id, md5(t) AS h FROM tok),
+    bits AS (SELECT doc_id, pos,
+                    SUM(CASE WHEN
+                          ((strpos('0123456789abcdef',
+                                   substr(h, CAST((pos + 3) // 4 AS INT), 1)) - 1)
+                           >> CAST(3 - ((pos - 1) % 4) AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+             FROM h, (SELECT UNNEST(range(1, 65)) AS pos) p
+             GROUP BY doc_id, pos),
+    sig AS (SELECT doc_id,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+                   AS sig
+            FROM bits GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN substr(a.sig, CAST(i AS INT), 1)
+                                    = substr(b.sig, CAST(i AS INT), 1)
+                            THEN 0 ELSE 1 END)) AS hd
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_pairs FROM pairs WHERE hd <= 3
+    """,
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — 64-bit signature, Hamming ≤ 3, 4×16-bit
+    pigeonhole blocks. The CORPUS-SCALE default (VERDICT r7 #2).
+
+    `dedup_simhash`'s 32-bit form splits into 4 blocks of 8 bits — at most
+    256 values per block index, so equi-join candidate sets grow
+    O(n²/1024): invisible at sf0.1, a scale-killer at 100 TB. Doubling the
+    signature to 64 bits makes each pigeonhole block 16 bits (65,536
+    values per block index, 2⁶·65,536 bucket keys overall) while keeping
+    the identical contract: any pair within Hamming ≤ 3 of the 64-bit
+    signature still shares at least one whole block (4 blocks, 3 flips —
+    pigeonhole), so candidates still come from 4 equi-joins, now over a
+    256×-finer key domain. The 32-bit form stays registered as the
+    oracle-parity twin; both carry the in-plan bucket guard.
+
+    Signature bit p (1-indexed, 1..64) = bit (p-1)%4 (MSB-first) of md5
+    hex nibble ⌈p/4⌉ — the natural widening of the 32-bit form's
+    high-bit-per-hex-char rule, byte-identical between Spark and DuckDB
+    because both read the same md5 hex string. Hamming distance runs as
+    two bit_count(xor) codegen ops over the signature halves (a 64-bit
+    signature through `conv(·,2,10)` would overflow LongType's cast)."""
+    docs = _docs(spark, sf_dir)
+    token_hashes = docs.select(
+        "doc_id", F.explode(whitespace_tokens("text")).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    bits = (
+        token_hashes.withColumn("pos", F.explode(F.sequence(F.lit(1), F.lit(64))))
+        .withColumn(
+            "contrib",
+            F.when(
+                F.expr(
+                    "(shiftright(CAST(conv(substr(h, (pos + 3) DIV 4, 1), 16, 10)"
+                    " AS INT), 3 - (pos - 1) % 4) & 1) = 1"
+                ),
+                1,
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.when(F.col("s") > 0, "1").otherwise("0").alias("bit"),
+                        )
+                    )
+                ),
+                lambda x: x["bit"],
+            ),
+        ).alias("sig")
+    )
+    blocked = (
+        sig.withColumn("hi", F.conv(F.expr("substr(sig, 1, 32)"), 2, 10).cast("long"))
+        .withColumn("lo", F.conv(F.expr("substr(sig, 33, 32)"), 2, 10).cast("long"))
+        .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("block", F.expr("substr(sig, block_idx * 16 + 1, 16)"))
+    )
+    blocked = _simhash_bucket_guard(blocked, "dedup_simhash64")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.hi").bitwiseXOR(F.col("b.hi"))
+    ) + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
     cand = (
         a.join(
             b,

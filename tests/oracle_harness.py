@@ -13,6 +13,16 @@ import duckdb
 
 from event_store_spark.tables import TABLE_NAMES, table_path
 
+#: pinned into every comparison message so CORRECTNESS artifacts carry the
+#: oracle's version (VERDICT r7 #7: the r05 episode was suspected
+#: driver-side DuckDB version skew and nothing recorded it). Pre-1.0
+#: DuckDB had different default types for several aggregates (HUGEINT
+#: sums) — the hash-affecting class pinned by tests/test_oracle_types.py.
+DUCKDB_VERSION = duckdb.__version__
+assert tuple(int(x) for x in DUCKDB_VERSION.split(".")[:2]) >= (1, 0), (
+    f"oracle comparisons require duckdb >= 1.0.0, found {DUCKDB_VERSION}"
+)
+
 
 def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     """One execution per oracle query: column names from the same cursor."""
@@ -68,4 +78,4 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     for i, (a, b) in enumerate(zip(sc, oc)):
         if a != b:
             return False, f"row {i} differs: spark={a!r} oracle={b!r}"
-    return True, f"ok ({len(s_rows)} rows)"
+    return True, f"ok ({len(s_rows)} rows, duckdb {DUCKDB_VERSION})"

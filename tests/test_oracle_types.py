@@ -63,3 +63,15 @@ def test_no_fetch_path_dependent_types(con):
         "oracle output types whose Python value representation depends on "
         f"the DuckDB fetch path (cast to BIGINT/DOUBLE): {offenders}"
     )
+
+
+def test_oracle_duckdb_version_pinned():
+    """VERDICT r7 #7: the r05 mismatch episode was suspected driver-side
+    DuckDB version skew with nothing recording the version. The harness
+    now asserts >= 1.0.0 at import and stamps the version into every
+    comparison message (and bench.py stamps it into BENCH_DETAIL.json),
+    so future artifacts carry the oracle version they were checked by."""
+    from tests.oracle_harness import DUCKDB_VERSION
+
+    assert DUCKDB_VERSION == duckdb.__version__
+    assert tuple(int(x) for x in DUCKDB_VERSION.split(".")[:2]) >= (1, 0)

@@ -647,3 +647,28 @@ def test_contamination_gate_is_exchange_free(spark, sf_correct):
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_simhash_variants_join_on_block_key_with_guard(spark, sf_correct):
+    """Both SimHash forms (32-bit parity twin, 64-bit corpus-scale
+    default — VERDICT r7 #2) join candidates on the (block_idx, block)
+    equi key and carry the in-plan bucket-size guard; the 64-bit plan
+    computes Hamming as two bit_count(xor) halves (no 64-bit conv
+    overflow)."""
+    for name in ("dedup_simhash", "dedup_simhash64"):
+        plan = _plan(spark, sf_correct, name)
+        assert "block" in plan, name
+        assert "raise_error" in plan, name  # guard in the EXECUTED plan
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash_bucket_guard_trips_loudly(spark, sf_correct, monkeypatch):
+    """An oversized pigeonhole bucket fails fast inside the executed plan
+    instead of letting the self-join go quadratic silently (the
+    dedup_embedding guard discipline applied to SimHash)."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_MAX_BUCKET", "1")
+    with pytest.raises(Exception, match="SPARK_GRAFT_SIMHASH_MAX_BUCKET"):
+        QUERIES["dedup_simhash64"](spark, sf_correct).collect()
