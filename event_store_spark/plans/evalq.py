@@ -58,9 +58,36 @@ def _recall_oracle() -> str:
     """
 
 
+from weakref import WeakKeyDictionary
+
+#: Composed-report plan memo (weak session key, the _TYPED_MEMO shape).
+#: Building the seven-subtree union costs ~1.3 s of py4j round-trips —
+#: 60% of the report's steady-state wall-clock (VERDICT r7 #4) — and the
+#: composition is deterministic per (session, sf_dir), so the LAZY
+#: DataFrame is built once and re-executed thereafter. No results are
+#: cached; every call re-runs the plan.
+_REPORT_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 @register("ann_recall_report", oracle=_recall_oracle())
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 per ANN method against the exact cosine top-5 (q33)."""
+    """recall@5 per ANN method against the exact cosine top-5 (q33).
+
+    The union evaluates seven embedding subtrees in ONE job; seeding the
+    session's shared cached embeddings scan first means each subtree
+    reads the corpus from storage once total instead of once per method
+    (VERDICT r7 #4 — the report is the only seeder; standalone queries
+    keep their pushdown-friendly parquet scans)."""
+    from event_store_spark.plans.llm import share_embeddings
+
+    memo = _REPORT_MEMO.setdefault(spark, {})
+    got = memo.get(sf_dir)
+    if got is not None:
+        return got
+
+    share_embeddings(spark, sf_dir)
     exact = QUERIES[_EXACT](spark, sf_dir).select("vec_id")
     tagged = None
     for label, q in sorted(ANN_METHODS.items()):
@@ -69,7 +96,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tagged = part if tagged is None else tagged.unionAll(part)
     hit = F.broadcast(exact.withColumn("_hit", F.lit(1)))
-    return (
+    report = (
         tagged.join(hit, "vec_id", "left")
         .groupBy("method")
         .agg(
@@ -78,3 +105,5 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+    memo[sf_dir] = report
+    return report

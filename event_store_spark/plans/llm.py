@@ -206,8 +206,34 @@ def minhash_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+#: Shared embeddings scan, seeded by `share_embeddings` (weak session key,
+#: like _MINHASH_MEMO): when seeded, every _emb consumer serves from ONE
+#: cached scan instead of re-reading parquet per plan subtree. Only the
+#: evaluation harness seeds it (ann_recall_report unions seven embedding
+#: subtrees in one job — VERDICT r7 #4); standalone queries keep the plain
+#: pushdown-friendly parquet scan, which is the right default at corpus
+#: scale where whole-table caching would thrash executor storage.
+_EMB_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _EMB_MEMO.setdefault(spark, {}).get(sf_dir)
+    if got is not None:
+        return got
     return load_table(spark, sf_dir, "embeddings")
+
+
+def share_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed (idempotently) the session's shared cached embeddings scan.
+    Deterministic reuse — the cache holds exactly what the parquet scan
+    yields, so consumers' results cannot change; eval-path-sized by
+    intent (an eval runs over a sampled query set at 100 TB)."""
+    memo = _EMB_MEMO.setdefault(spark, {})
+    if sf_dir not in memo:
+        memo[sf_dir] = load_table(spark, sf_dir, "embeddings").cache()
+    return memo[sf_dir]
 
 
 #: dedup_embedding's target mean bucket occupancy: planes are sized so the

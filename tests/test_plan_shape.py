@@ -672,3 +672,20 @@ def test_simhash_bucket_guard_trips_loudly(spark, sf_correct, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SIMHASH_MAX_BUCKET", "1")
     with pytest.raises(Exception, match="SPARK_GRAFT_SIMHASH_MAX_BUCKET"):
         QUERIES["dedup_simhash64"](spark, sf_correct).collect()
+
+
+def test_ann_recall_report_memoizes_plan_not_results(spark, sf_correct):
+    """VERDICT r7 #4: the seven-subtree union costs ~1.3 s of py4j plan
+    construction per call; the LAZY DataFrame is memoized per (session,
+    sf_dir) and re-executed. Same object back, values stable, and the
+    shared cached embeddings scan is seeded (InMemory in the plan)."""
+    from event_store_spark.plans.evalq import ann_recall_report
+
+    df1 = ann_recall_report(spark, sf_correct)
+    df2 = ann_recall_report(spark, sf_correct)
+    assert df2 is df1  # plan memo hit
+    r1 = sorted((r.method, r.hits) for r in df1.collect())
+    r2 = sorted((r.method, r.hits) for r in df2.collect())
+    assert r1 == r2 and len(r1) == 6
+    plan = df1._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
