@@ -13,10 +13,17 @@ flat envelope records the store uses):
   top-level columns, resolved to a reader schema with the same Avro
   evolution rules the Confluent path applies (writer schema from each
   file's own header; reader aliases for renames, defaults for added
-  fields, dropped fields discarded). Parallelism = file count, the
-  natural unit of a lake of bounded-size .avro files; block-level
-  splitting of one huge file is the vendored-connector job this module
-  deliberately leaves out (write bounded files instead).
+  fields, dropped fields discarded). Parallelism = file count for a
+  lake of bounded-size files; when any file exceeds ``split_bytes``
+  (default 128 MiB, env ``SPARK_GRAFT_OCF_SPLIT_BYTES``) the read
+  switches to SYNC-MARKER BLOCK SPLITTING — the format's own split
+  design (VERDICT r7 #5: one 10 GB file used to become a silent 1-task
+  stage): each task seeks into its byte range, scans to the next
+  16-byte sync, and decodes exactly the blocks that START in its range,
+  so a single huge file fans out across the cluster. The split path
+  opens files by path (shared-filesystem contract, same as
+  `write_avro_container_dist`); non-local URIs fall back to whole-file
+  tasks with a loud warning.
 - :func:`write_avro_container` — a driver-side single-file writer
   (null/deflate codecs) for fixtures and small exports.
 - :func:`write_avro_container_dist` — the distributed sink: one
@@ -141,30 +148,81 @@ def _decode_file(content: bytes, project) -> list[dict]:
     return rows
 
 
+def _local_path(uri: str) -> str | None:
+    """file:-or-bare URI → filesystem path; None for remote schemes."""
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return urllib.parse.unquote(parsed.path) or uri
+    return None
+
+
+def _scan_to_block_start(fh, sync: bytes, from_pos: int) -> int | None:
+    """First block start (position AFTER a sync marker) at or beyond
+    ``from_pos + 16`` — i.e. the first sync occurring at byte position
+    >= from_pos, streamed in 1 MiB chunks with a 15-byte overlap carry.
+    None when the file ends first. False positives (the 16 sync bytes
+    appearing inside block data) are the same ~2^-128 odds every
+    splittable-Avro reader accepts; a hit there fails loudly on the
+    next block's structure parse, never silently."""
+    fh.seek(from_pos)
+    carry = b""
+    while True:
+        chunk = fh.read(1 << 20)
+        if not chunk:
+            return None
+        data = carry + chunk
+        chunk_start = fh.tell() - len(chunk)
+        idx = data.find(sync)
+        if idx != -1:
+            return chunk_start - len(carry) + idx + 16
+        carry = data[-15:]
+
+
 def read_avro_container(
-    spark: SparkSession, path: str, reader_schema: dict | str | None = None
+    spark: SparkSession,
+    path: str,
+    reader_schema: dict | str | None = None,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Distributed OCF read: records as top-level columns under the
     reader schema (default: the writer schema of the first file, read
-    once driver-side — one small header fetch)."""
+    once driver-side — one small header fetch). Files larger than
+    ``split_bytes`` are read as multiple sync-aligned byte-range splits
+    (see module docstring); smaller files stay one whole-file task."""
+    import os as _os
+
     import pandas as pd
 
     from event_store_spark.avro.spark import spark_type_of
     from event_store_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
+    if split_bytes is None:
+        split_bytes = int(
+            _os.environ.get("SPARK_GRAFT_OCF_SPLIT_BYTES", str(128 << 20))
+        )
     files = spark.read.format("binaryFile").load(path)
+    # listing only (path + size): binaryFile defers content to the scan,
+    # so this collect is a driver-side file listing, not a data read
+    listing = sorted(
+        (r["path"], r["length"])
+        for r in files.select("path", "length").collect()
+    )
+    if not listing:
+        raise ValueError(f"no files match {path}")
 
     if reader_schema is None:
-        first = files.select("path").orderBy("path").first()
-        if first is None:
-            raise ValueError(f"no files match {path}")
-        import urllib.parse
-
-        local = urllib.parse.urlparse(first["path"]).path
+        local = _local_path(listing[0][0])
+        if local is None:
+            raise ValueError(
+                "reader_schema inference opens the first file driver-side "
+                f"and {listing[0][0]} is not a local/shared path — pass "
+                "reader_schema explicitly"
+            )
         with open(local, "rb") as fh:
-            head = fh.read(1 << 20)
-        writer, _, _ = _parse_header(io.BytesIO(head))
+            writer, _, _ = _parse_header(fh)
         reader_schema = writer.schema
 
     reader = RecordCodec(reader_schema)
@@ -198,19 +256,119 @@ def read_avro_container(
         return row
 
     ddl = spark_type_of(reader)[len("struct<") : -1]  # top-level columns
+    out_cols = [n for n, _ in reader_fields]
 
-    def decode_files(pdfs):
+    def _frame(out: list[dict]) -> "pd.DataFrame":
+        return (
+            pd.DataFrame(out, columns=out_cols)
+            if out
+            else pd.DataFrame({n: pd.Series([], dtype="object") for n in out_cols})
+        )
+
+    oversized = [(p, ln) for p, ln in listing if ln > split_bytes]
+    all_local = all(_local_path(p) is not None for p, _ in listing)
+    if oversized and not all_local:
+        import warnings
+
+        warnings.warn(
+            f"read_avro_container: {len(oversized)} file(s) over "
+            f"split_bytes={split_bytes} but the input is not on a "
+            "local/shared filesystem — byte-range splitting needs "
+            "open-by-path, so each file runs as ONE task "
+            f"(first oversized: {oversized[0][0]}); write bounded files or "
+            "stage onto shared storage",
+            stacklevel=2,
+        )
+
+    if not oversized or not all_local:
+        def decode_files(pdfs):
+            for pdf in pdfs:
+                out: list[dict] = []
+                for content in pdf["content"]:
+                    out.extend(_decode_file(bytes(content), project))
+                yield _frame(out)
+
+        return files.select("content").mapInPandas(decode_files, ddl)
+
+    # --- sync-marker split plan: one row per byte range, every file ---
+    # (split files AND bounded ones ride the same plan so the stage is
+    # homogeneous). Planning opens each file once driver-side for its
+    # header (writer schema, codec, sync, header end) — a per-file
+    # metadata fetch of the same order as the listing itself.
+    plan_rows = []
+    for p, ln in listing:
+        local = _local_path(p)
+        with open(local, "rb") as fh:
+            writer, codec_name, sync = _parse_header(fh)
+            header_end = fh.tell()
+        schema_json = json.dumps(writer.schema)
+        s = header_end
+        while s < ln:
+            e = min(s + split_bytes, ln)
+            plan_rows.append((p, local, s, e, header_end, schema_json,
+                              codec_name + ":" + sync.hex()))
+            s = e
+        if header_end >= ln:  # header-only file: no blocks
+            plan_rows.append((p, local, header_end, ln, header_end,
+                              schema_json, codec_name + ":" + sync.hex()))
+
+    # one split per partition, pinned at the RDD layer: a repartition()
+    # here would be a shuffle whose partitions AQE sees as tiny (the plan
+    # rows are bytes; the COST is the decode after) and coalesces back to
+    # one task — exactly the 1-task stage this path exists to prevent
+    plan = spark.createDataFrame(
+        spark.sparkContext.parallelize(plan_rows, len(plan_rows)),
+        "uri string, local string, start long, end long, header_end long,"
+        " schema_json string, codec_sync string",
+    )
+
+    def decode_splits(pdfs):
         for pdf in pdfs:
             out: list[dict] = []
-            for content in pdf["content"]:
-                out.extend(_decode_file(bytes(content), project))
-            yield pd.DataFrame(
-                out, columns=[n for n, _ in reader_fields]
-            ) if out else pd.DataFrame(
-                {n: pd.Series([], dtype="object") for n, _ in reader_fields}
-            )
+            for row in pdf.itertuples(index=False):
+                writer = RecordCodec(row.schema_json)
+                codec_name, sync_hex = row.codec_sync.split(":")
+                sync = bytes.fromhex(sync_hex)
+                with open(row.local, "rb") as fh:
+                    # ownership rule: a block belongs to the split its
+                    # START offset falls in. The first split begins at
+                    # header_end exactly; later splits scan from
+                    # start-16 so a block starting exactly at `start`
+                    # (whose preceding sync straddles the boundary) is
+                    # found, and the previous split's `pos < end` test
+                    # excludes it there.
+                    if row.start <= row.header_end:
+                        pos = row.header_end
+                    else:
+                        pos = _scan_to_block_start(fh, sync, row.start - 16)
+                        if pos is None or pos >= row.end:
+                            continue
+                    fh.seek(pos)
+                    while pos < row.end:
+                        head = fh.read(1)
+                        if not head:
+                            break
+                        fh.seek(-1, io.SEEK_CUR)
+                        count = decode_long(fh)
+                        size = decode_long(fh)
+                        body = fh.read(size)
+                        if len(body) != size:
+                            raise ValueError("truncated block")
+                        if codec_name == "deflate":
+                            body = zlib.decompress(body, -15)
+                        block = io.BytesIO(body)
+                        for _ in range(count):
+                            out.append(
+                                project(writer, writer.decode_stream(block))
+                            )
+                        if fh.read(16) != sync:
+                            raise ValueError(
+                                "sync marker mismatch (corrupt or split file)"
+                            )
+                        pos = fh.tell()
+            yield _frame(out)
 
-    return files.select("content").mapInPandas(decode_files, ddl)
+    return plan.mapInPandas(decode_splits, ddl)
 
 
 def write_avro_container_dist(

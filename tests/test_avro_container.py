@@ -148,3 +148,65 @@ def test_distributed_sink_roundtrips_an_event_topic(spark, tmp_path):
         (r.id, bytes(r.key), r.ts_ms, r.lsn, r.payload) for r in env.collect()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_split_read_equals_whole_file_read(spark, tmp_path, codec):
+    """VERDICT r7 #5: a file over split_bytes fans out as sync-aligned
+    byte-range splits instead of one silent whole-file task. Pinned:
+    split reads across MANY split widths (forcing boundaries to land
+    mid-block, mid-sync, and exactly on block starts) all equal the
+    whole-file read, with no duplicated or lost blocks."""
+    rows = [
+        {"order_id": i, "amount": float(i) / 4, "note": f"n{i}" if i % 3 else None}
+        for i in range(500)
+    ]
+    path = str(tmp_path / "big.avro")
+    # many small blocks so several land in every split
+    write_avro_container(rows, SCHEMA_V1, path, codec=codec, block_records=7)
+    import os
+
+    size = os.path.getsize(path)
+
+    whole = read_avro_container(spark, path, split_bytes=size + 1)
+    want = sorted((r.order_id, r.amount, r.note) for r in whole.collect())
+    assert len(want) == 500
+
+    for split_bytes in (97, 256, 1024, size // 2, size - 1):
+        got_df = read_avro_container(spark, path, split_bytes=split_bytes)
+        got = sorted((r.order_id, r.amount, r.note) for r in got_df.collect())
+        assert got == want, f"split_bytes={split_bytes}"
+        # the plan really fans out: one task per byte-range split (the
+        # data region is size minus the header, hence the ceil below);
+        # size-1 legitimately yields ONE split — boundary pinned too
+        import math
+
+        with open(path, "rb") as fh:
+            from event_store_spark.avro.container import _parse_header
+
+            _parse_header(fh)
+            header_end = fh.tell()
+        expect = max(1, math.ceil((size - header_end) / split_bytes))
+        assert got_df.rdd.getNumPartitions() == expect, (
+            f"split_bytes={split_bytes}"
+        )
+
+
+def test_split_read_mixed_sizes_and_evolution(spark, tmp_path):
+    """A directory mixing one oversized file with bounded ones rides the
+    split plan homogeneously, and the reader-schema evolution rules
+    (alias rename, added-field default) apply per split exactly as on
+    the whole-file path."""
+    big = [{"order_id": i, "amount": float(i), "note": None} for i in range(300)]
+    write_avro_container(big, SCHEMA_V1, str(tmp_path / "big.avro"),
+                         block_records=5)
+    write_avro_container(ROWS, SCHEMA_V1, str(tmp_path / "small.avro"))
+
+    df = read_avro_container(
+        spark, str(tmp_path / "*.avro"), reader_schema=SCHEMA_V2,
+        split_bytes=512,
+    )
+    got = {(r.order_id, r.total, r.currency) for r in df.collect()}
+    assert len(got) == 303
+    assert (1, 9.5, "EUR") in got          # alias rename + default applied
+    assert (299, 299.0, "EUR") in got      # from the split file
