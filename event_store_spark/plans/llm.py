@@ -398,31 +398,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_hashes = docs.select(
         "doc_id", F.explode(whitespace_tokens("text")).alias("t")
     ).select("doc_id", F.md5("t").alias("h"))
-    bits = (
-        token_hashes.withColumn("pos", F.explode(F.sequence(F.lit(1), F.lit(32))))
-        .withColumn(
-            "contrib",
-            F.when(
-                F.expr("substr(h, pos, 1)").isin(*list("89abcdef")), 1
-            ).otherwise(-1),
-        )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    sig = bits.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos", F.when(F.col("s") > 0, "1").otherwise("0").alias("bit")
-                        )
-                    )
-                ),
-                lambda x: x["bit"],
-            ),
-        ).alias("sig")
+    # one SUM(±1) aggregate column per signature bit over the token rows
+    # (map-side partials, no 32× position explode) — see dedup_simhash64
+    sig = _simhash_sig(
+        token_hashes,
+        32,
+        lambda p: F.expr(f"substr(h, {p}, 1)").isin(*list("89abcdef")),
     )
     # 4 pigeonhole blocks of 8 bits; Hamming distance as one codegen op:
     # parse the bit string once per row, then bit_count(xor) per pair.
@@ -446,6 +427,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs"))
+
+
+def _simhash_sig(token_hashes: DataFrame, bits: int, on) -> DataFrame:
+    """(doc_id, sig) — SimHash signature as a '0'/'1' string of ``bits``
+    positions. One SUM(±1) AGGREGATE COLUMN per bit over the (doc_id, h)
+    token rows — a single shuffle with map-side partials, O(tokens) rows
+    regardless of width. The explode-by-position build this replaced
+    inflated the token shuffle ``bits``× and measured 50 s (64-bit) /
+    25 s (32-bit) at the 10× corpus vs 12.6 s for this form (PERF.md
+    round 8). ``on(p)`` is the bit-p predicate over the md5 hex column
+    ``h`` — the only thing the 32- and 64-bit forms differ in."""
+    sums = token_hashes.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(on(p), 1).otherwise(-1)).alias(f"s{p}")
+            for p in range(1, bits + 1)
+        ]
+    )
+    return sums.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{p}") > 0, "1").otherwise("0")
+                for p in range(1, bits + 1)
+            ]
+        ).alias("sig"),
+    )
 
 
 def _simhash_bucket_guard(blocked: DataFrame, name: str) -> DataFrame:
@@ -535,42 +542,28 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-bit-per-hex-char rule, byte-identical between Spark and DuckDB
     because both read the same md5 hex string. Hamming distance runs as
     two bit_count(xor) codegen ops over the signature halves (a 64-bit
-    signature through `conv(·,2,10)` would overflow LongType's cast)."""
+    signature through `conv(·,2,10)` would overflow LongType's cast).
+
+    Signature build: 64 SUM(±1) AGGREGATE COLUMNS over the token rows —
+    one shuffle of (doc_id, h) with map-side partials — NOT a position
+    explode. The explode form (what the 32-bit twin uses at half the
+    width) inflates the shuffle 64× and measured 50 s at 10× vs 25 s for
+    the 32-bit; per-position aggregate columns keep the build O(tokens)
+    rows regardless of signature width, which is the whole point of a
+    wider signature being the scale default."""
     docs = _docs(spark, sf_dir)
     token_hashes = docs.select(
         "doc_id", F.explode(whitespace_tokens("text")).alias("t")
     ).select("doc_id", F.md5("t").alias("h"))
-    bits = (
-        token_hashes.withColumn("pos", F.explode(F.sequence(F.lit(1), F.lit(64))))
-        .withColumn(
-            "contrib",
-            F.when(
-                F.expr(
-                    "(shiftright(CAST(conv(substr(h, (pos + 3) DIV 4, 1), 16, 10)"
-                    " AS INT), 3 - (pos - 1) % 4) & 1) = 1"
-                ),
-                1,
-            ).otherwise(-1),
+
+    def _bit_on(pos: int):  # is signature bit `pos` (1..64) set for h?
+        c, shift = (pos + 3) // 4, 3 - (pos - 1) % 4
+        return F.expr(
+            f"(shiftright(CAST(conv(substr(h, {c}, 1), 16, 10) AS INT),"
+            f" {shift}) & 1) = 1"
         )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    sig = bits.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos",
-                            F.when(F.col("s") > 0, "1").otherwise("0").alias("bit"),
-                        )
-                    )
-                ),
-                lambda x: x["bit"],
-            ),
-        ).alias("sig")
-    )
+
+    sig = _simhash_sig(token_hashes, 64, _bit_on)
     blocked = (
         sig.withColumn("hi", F.conv(F.expr("substr(sig, 1, 32)"), 2, 10).cast("long"))
         .withColumn("lo", F.conv(F.expr("substr(sig, 33, 32)"), 2, 10).cast("long"))
@@ -623,58 +616,126 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup over banded (lang, length-bucket) candidate pairs.
+    """n-gram Jaccard near-dup stats over (same lang, |Δn_chars| ≤ 5)
+    candidate pairs — counts, dup count at J ≥ 0.3, and max J.
 
-    Candidates: same lang, |n_chars| within 5. Blocking is a TRUE composite
-    equi key: n_chars is banded into width-5 buckets; the left side keeps its
-    own band, the right side explodes to {band-1, band, band+1}. Any pair
-    with |delta chars| <= 5 has bands differing by at most 1 (band width ==
-    max delta), so it collides on exactly ONE (lang, bucket) key -- no
-    distinct pass needed, and Spark hash-partitions on the high-cardinality
-    composite key instead of lang alone (cardinality 5, the round-1 skew
-    bug). The exact |delta| <= 5 predicate remains as a residual evaluated
-    only within tiny buckets. Exact Jaccard over distinct word 3-gram sets
-    via array_intersect/union sizes. MAX is reported instead of AVG so the
-    float comparison is a single IEEE value, not an
-    accumulation-order-dependent mean.
-    """
-    band_w = 5  # == max |n_chars| delta, so bands differ by at most 1
+    RE-PLANNED round 8 (VERDICT r7 "what's wrong" #2: the banded
+    pair-enumeration plan measured exponent 1.65 at 10× and 1.86 at 30× —
+    candidate pairs grow quadratically within length bands BY THE QUERY'S
+    OWN DEFINITION, so any plan that materializes every candidate is
+    quadratic no matter how well it blocks). The contract's three outputs
+    decompose so that NO zero-overlap pair is ever enumerated:
+
+    - ``candidate_pairs`` is pure combinatorics over the per-(lang,
+      n_chars) HISTOGRAM: Σ c_x·c_y over value pairs within distance 5
+      (+ C(c,2) at equal length). The histogram join touches distinct
+      (lang, n_chars) VALUES — corpus-size-independent width.
+    - ``dup_pairs`` and ``max_jaccard`` need Jaccard only where it can
+      exceed zero, i.e. pairs SHARING at least one gram: an inverted-
+      index self-join on the gram string (each doc's distinct 3-grams
+      exploded once), grouped to per-pair intersection counts, with the
+      (lang, |Δ| ≤ 5, id<) candidate predicate as the residual. Work is
+      Σ_gram df(gram)² — bounded by gram co-occurrence like the MinHash
+      candidate build, not by band population. Zero-overlap candidates
+      contribute max J = 0.0 without being enumerated (the final select
+      floors max at 0.0 when the candidate count exceeds the co-
+      occurring count; an empty candidate set yields NULL, matching the
+      oracle's MAX over zero rows).
+
+    Exact, not approximate: every pair with J > 0 shares a gram, so the
+    inverted index enumerates a superset of the J ≥ 0.3 pairs and the
+    exact intersection count decides. MAX is reported instead of AVG so
+    the float comparison is a single IEEE value, not an accumulation-
+    order-dependent mean."""
     docs = _docs(spark, sf_dir)
-    grams = (
-        docs.select("doc_id", "lang", "n_chars", whitespace_tokens("text").alias("w"))
-        .select(
-            "doc_id", "lang", "n_chars", F.array_distinct(word_ngrams("w", 3)).alias("grams")
+
+    # candidate count: histogram combinatorics, never a doc-pair join —
+    # and no gram construction at all on this branch
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    ha, hb = hist.alias("ha"), hist.alias("hb")
+    cand = (
+        ha.join(
+            hb,
+            (F.col("ha.lang") == F.col("hb.lang"))
+            & (F.col("hb.n_chars") >= F.col("ha.n_chars"))
+            & (F.col("hb.n_chars") <= F.col("ha.n_chars") + 5),
         )
-        .withColumn("band", F.floor(F.col("n_chars") / band_w))
+        .select(
+            F.when(
+                F.col("ha.n_chars") == F.col("hb.n_chars"),
+                F.col("ha.c") * (F.col("ha.c") - 1) / 2,
+            )
+            .otherwise(F.col("ha.c") * F.col("hb.c"))
+            .alias("n")
+        )
+        .agg(F.sum("n").cast("bigint").alias("candidate_pairs"))
     )
-    a = grams.withColumnRenamed("band", "bucket").alias("a")
-    b = grams.withColumn(
-        "bucket",
-        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)),
-    ).alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5)
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("inter"),
+
+    # the inverted index: one gram-build evaluation per doc (the explode
+    # GENERATOR evaluates its input once per input row), de-duplicated by
+    # a distinct whose exchange doubles as the materialization barrier —
+    # without it, projection collapse inlines the tokenize+ngram
+    # expression into every downstream reference (gsize, both join
+    # sides), which measured 30+ s at sf0.1 vs ~3 s for this shape
+    tok = (
+        docs.select(
+            "doc_id", "lang", "n_chars", whitespace_tokens("text").alias("w")
+        )
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.explode(word_ngrams("w", 3)).alias("g"),
+        )
+        .distinct()
+    )
+    # per-doc distinct-gram counts join back by doc_id; the strategy is
+    # left to AQE (broadcast at fixture scale, shuffle join at corpus
+    # scale — a forced broadcast of a #docs-row table would not survive
+    # 100 TB)
+    gsz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gsize"))
+    tok = tok.join(gsz, "doc_id")
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("ta.g") == F.col("tb.g"))
+            & (F.col("ta.lang") == F.col("tb.lang"))
+            & (F.abs(F.col("ta.n_chars") - F.col("tb.n_chars")) <= 5)
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(
+            F.col("ta.doc_id").alias("d1"),
+            F.col("tb.doc_id").alias("d2"),
+            F.col("ta.gsize").alias("g1"),
+            F.col("tb.gsize").alias("g2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    co = inter.select(
         (
-            F.size(F.col("a.grams"))
-            + F.size(F.col("b.grams"))
-            - F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-        ).alias("uni"),
+            F.col("inter").cast("double")
+            / (F.col("g1") + F.col("g2") - F.col("inter"))
+        ).alias("jac")
+    ).agg(
+        F.count(F.lit(1)).alias("co_pairs"),
+        F.sum(F.when(F.col("jac") >= 0.3, 1).otherwise(0)).alias("dups"),
+        F.max("jac").alias("max_co"),
     )
-    j = pairs.select(
-        F.when(F.col("uni") > 0, F.col("inter").cast("double") / F.col("uni"))
-        .otherwise(F.lit(0.0))
-        .alias("jac")
+
+    j = cand.crossJoin(co).select(
+        "candidate_pairs",
+        F.coalesce(F.col("dups"), F.lit(0)).cast("bigint").alias("dup_pairs"),
+        F.when(F.col("candidate_pairs") == 0, F.lit(None).cast("double"))
+        .when(
+            F.col("candidate_pairs") > F.coalesce(F.col("co_pairs"), F.lit(0)),
+            F.greatest(F.coalesce(F.col("max_co"), F.lit(0.0)), F.lit(0.0)),
+        )
+        .otherwise(F.col("max_co"))
+        .alias("max_j"),
     )
-    return j.agg(
-        F.count(F.lit(1)).cast("bigint").alias("candidate_pairs"),
-        F.count(F.when(F.col("jac") >= 0.3, 1)).cast("bigint").alias("dup_pairs"),
-        F.round(F.max("jac"), 4).alias("max_jaccard"),
+    return j.select(
+        "candidate_pairs",
+        "dup_pairs",
+        F.round(F.col("max_j"), 4).alias("max_jaccard"),
     )
 
 

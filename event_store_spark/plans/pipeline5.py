@@ -330,6 +330,35 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- SQ8 index persistence API
 
+def sq8_quantize(emb: DataFrame, mns: list[float], mxs: list[float]) -> DataFrame:
+    """(vec_id, q: array<tinyint>) under the given per-dimension limits —
+    the ONE quantization expression shared by the batch save and the
+    streaming encode twin. SATURATING: components outside [mn, mx] clamp
+    to the code range ends (standard scalar-quantizer behavior; without
+    the clamp an out-of-range streamed vector would wrap through the
+    tinyint cast into a silently wrong code). For the training corpus the
+    clamp is an exact no-op — the limits ARE its min/max, and the
+    boundary codes land on -128/127 before clamping."""
+    return (
+        emb.withColumn("_mns", F.lit(mns))
+        .withColumn("_mxs", F.lit(mxs))
+        .select(
+            "vec_id",
+            F.expr(
+                """
+                transform(sequence(0, size(v) - 1), i ->
+                    CASE WHEN _mxs[i] = _mns[i] THEN CAST(0 AS TINYINT)
+                         ELSE CAST(LEAST(127.0D, GREATEST(-128.0D,
+                                   FLOOR((v[i] - _mns[i]) * 255.0D
+                                         / (_mxs[i] - _mns[i]) + 0.5D) - 128))
+                                   AS TINYINT)
+                    END)
+                """
+            ).alias("q"),
+        )
+    )
+
+
 def save_sq8_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Persist the SQ8 index: limits.json (per-dimension (min, max) — the
     whole codebook is 2×DIM doubles) and the quantized corpus as a flat
@@ -352,23 +381,7 @@ def save_sq8_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     )
     mns = [float(mn) for _, mn, _ in rows]
     mxs = [float(mx) for _, _, mx in rows]
-    quant = (
-        emb.withColumn("_mns", F.lit(mns))
-        .withColumn("_mxs", F.lit(mxs))
-        .select(
-            "vec_id",
-            F.expr(
-                """
-                transform(sequence(0, size(v) - 1), i ->
-                    CASE WHEN _mxs[i] = _mns[i] THEN CAST(0 AS TINYINT)
-                         ELSE CAST(FLOOR((v[i] - _mns[i]) * 255.0D
-                                         / (_mxs[i] - _mns[i]) + 0.5D) - 128
-                                   AS TINYINT)
-                    END)
-                """
-            ).alias("q"),
-        )
-    )
+    quant = sq8_quantize(emb, mns, mxs)
     os.makedirs(path, exist_ok=True)
     # retrain over an existing index: both halves (codes AND the limits
     # they were quantized by) publish as one fresh generation behind one

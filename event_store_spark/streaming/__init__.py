@@ -13,6 +13,11 @@ from event_store_spark.streaming.contamination import (
     contamination_gate,
 )
 from event_store_spark.streaming.curation import CurationPipeline
+from event_store_spark.streaming.index import (
+    ivf_assign_stream,
+    pq_encode_stream,
+    sq8_encode_stream,
+)
 from event_store_spark.streaming.lock import LockManager, LockMonitor
 from event_store_spark.streaming.ocf_ingest import OcfIngest
 from event_store_spark.streaming.replicate import Replicator
@@ -35,4 +40,7 @@ __all__ = [
     "kafka_source_to_records",
     "records_to_kafka_sink",
     "kafka_stream",
+    "ivf_assign_stream",
+    "pq_encode_stream",
+    "sq8_encode_stream",
 ]

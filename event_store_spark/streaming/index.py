@@ -78,3 +78,37 @@ def pq_encode_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sq8_encode_stream(
+    embeddings_stream: DataFrame,
+    mns: list[float],
+    mxs: list[float],
+    target_path: str,
+    checkpoint: str,
+):
+    """SQ8 twin of :func:`ivf_assign_stream` (VERDICT r7 #8 — completes
+    the streaming lifecycle for all three persisted ANN layouts): quantize
+    arriving embeddings (columns ``vec_id``, ``v: array<double>``) under
+    the FROZEN per-dimension limits map-side (the identical
+    `pipeline5.sq8_quantize` expression the batch save uses; broadcast
+    2×d literal state, zero shuffle) and append the (vec_id, q) rows as a
+    flat codes segment. Components outside the trained [mn, mx] range
+    saturate to the code ends — the honest behavior of serving new data
+    under old limits; a limits retrain (which re-encodes everything,
+    hence `save_sq8_index`'s no-compaction rule) stays a periodic batch
+    job, exactly the IVF/PQ split. Serve base + segment by unioning this
+    dir onto `load_sq8_index`'s codes table. Returns the StreamingQuery."""
+    from event_store_spark.plans.pipeline5 import sq8_quantize
+
+    if not embeddings_stream.isStreaming:
+        raise ValueError("sq8_encode_stream requires a streaming DataFrame")
+    quant = sq8_quantize(embeddings_stream, mns, mxs)
+    return (
+        quant.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

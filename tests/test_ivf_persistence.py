@@ -706,3 +706,57 @@ def test_compaction_segment_wins_over_stale_base(spark, sf_smoke, tmp_path):
     pgot = merged_codes.where(F.col("vec_id") == 1).collect()
     assert len(pgot) == 1
     assert list(pgot[0].codes) == list(pdonor.codes)
+
+
+def test_sq8_encode_stream_matches_batch_and_saturates(spark, sf_smoke, tmp_path):
+    """VERDICT r7 #8: the SQ8 streaming encode twin completes the
+    lifecycle for all three ANN layouts. Pinned: streamed codes across
+    micro-batches equal the batch quantization under the same frozen
+    limits; components outside the trained range SATURATE to the code
+    ends instead of wrapping through the tinyint cast."""
+    from event_store_spark.plans.pipeline5 import (
+        load_sq8_index,
+        save_sq8_index,
+        sq8_quantize,
+    )
+    from event_store_spark.streaming.index import sq8_encode_stream
+
+    idx = str(tmp_path / "sq8")
+    save_sq8_index(spark, sf_smoke, idx)
+    (mns, mxs), base_codes = load_sq8_index(spark, idx)
+
+    from event_store_spark.plans.ivf import _ivf_index
+
+    _, assigned = _ivf_index(spark, sf_smoke, "full")
+    new = assigned.where(F.col("vec_id").between(1, 6)).select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = sq8_encode_stream(stream, mns, mxs, str(tmp_path / "adds"),
+                          str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {
+        r.vec_id: list(r.q)
+        for r in spark.read.parquet(str(tmp_path / "adds")).collect()
+    }
+    want = {r.vec_id: list(r.q) for r in sq8_quantize(new, mns, mxs).collect()}
+    assert got == want and len(got) == 6
+
+    # base + segment serve as a union with no vec_id overlap
+    merged = base_codes.unionByName(
+        spark.read.parquet(str(tmp_path / "adds"))
+    )
+    assert merged.count() == base_codes.count() + 6
+
+    # out-of-range components clamp to -128/127 (never wrap)
+    wild = spark.createDataFrame(
+        [(99, [mxs[i] + 1000.0 for i in range(len(mxs))]),
+         (98, [mns[i] - 1000.0 for i in range(len(mns))])],
+        "vec_id long, v array<double>",
+    )
+    codes = {r.vec_id: set(r.q) for r in sq8_quantize(wild, mns, mxs).collect()}
+    assert codes[99] <= {127, 0}   # degenerate dims (mx=mn) encode 0
+    assert codes[98] <= {-128, 0}

@@ -29,13 +29,25 @@ def test_scale_rank_windows_are_partitioned(spark, sf_correct):
                 assert "_band" in line, f"{name}: unpartitioned window: {line}"
 
 
-def test_ngram_jaccard_joins_on_composite_bucket_key(spark, sf_correct):
-    """Blocking is a real (lang, length-bucket) equi key, not lang-only
-    with a residual — and never a cartesian/nested-loop product."""
+def test_ngram_jaccard_never_enumerates_zero_overlap_pairs(spark, sf_correct):
+    """Round-8 re-plan (VERDICT r7): the candidate count is histogram
+    combinatorics and Jaccard work happens ONLY for gram-sharing pairs —
+    the doc-pair join is an equi-join on the gram string (inverted
+    index), never a banded all-pairs enumeration, and never a
+    cartesian/nested-loop product. The one intentional cross join is the
+    final two-single-row-aggregate assembly."""
     plan = _plan(spark, sf_correct, "dedup_ngram_jaccard")
-    assert "bucket" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "g#" in plan  # gram equi key drives the doc-pair join
+    assert "Generate explode" in plan  # inverted index built ONCE per doc
+    # the only allowed non-equi join is the single-row x single-row
+    # assembly of the two aggregates (a broadcast Cross of 1-row sides)
+    crosses = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line or "CartesianProduct" in line
+    ]
+    assert len(crosses) <= 1, crosses
+    assert all("Cross" in c or "CartesianProduct" in c for c in crosses)
 
 
 def test_ann_plans_broadcast_the_query_side(spark, sf_correct):
