@@ -399,42 +399,91 @@ def save_sq8_index(spark: SparkSession, sf_dir: str, path: str) -> None:
             json.dump({"mns": mns, "mxs": mxs}, fh)
     quant.write.mode("overwrite").parquet(os.path.join(path, target))
     if target != "codes":
-        import shutil
-
-        tmp, ptr = os.path.join(path, "CODES.tmp"), os.path.join(path, "CODES")
-        with open(tmp, "w") as fh:
-            fh.write(f"{target} {lfile}")
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, ptr)  # atomic publish
-        # GC superseded generations EXCEPT the one live just before this
-        # flip — in-flight readers of it finish their scans; it is swept
-        # by the NEXT flip (ADVICE r7, matching ivf/pq._flip_pointer)
-        keep = {cur, prev_lfile}
-        for entry in os.listdir(path):
-            if entry in keep:
-                continue
-            if (
-                (entry == "codes" or entry.startswith("codes-"))
-                and entry != target
-                and not entry.endswith(".tmp")
-            ):
-                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
-            if (
-                entry.startswith("limits-")
-                and entry.endswith(".json")
-                and entry != lfile
-            ):
-                try:
-                    os.remove(os.path.join(path, entry))
-                except OSError:
-                    pass
+        _sq8_flip_pointer(path, target, lfile, keep={cur, prev_lfile})
         with open(os.path.join(path, "limits.json"), "w") as fh:
             json.dump({"mns": mns, "mxs": mxs}, fh)  # marker copy
     else:
         # limits written LAST: their presence marks the index complete
         with open(os.path.join(path, lfile), "w") as fh:
             json.dump({"mns": mns, "mxs": mxs}, fh)
+
+
+def _sq8_flip_pointer(
+    path: str,
+    codes_dir: str,
+    limits_file: str,
+    keep: frozenset[str] | set[str] = frozenset(),
+) -> None:
+    """Atomically publish the (codes, limits) pair, then GC superseded
+    generations EXCEPT the ``keep`` set (the just-superseded generation
+    survives for in-flight readers and is swept by the NEXT flip —
+    ADVICE r7, matching ivf/pq._flip_pointer). The root limits.json
+    survives as the index-exists marker."""
+    import os
+    import shutil
+
+    tmp, ptr = os.path.join(path, "CODES.tmp"), os.path.join(path, "CODES")
+    with open(tmp, "w") as fh:
+        fh.write(f"{codes_dir} {limits_file}")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)  # atomic publish
+    for entry in os.listdir(path):
+        if entry in keep:
+            continue
+        if (
+            (entry == "codes" or entry.startswith("codes-"))
+            and entry != codes_dir
+            and not entry.endswith(".tmp")
+        ):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        if (
+            entry.startswith("limits-")
+            and entry.endswith(".json")
+            and entry != limits_file
+        ):
+            try:
+                os.remove(os.path.join(path, entry))
+            except OSError:
+                pass
+
+
+def compact_sq8_index(spark: SparkSession, path: str, additions_path: str) -> None:
+    """Fold a `sq8_encode_stream` additions segment into the base codes
+    table. Round 7 refused this on "additions can move the limits" —
+    which conflated compaction with RETRAIN: the streaming encoder
+    quantizes under the FROZEN published limits (saturating at the code
+    ends), so segment codes are exactly as valid under those limits as
+    the base's, and folding is the same flat union + pointer-flip as
+    `pq.compact_pq_index` (segment wins on vec_id collisions; N-1
+    generation kept for in-flight readers). Moving the limits themselves
+    remains `save_sq8_index`'s retrain, which re-encodes everything."""
+    import os
+
+    from pyspark.sql import Window
+
+    cur, lfile = _sq8_live_names(path)
+    base = spark.read.parquet(os.path.join(path, cur))
+    seg = spark.read.parquet(additions_path).select(*base.columns)
+    merged = (
+        base.withColumn("_pri", F.lit(0))
+        .unionByName(seg.withColumn("_pri", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("_pri").desc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
+    gen = int(cur.rsplit("-", 1)[1]) + 1 if "-" in cur else 1
+    nxt = f"codes-{gen}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
+    # compaction never retrains: the pointer keeps naming the SAME
+    # limits file, only the codes generation advances
+    _sq8_flip_pointer(path, nxt, lfile, keep={cur, lfile})
+    spark.catalog.refreshByPath(os.path.join(path, nxt))
 
 
 def _sq8_live_names(path: str) -> tuple[str, str]:

@@ -128,13 +128,49 @@ class VectorIndex:
 
     # --------------------------------------------------------- maintenance
 
+    def maintain(self, embeddings_stream: DataFrame, segment_path: str,
+                 checkpoint: str):
+        """Start the kind's streaming maintenance pass over arriving
+        embeddings (columns ``vec_id``, ``v: array<double>``), writing a
+        serving segment at ``segment_path``; the trained state (IVF
+        centroids / PQ codebook / SQ8 limits) is loaded from THIS index,
+        so callers never hand-carry the codebook. Serve base + segment
+        via ``search(additions_path=...)`` (IVF) or by unioning the
+        segment onto the codes table (flat kinds); ``compact`` folds the
+        segment back in. Returns the StreamingQuery (availableNow)."""
+        if self.kind == "ivf":
+            from event_store_spark.plans.ivf import load_ivf_index
+            from event_store_spark.streaming.index import ivf_assign_stream
+
+            centroids, _ = load_ivf_index(self.spark, self.path)
+            return ivf_assign_stream(
+                embeddings_stream, centroids, segment_path, checkpoint
+            )
+        if self.kind == "pq":
+            from event_store_spark.plans.pq import load_pq_index
+            from event_store_spark.streaming.index import pq_encode_stream
+
+            book, _ = load_pq_index(self.spark, self.path)
+            return pq_encode_stream(
+                embeddings_stream, book, segment_path, checkpoint
+            )
+        from event_store_spark.plans.pipeline5 import load_sq8_index
+        from event_store_spark.streaming.index import sq8_encode_stream
+
+        (mns, mxs), _ = load_sq8_index(self.spark, self.path)
+        return sq8_encode_stream(
+            embeddings_stream, mns, mxs, segment_path, checkpoint
+        )
+
     def compact(self, additions_path: str) -> None:
         """Fold a streamed additions segment into the base: the IVF
-        inverted file (`ivf_assign_stream` segment) or the PQ codes table
-        (`pq_encode_stream` segment) — both behind the same atomic
-        pointer-flip publication. SQ8 has no segment encoder (its
-        codebook is the per-dimension limits, which additions can move);
-        it rebuilds instead."""
+        inverted file (`ivf_assign_stream` segment), the PQ codes table
+        (`pq_encode_stream` segment), or the SQ8 codes table
+        (`sq8_encode_stream` segment — valid since round 8's encoder
+        quantizes under the FROZEN published limits) — all behind the
+        same atomic pointer-flip publication with segment-wins collision
+        handling. Moving the trained state itself (centroid retrain,
+        codebook retrain, limits retrain) stays the periodic `build`."""
         if self.kind == "ivf":
             from event_store_spark.plans.ivf import compact_ivf_index
 
@@ -144,7 +180,6 @@ class VectorIndex:
 
             compact_pq_index(self.spark, self.path, additions_path)
         else:
-            raise ValueError(
-                "compact is not defined for sq8 (additions can move the "
-                "per-dimension limits — rebuild instead)"
-            )
+            from event_store_spark.plans.pipeline5 import compact_sq8_index
+
+            compact_sq8_index(self.spark, self.path, additions_path)

@@ -412,8 +412,59 @@ def test_vector_index_facade_unifies_three_kinds(spark, sf_smoke, tmp_path):
 
     with pytest.raises(ValueError, match="IVF-only"):
         VectorIndex.open(spark, str(tmp_path / "sq8")).search(qv, nprobe=2)
-    with pytest.raises(ValueError, match="rebuild"):
-        VectorIndex.open(spark, str(tmp_path / "sq8")).compact("/nowhere")
+
+
+def test_vector_index_maintain_and_compact_all_kinds(spark, sf_smoke, tmp_path):
+    """Round 8 completes the facade lifecycle: `maintain` starts each
+    kind's streaming segment encoder from the OPENED index's trained
+    state (no hand-carried codebooks), and `compact` folds the segment —
+    now for SQ8 too (the streaming encoder quantizes under the FROZEN
+    limits, so segment codes are exactly as valid as the base's; round
+    7's refusal conflated compaction with retrain). Pinned: post-compact
+    count and search stability per kind, idempotent re-fold."""
+    from event_store_spark.plans.vector_index import VectorIndex
+
+    _, assigned = _ivf_index(spark, sf_smoke, "full")
+    qv = _query_vec(assigned)
+    new = assigned.where(F.col("vec_id").between(1, 3)).select(
+        (F.col("vec_id") + 8_000_000).alias("vec_id"), "v"
+    )
+    src = str(tmp_path / "new_vecs")
+    new.write.parquet(src)
+
+    loaders = {
+        "ivf": lambda p: __import__(
+            "event_store_spark.plans.ivf", fromlist=["load_ivf_index"]
+        ).load_ivf_index(spark, p)[1],
+        "pq": lambda p: __import__(
+            "event_store_spark.plans.pq", fromlist=["load_pq_index"]
+        ).load_pq_index(spark, p)[1],
+        "sq8": lambda p: __import__(
+            "event_store_spark.plans.pipeline5", fromlist=["load_sq8_index"]
+        ).load_sq8_index(spark, p)[1],
+    }
+    for kind in ("ivf", "pq", "sq8"):
+        path = str(tmp_path / kind)
+        VectorIndex.build(spark, sf_smoke, path, kind)
+        idx = VectorIndex.open(spark, path)
+        base_n = loaders[kind](path).count()
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = idx.maintain(stream, str(tmp_path / f"{kind}_adds"),
+                         str(tmp_path / f"{kind}_ck"))
+        q.awaitTermination(120)
+        seg_n = spark.read.parquet(str(tmp_path / f"{kind}_adds")).count()
+        assert seg_n == 3, kind
+
+        idx.compact(str(tmp_path / f"{kind}_adds"))
+        assert loaders[kind](path).count() == base_n + 3, kind
+        first = [tuple(r) for r in idx.search(qv, k=5).collect()]
+        assert len(first) == 5, kind
+        idx.compact(str(tmp_path / f"{kind}_adds"))  # idempotent re-fold
+        assert loaders[kind](path).count() == base_n + 3, kind
+        assert [tuple(r) for r in idx.search(qv, k=5).collect()] == first, kind
 
 
 def test_pq_compaction_folds_segment_behind_pointer(spark, sf_smoke, tmp_path):
