@@ -31,6 +31,11 @@ RECALL_K = 20  # stage-1 over-fetch
 FINAL_K = 5
 NEG_K = 4
 NEG_BUCKETS = 16
+#: target candidates per negative-sampling bucket: the adaptive modulus
+#: max(NEG_BUCKETS, ceil(n/NEG_TARGET)) keeps per-anchor candidate work
+#: constant as the corpus grows (round 8 — measured exponent 1.67 at 30×
+#: with a fixed bucket count)
+NEG_TARGET = 512
 
 
 @register(
@@ -100,11 +105,14 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "contrastive_negatives",
     oracle=f"""
-    WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    WITH n AS (SELECT CAST(GREATEST({NEG_BUCKETS},
+                           CEIL(COUNT(*) / {NEG_TARGET}.0)) AS INTEGER)
+                   AS nb
+               FROM documents),
+    d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
     b AS (SELECT doc_id, h,
-                 CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % {NEG_BUCKETS}
-                     AS bucket
-          FROM d),
+                 CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % n.nb AS bucket
+          FROM d, n),
     anchors AS (SELECT doc_id AS anchor_id, bucket FROM b
                 WHERE doc_id % 50 = 0),
     pairs AS (SELECT a.anchor_id, c.doc_id AS neg_id,
@@ -126,18 +134,33 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor; its {NEG_K} negatives are the same-hash-bucket documents with
     the smallest md5(anchor|candidate).
 
-    Pair enumeration happens INSIDE md5 buckets (equi-join on the bucket —
-    per-anchor candidate count is corpus/{NEG_BUCKETS}, and bucket count
-    grows with the corpus in production), and the per-anchor rank is a
-    window partitioned by anchor. Reproducible at any parallelism: nothing
+    Pair enumeration happens INSIDE md5 buckets (equi-join on the
+    bucket), and — round 8 — the bucket count GROWS WITH THE CORPUS:
+    buckets = max({NEG_BUCKETS}, ⌈n/{NEG_TARGET}⌉), the adaptive_planes
+    rule applied here, with the corpus count riding the plan as a
+    broadcast one-row aggregate (no driver count() job). A fixed bucket
+    count made per-anchor candidates grow with n and the pair stage
+    quadratic — measured exponent 1.67 at the 30× corpus (PERF.md); the
+    adaptive modulus pins candidates-per-anchor at ~{NEG_TARGET}, so
+    pair work is O(#anchors · {NEG_TARGET}) — linear. The bucket hash
+    reads 4 md5 hex chars (domain 65,536) so the modulus has headroom;
+    the oracle computes the identical count-dependent modulus, keeping
+    both engines in lockstep at every scale. Per-anchor rank is a window
+    partitioned by anchor. Reproducible at any parallelism: nothing
     depends on row order or RNG state — the property a training pipeline
     needs to re-materialize identical batches."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
     )
-    b = d.select(
+    nb = d.agg(
+        F.greatest(
+            F.lit(NEG_BUCKETS),
+            F.ceil(F.count(F.lit(1)) / NEG_TARGET).cast("int"),
+        ).alias("_nb")
+    )
+    b = d.crossJoin(F.broadcast(nb)).select(
         "doc_id",
-        (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % NEG_BUCKETS).alias(
+        (F.conv(F.substring("h", 1, 4), 16, 10).cast("int") % F.col("_nb")).alias(
             "bucket"
         ),
     )
