@@ -177,3 +177,113 @@ def dedup_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_dup").alias("n_duplicate"),
         (F.count(F.lit(1)) - F.count("_dup")).alias("n_admitted"),
     )
+
+
+# ------------------------------------------------ SimHash incremental probe
+
+#: DuckDB mirror of the 64-bit signature build (dedup_simhash64's rule)
+#: carrying `source` for the index/batch split; naive pair scan — the
+#: oracle is the semantic spec, the engine plan is the pigeonhole probe.
+_SIMHASH_INC_CTE = f"""tok AS (SELECT doc_id, source,
+                  UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+           FROM documents),
+    h AS (SELECT doc_id, source, md5(t) AS h FROM tok),
+    bits AS (SELECT doc_id, source, pos,
+                    SUM(CASE WHEN
+                          ((strpos('0123456789abcdef',
+                                   substr(h, CAST((pos + 3) // 4 AS INT), 1)) - 1)
+                           >> CAST(3 - ((pos - 1) % 4) AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+             FROM h, (SELECT UNNEST(range(1, 65)) AS pos) p
+             GROUP BY doc_id, source, pos),
+    sig AS (SELECT doc_id, source,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY pos) AS sig
+            FROM bits GROUP BY doc_id, source),
+    pairs AS (SELECT n.doc_id AS new_id, x.doc_id AS idx_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN substr(n.sig, CAST(i AS INT), 1)
+                                    = substr(x.sig, CAST(i AS INT), 1)
+                            THEN 0 ELSE 1 END)) AS hd
+              FROM sig n JOIN sig x
+                ON n.source = '{NEW_SOURCE}' AND x.source <> '{NEW_SOURCE}'),
+    best AS (SELECT new_id, idx_id, hd,
+                    ROW_NUMBER() OVER (PARTITION BY new_id
+                                       ORDER BY hd, idx_id) AS rn
+             FROM pairs WHERE hd <= 3)"""
+
+
+@register(
+    "dedup_simhash_incremental",
+    oracle=f"""
+    WITH {_SIMHASH_INC_CTE}
+    SELECT new_id AS new_doc_id, idx_id AS match_doc_id,
+           CAST(hd AS BIGINT) AS hd
+    FROM best WHERE rn = 1 ORDER BY new_doc_id
+    """,
+)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash twin of `dedup_incremental`: probe the arriving batch
+    (source = NEW_SOURCE) against the persisted 64-bit SimHash index of
+    the existing corpus — each duplicate new doc with its closest
+    existing match (lowest Hamming ≤ 3, ties to the lowest doc id).
+
+    The probe is asymmetric exactly like the MinHash one: the index side
+    explodes its 4×16-bit pigeonhole blocks ONCE (in production this IS
+    the persisted, block-partitioned index layout), the batch side is
+    BROADCAST onto it (orders of magnitude smaller), so index-sized data
+    is never shuffled; the pigeonhole guarantees every Hamming ≤ 3 pair
+    shares a whole block, and the exact bit_count(xor) over the
+    signature halves decides. Completes the simhash family the way
+    `dedup_incremental` completes minhash: batch self-dedup
+    (dedup_simhash64) + incremental ingest probe, one signature
+    definition (`llm._simhash_sig`)."""
+    from event_store_spark.plans.llm import _simhash64_bit_on, _simhash_sig
+
+    docs = _docs(spark, sf_dir)
+    token_hashes = docs.select(
+        "doc_id", "source", F.explode(whitespace_tokens("text")).alias("t")
+    ).select("doc_id", "source", F.md5("t").alias("h"))
+    sig = _simhash_sig(token_hashes, 64, _simhash64_bit_on, ("source",))
+
+    def blocked(side: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            side.withColumn(
+                "hi", F.conv(F.expr("substr(sig, 1, 32)"), 2, 10).cast("long")
+            )
+            .withColumn(
+                "lo", F.conv(F.expr("substr(sig, 33, 32)"), 2, 10).cast("long")
+            )
+            .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+            .withColumn("block", F.expr("substr(sig, block_idx * 16 + 1, 16)"))
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.col("hi").alias(f"{id_alias}_hi"),
+                F.col("lo").alias(f"{id_alias}_lo"),
+                "block_idx",
+                "block",
+            )
+        )
+
+    index_b = blocked(sig.where(F.col("source") != NEW_SOURCE), "idx_id")
+    batch_b = blocked(sig.where(F.col("source") == NEW_SOURCE), "new_id")
+    hd = F.bit_count(
+        F.col("new_id_hi").bitwiseXOR(F.col("idx_id_hi"))
+    ) + F.bit_count(F.col("new_id_lo").bitwiseXOR(F.col("idx_id_lo")))
+    cand = (
+        index_b.join(F.broadcast(batch_b), ["block_idx", "block"])
+        .select("new_id", "idx_id", hd.alias("hd"))
+        .where(F.col("hd") <= 3)
+        .distinct()
+    )
+    w = Window.partitionBy("new_id").orderBy("hd", "idx_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("new_doc_id"),
+            F.col("idx_id").alias("match_doc_id"),
+            F.col("hd").cast("bigint").alias("hd"),
+        )
+        .orderBy("new_doc_id")
+    )

@@ -429,16 +429,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs"))
 
 
-def _simhash_sig(token_hashes: DataFrame, bits: int, on) -> DataFrame:
-    """(doc_id, sig) — SimHash signature as a '0'/'1' string of ``bits``
-    positions. One SUM(±1) AGGREGATE COLUMN per bit over the (doc_id, h)
-    token rows — a single shuffle with map-side partials, O(tokens) rows
-    regardless of width. The explode-by-position build this replaced
-    inflated the token shuffle ``bits``× and measured 50 s (64-bit) /
-    25 s (32-bit) at the 10× corpus vs 12.6 s for this form (PERF.md
-    round 8). ``on(p)`` is the bit-p predicate over the md5 hex column
-    ``h`` — the only thing the 32- and 64-bit forms differ in."""
-    sums = token_hashes.groupBy("doc_id").agg(
+def _simhash64_bit_on(pos: int):
+    """Is 64-bit signature bit ``pos`` (1..64) set for md5 hex column
+    ``h``? Bit (pos-1)%4 (MSB-first) of nibble ⌈pos/4⌉ — the widened
+    form of the 32-bit high-bit-per-hex-char rule."""
+    c, shift = (pos + 3) // 4, 3 - (pos - 1) % 4
+    return F.expr(
+        f"(shiftright(CAST(conv(substr(h, {c}, 1), 16, 10) AS INT),"
+        f" {shift}) & 1) = 1"
+    )
+
+
+def _simhash_sig(
+    token_hashes: DataFrame, bits: int, on, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, sig) — SimHash signature as a '0'/'1' string
+    of ``bits`` positions. One SUM(±1) AGGREGATE COLUMN per bit over the
+    (doc_id, h) token rows — a single shuffle with map-side partials,
+    O(tokens) rows regardless of width. The explode-by-position build
+    this replaced inflated the token shuffle ``bits``× and measured 50 s
+    (64-bit) / 25 s (32-bit) at the 10× corpus vs 12.6 s for this form
+    (PERF.md round 8). ``on(p)`` is the bit-p predicate over the md5 hex
+    column ``h`` — the only thing the 32- and 64-bit forms differ in.
+    ``extra_cols`` ride the grouping (doc_id-functional columns like
+    ``source``, for the incremental probe's index/batch split)."""
+    sums = token_hashes.groupBy("doc_id", *extra_cols).agg(
         *[
             F.sum(F.when(on(p), 1).otherwise(-1)).alias(f"s{p}")
             for p in range(1, bits + 1)
@@ -446,6 +461,7 @@ def _simhash_sig(token_hashes: DataFrame, bits: int, on) -> DataFrame:
     )
     return sums.select(
         "doc_id",
+        *extra_cols,
         F.concat(
             *[
                 F.when(F.col(f"s{p}") > 0, "1").otherwise("0")
@@ -555,15 +571,7 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_hashes = docs.select(
         "doc_id", F.explode(whitespace_tokens("text")).alias("t")
     ).select("doc_id", F.md5("t").alias("h"))
-
-    def _bit_on(pos: int):  # is signature bit `pos` (1..64) set for h?
-        c, shift = (pos + 3) // 4, 3 - (pos - 1) % 4
-        return F.expr(
-            f"(shiftright(CAST(conv(substr(h, {c}, 1), 16, 10) AS INT),"
-            f" {shift}) & 1) = 1"
-        )
-
-    sig = _simhash_sig(token_hashes, 64, _bit_on)
+    sig = _simhash_sig(token_hashes, 64, _simhash64_bit_on)
     blocked = (
         sig.withColumn("hi", F.conv(F.expr("substr(sig, 1, 32)"), 2, 10).cast("long"))
         .withColumn("lo", F.conv(F.expr("substr(sig, 33, 32)"), 2, 10).cast("long"))

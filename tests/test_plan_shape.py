@@ -701,3 +701,16 @@ def test_ann_recall_report_memoizes_plan_not_results(spark, sf_correct):
     assert r1 == r2 and len(r1) == 6
     plan = df1._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_simhash_incremental_broadcasts_batch_never_index(spark, sf_correct):
+    """The incremental probe's asymmetry is the scale contract: the
+    batch side rides a BroadcastExchange onto the block-partitioned
+    index (index-sized data is never shuffled for the probe), candidates
+    come from the (block_idx, block) equi key, and no cartesian/nested-
+    loop pair enumeration exists."""
+    plan = _plan(spark, sf_correct, "dedup_simhash_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "block" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
