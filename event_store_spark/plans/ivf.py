@@ -37,6 +37,15 @@ DIM = 64
 ITERS = 1  # each extra iteration = one more (assign, update, collect) round
 SAMPLE = 32  # ann_ivf_sampled's training-sample size (md5 bottom-k)
 
+#: The "adaptive" build's target mean cell occupancy: k = max(K, ceil(n /
+#: ADAPTIVE_TARGET)), the adaptive_planes rule (llm.py:249) applied to
+#: k-means. A FIXED k makes every cell grow linearly with the corpus, so
+#: any per-cell quadratic stage (semantic_dedup's GEMM) inherits an O(n²)
+#: total — k must ride the corpus count for the within-cell work to stay
+#: O(n · ADAPTIVE_TARGET). 512 keeps the GEMM's similarity matrix around
+#: 2 MB/cell, far under SEM_MAX_CELL's loud guard.
+ADAPTIVE_TARGET = 512
+
 #: Trained-index memo per live session: an IVF index is built ONCE and then
 #: serves every search — rebuilding the identical deterministic k-means per
 #: query (and per bench rep) charges the build to every lookup, which is not
@@ -59,11 +68,21 @@ def _ivf_index(spark: SparkSession, sf_dir: str, variant: str):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    if variant == "full":
-        # init from seed rows 1..K, Lloyd-refine over the whole corpus
+    if variant in ("full", "adaptive"):
+        # init from seed rows 1..k, Lloyd-refine over the whole corpus.
+        # "full" pins k = K (=8, the ANN-family parity constant shared
+        # with every IVF oracle's seed CTE); "adaptive" grows k with the
+        # corpus so mean cell occupancy tracks ADAPTIVE_TARGET — the
+        # count() is one aggregate job per BUILD (memoized per session),
+        # the same driver-metadata class as the centroid collect below.
+        k = K
+        if variant == "adaptive":
+            import math
+
+            k = max(K, math.ceil(emb.count() / ADAPTIVE_TARGET))
         centroids = sorted(
             (r["vec_id"] - 1, list(r["v"]))
-            for r in emb.where(F.col("vec_id").between(1, K)).collect()
+            for r in emb.where(F.col("vec_id").between(1, k)).collect()
         )
         assigned = _assign(emb, centroids)
         for _ in range(ITERS):

@@ -68,15 +68,15 @@ _SIM = """ROUND(
       list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
       / (a.nrm * b.nrm), 4)"""
 
-#: The IVF "full" build, verbatim from ann_ivf_topk's oracle (seed rows
-#: 1..8 → one Lloyd pass, 6-dp centroid rounding, ties to lowest cell):
-#: both operators must see the SAME clustering for the shared memoized
-#: index to be legal.
-_KMEANS_CTE = """
+def _kmeans_cte(seed_ctes: str) -> str:
+    """The shared Lloyd k-means oracle build parameterized on its seed CTE
+    (``c0`` must emit (cell, c)); one Lloyd pass, 6-dp centroid rounding,
+    ties to lowest cell — verbatim ann_ivf_topk semantics either way."""
+    return f"""
     e AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
-    c0 AS (SELECT vec_id - 1 AS cell, v AS c FROM e WHERE vec_id BETWEEN 1 AND 8),
+    {seed_ctes}
     a0 AS (SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY list_sum(list_transform(range(1, 65),
@@ -95,6 +95,30 @@ _KMEANS_CTE = """
                   sqrt(list_sum(list_transform(range(1, 65),
                       i -> e.v[i] * e.v[i]))) AS nrm
            FROM e JOIN a1 a USING (vec_id))"""
+
+
+#: The IVF "full" build, verbatim from ann_ivf_topk's oracle (seed rows
+#: 1..8 → one Lloyd pass, 6-dp centroid rounding, ties to lowest cell):
+#: both operators must see the SAME clustering for the shared memoized
+#: index to be legal.
+_KMEANS_CTE = _kmeans_cte(
+    "c0 AS (SELECT vec_id - 1 AS cell, v AS c FROM e"
+    " WHERE vec_id BETWEEN 1 AND 8),"
+)
+
+#: The "adaptive" build: seed count k rides the CORPUS COUNT — k =
+#: max(8, ceil(n / 512)), computing the identical count-dependent k the
+#: engine's `_ivf_index(..., "adaptive")` uses, so both engines stay in
+#: lockstep at every scale (the contrastive_negatives adaptive-modulus
+#: rule applied to k-means seeding). At the correctness SFs (≤2000
+#: vectors) k collapses to 8 and the build is bit-identical to "full".
+_KMEANS_ADAPTIVE_CTE = _kmeans_cte(
+    "kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 512.0) AS BIGINT)) AS k"
+    " FROM e),\n"
+    "    c0 AS (SELECT vec_id - 1 AS cell, v AS c FROM e, kk"
+    " WHERE vec_id BETWEEN 1 AND kk.k),"
+)
+
 
 
 def _dropped(
@@ -188,8 +212,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-cell breakdown is the number a curation pipeline actually
     watches — a cluster whose drop rate spikes is a template farm or a
     crawler trap; uniform low drop rates mean the threshold is below the
-    corpus's natural similarity floor."""
+    corpus's natural similarity floor.
+
+    k is PINNED to 8 here for parity with the shared ANN-family IVF
+    index; with fixed k the per-cell GEMM total is O(n²/k) by
+    construction — `semantic_dedup_adaptive` is the corpus-adaptive-k
+    form a growing corpus should run (PERF.md round-8 scale table)."""
     _, assigned = _ivf_index(spark, sf_dir, "full")
+    return _cell_report(assigned)
+
+
+def _cell_report(assigned: DataFrame) -> DataFrame:
+    """members / dropped / kept per cell under the min-id greedy rule."""
     dropped = _dropped(assigned).withColumn("is_dropped", F.lit(1))
     return (
         assigned.join(dropped, "vec_id", "left")
@@ -208,6 +242,46 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cell").cast("bigint"), "members", "dropped_cnt", "kept_cnt")
         .orderBy("cell")
     )
+
+
+@register(
+    "semantic_dedup_adaptive",
+    oracle=f"""
+    WITH {_KMEANS_ADAPTIVE_CTE},
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM av a JOIN av b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE {_SIM} >= {SEM_TAU})
+    SELECT CAST(av.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS members,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_cnt,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_cnt
+    FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+    GROUP BY av.cell ORDER BY cell
+    """,
+)
+def semantic_dedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup` with corpus-adaptive k — the 100 TB plan.
+
+    Same report, same greedy min-id drop rule, same Lloyd build; the ONE
+    difference is k = max(8, ⌈n / 512⌉) (`ivf.ADAPTIVE_TARGET`) instead
+    of the ANN-family's pinned k=8, so mean cell occupancy — and with it
+    the per-cell GEMM — stays ~constant as the corpus grows: pair work is
+    O(n · 512) flops total instead of O(n²/8). This is the
+    contrastive_negatives adaptive-modulus re-plan applied to SemDeDup
+    (and the shape the paper itself runs: cluster count scales with the
+    corpus, 110k clusters on LAION). The oracle computes the identical
+    count-dependent k, keeping both engines in lockstep at every scale;
+    at the correctness SFs (≤2000 vectors) k collapses to 8 and the
+    result equals `semantic_dedup`'s exactly. Adaptivity itself is
+    pinned by tests/test_semantic_adaptive.py on a synthesized 6k-vector
+    corpus where k=12. SEM_MAX_CELL still guards the build: a skewed
+    clustering that concentrates >10k vectors in one cell fails loudly
+    instead of silently going quadratic."""
+    _, assigned = _ivf_index(spark, sf_dir, "adaptive")
+    return _cell_report(assigned)
 
 
 @register(
