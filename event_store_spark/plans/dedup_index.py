@@ -1,0 +1,252 @@
+"""DedupIndex: the persisted-signature lifecycle for near-dup families.
+
+`VectorIndex` (plans/vector_index.py) gives the three ANN layouts one
+open/search/maintain/compact facade; this is the same completion for the
+DEDUPLICATION families. The registered incremental probes
+(`dedup_incremental`, `dedup_simhash_incremental`) derive both index and
+batch from the documents table each run — correct as oracle-checked
+queries, but a production ingest pipeline builds the signature table
+ONCE, persists it, and probes every arriving batch against the files
+(their docstrings say "in production this IS the persisted layout"; this
+module makes that layout real):
+
+- ``DedupIndex.build(spark, docs, path, kind)`` — signature table
+  computed with the family's one shared formula
+  (`llm.minhash_band_signatures` / `llm._simhash_sig`) and written
+  parquet PARTITIONED BY the blocking key (``band`` / ``block_idx``),
+  so a probe's equi-join prunes to the blocks it needs; params
+  (``meta.json``) written last as the index-complete marker.
+- ``DedupIndex.open(spark, path)`` — lazy signatures over the live
+  generation; never retrains, never rescans the corpus.
+- ``probe(batch_docs)`` — the asymmetric join both incremental queries
+  pin: batch signatures are computed fresh and BROADCAST onto the
+  index (index-sized data never shuffles). MinHash probes return
+  band-collision candidates (verification against corpus text is the
+  caller's residual exactly as in `dedup_incremental` — signatures
+  alone cannot compute Jaccard); SimHash probes are self-sufficient
+  and return each new doc's best match within Hamming ≤ 3.
+- ``append(batch_docs)`` — fold a new batch's signatures into a
+  SEGMENT directory (the admitted batch becomes part of the corpus the
+  NEXT batch probes against).
+- ``compact()`` — merge base + segment into a fresh generation behind
+  `GenerationPair`'s atomic pointer flip (deferred GC for in-flight
+  readers, segment-wins on doc_id collisions — the same rules the ANN
+  compactions follow).
+
+Scale shape: the index is the big side and stays partitioned parquet on
+shared storage; every probe touches O(|batch| × bucket occupancy) rows
+after partition pruning; append is O(|batch|) signature rows; compact
+is one shuffle-free union rewrite (both sides already carry the
+partition column). Nothing here ever self-joins the corpus.
+
+Reference parity: the reference (kagetech/event-store) has no dedup
+surface at all — this extends the LLM-pipeline family (brief:
+"operations a large-scale training-data pipeline would need").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_store_spark.plans.generations import GenerationPair
+
+KINDS = ("minhash", "simhash64")
+
+
+def _simhash64_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, sig) under dedup_simhash64's exact bit rule."""
+    from event_store_spark.functions.text import whitespace_tokens
+    from event_store_spark.plans.llm import _simhash64_bit_on, _simhash_sig
+
+    token_hashes = docs.select(
+        "doc_id", "source", F.explode(whitespace_tokens("text")).alias("t")
+    ).select("doc_id", "source", F.md5("t").alias("h"))
+    return _simhash_sig(token_hashes, 64, _simhash64_bit_on, ("source",))
+
+
+def _simhash_blocked(sig: DataFrame) -> DataFrame:
+    """Signature rows → 4×16-bit pigeonhole block rows with the packed
+    halves (the layout dedup_simhash_incremental's index side builds
+    in-plan; here it is what goes to parquet)."""
+    return (
+        sig.withColumn(
+            "hi", F.conv(F.expr("substr(sig, 1, 32)"), 2, 10).cast("long")
+        )
+        .withColumn("lo", F.conv(F.expr("substr(sig, 33, 32)"), 2, 10).cast("long"))
+        .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("block", F.expr("substr(sig, block_idx * 16 + 1, 16)"))
+        .select("doc_id", "source", "hi", "lo", "block_idx", "block")
+    )
+
+
+def _signatures(docs: DataFrame, kind: str) -> DataFrame:
+    from event_store_spark.plans.llm import minhash_band_signatures
+
+    if kind == "minhash":
+        return minhash_band_signatures(docs)
+    return _simhash_blocked(_simhash64_signatures(docs))
+
+
+#: the blocking/partition column per kind (what probes equi-join on and
+#: what the parquet layout partitions by, so probes prune)
+_PART_COL = {"minhash": "band", "simhash64": "block_idx"}
+
+
+class DedupIndex:
+    """Handle over a persisted dedup-signature index at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, kind: str):
+        self.spark = spark
+        self.path = path
+        self.kind = kind
+        self._gen = GenerationPair(path, "sigs", "meta.json")
+
+    # ----------------------------------------------------------- lifecycle
+
+    @classmethod
+    def build(
+        cls, spark: SparkSession, docs: DataFrame, path: str, kind: str
+    ) -> "DedupIndex":
+        """Train-equivalent: compute the corpus signature table and
+        persist it as a fresh generation (first build: pointerless
+        original layout, meta written LAST as the completeness marker)."""
+        if kind not in KINDS:
+            raise ValueError(f"kind must be one of {KINDS}, got {kind!r}")
+        idx = cls(spark, path, kind)
+        os.makedirs(path, exist_ok=True)
+        target_dir, target_meta = idx._gen.next_names()
+        sig = _signatures(docs, kind)
+        sig.write.mode("overwrite").partitionBy(_PART_COL[kind]).parquet(
+            os.path.join(path, target_dir)
+        )
+        meta = {"kind": kind, "format": 1}
+        if target_meta != "meta.json":
+            with open(os.path.join(path, target_meta), "w") as fh:
+                json.dump(meta, fh)
+            idx._gen.flip(target_dir, target_meta)
+            # refresh the convenience marker copy (loaders resolve through
+            # the pointer; a crash here leaves a stale marker, never a
+            # stale serving path)
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        return idx
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "DedupIndex":
+        with open(os.path.join(path, "meta.json")) as fh:
+            kind = json.load(fh)["kind"]
+        return cls(spark, path, kind)
+
+    def signatures(self, include_segment: bool = True) -> DataFrame:
+        """The live signature table (lazy, partition-prunable); segment
+        rows union on when present so probes see appended batches."""
+        live_dir, _ = self._gen.live()
+        sig = self.spark.read.parquet(os.path.join(self.path, live_dir))
+        seg = os.path.join(self.path, "segment")
+        if include_segment and os.path.isdir(seg):
+            sig = sig.unionByName(self.spark.read.parquet(seg))
+        return sig
+
+    # --------------------------------------------------------------- probe
+
+    def probe(self, batch_docs: DataFrame) -> DataFrame:
+        """Arriving batch vs the persisted index — batch signatures are
+        computed here (one pass over the batch) and BROADCAST.
+
+        simhash64 → (new_doc_id, match_doc_id, hd): best existing match
+        per new doc within Hamming ≤ 3 (ties to lowest id) — the
+        dedup_simhash_incremental contract served from files.
+        minhash → (new_doc_id, match_doc_id, n_bands): distinct band-
+        collision candidates with agreement counts; exact-Jaccard
+        verification over candidate text is the caller's residual, as in
+        dedup_incremental."""
+        sig = self.signatures()
+        batch = _signatures(batch_docs, self.kind)
+        if self.kind == "simhash64":
+            b = F.broadcast(
+                batch.select(
+                    F.col("doc_id").alias("new_id"),
+                    F.col("hi").alias("new_hi"),
+                    F.col("lo").alias("new_lo"),
+                    "block_idx",
+                    "block",
+                )
+            )
+            hd = F.bit_count(
+                F.col("new_hi").bitwiseXOR(F.col("hi"))
+            ) + F.bit_count(F.col("new_lo").bitwiseXOR(F.col("lo")))
+            cand = (
+                sig.join(b, ["block_idx", "block"])
+                # a probed doc that was itself appended earlier must not
+                # match its own index row (the incremental queries get
+                # this for free from their source split)
+                .where(F.col("doc_id") != F.col("new_id"))
+                .select(
+                    "new_id", F.col("doc_id").alias("idx_id"), hd.alias("hd")
+                )
+                .where(F.col("hd") <= 3)
+                .distinct()
+            )
+            w = Window.partitionBy("new_id").orderBy("hd", "idx_id")
+            return (
+                cand.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(
+                    F.col("new_id").alias("new_doc_id"),
+                    F.col("idx_id").alias("match_doc_id"),
+                    F.col("hd").cast("bigint").alias("hd"),
+                )
+                .orderBy("new_doc_id")
+            )
+        b = F.broadcast(
+            batch.select(
+                F.col("doc_id").alias("new_id"), "band", "bandkey"
+            )
+        )
+        return (
+            sig.join(b, ["band", "bandkey"])
+            .where(F.col("doc_id") != F.col("new_id"))
+            .groupBy(
+                F.col("new_id").alias("new_doc_id"),
+                F.col("doc_id").alias("match_doc_id"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+            .orderBy("new_doc_id", "match_doc_id")
+        )
+
+    # --------------------------------------------------------- maintenance
+
+    def append(self, batch_docs: DataFrame) -> None:
+        """Fold an (admitted) batch's signatures into the segment dir —
+        the next probe sees them without a base rewrite."""
+        _signatures(batch_docs, self.kind).write.mode("append").partitionBy(
+            _PART_COL[self.kind]
+        ).parquet(os.path.join(self.path, "segment"))
+
+    def compact(self) -> None:
+        """Merge base + segment into a fresh generation and flip; no-op
+        without a segment. Collisions on doc_id resolve segment-wins
+        (a re-ingested doc's newest signatures replace the base's), the
+        ANN compactions' rule."""
+        import shutil
+
+        seg_path = os.path.join(self.path, "segment")
+        if not os.path.isdir(seg_path):
+            return
+        live_dir, _ = self._gen.live()
+        base = self.spark.read.parquet(os.path.join(self.path, live_dir))
+        seg = self.spark.read.parquet(seg_path)
+        seg_ids = seg.select("doc_id").distinct()
+        merged = base.join(seg_ids, "doc_id", "left_anti").unionByName(seg)
+        target_dir, target_meta = self._gen.next_names()
+        merged.write.mode("overwrite").partitionBy(
+            _PART_COL[self.kind]
+        ).parquet(os.path.join(self.path, target_dir))
+        with open(os.path.join(self.path, target_meta), "w") as fh:
+            json.dump({"kind": self.kind, "format": 1}, fh)
+        self._gen.flip(target_dir, target_meta)
+        shutil.rmtree(seg_path, ignore_errors=True)

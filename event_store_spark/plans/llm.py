@@ -116,7 +116,16 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = memo.get(("sig", sf_dir))
     if got is not None:
         return got
-    docs = _docs(spark, sf_dir)
+    sig = minhash_band_signatures(_docs(spark, sf_dir)).cache()
+    memo[("sig", sf_dir)] = sig
+    return sig
+
+
+def minhash_band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, band, bandkey) for an arbitrary documents frame —
+    the signature formula itself, factored out of the sf_dir-memoized
+    `_minhash_signatures` so index builders (`plans.dedup_index`) can run
+    it over any corpus slice or arriving batch."""
     shingles = docs.select(
         "doc_id", "source", whitespace_tokens("text").alias("w")
     ).select("doc_id", "source", F.explode(word_ngrams("w", 3)).alias("sh"))
@@ -141,7 +150,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(n_bands)
         ]
     )
-    sig = (
+    return (
         minhashes.select("doc_id", "source", F.explode(band_entries).alias("bk"))
         .select(
             "doc_id",
@@ -149,10 +158,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bk.band").alias("band"),
             F.col("bk.bandkey").alias("bandkey"),
         )
-        .cache()
     )
-    memo[("sig", sf_dir)] = sig
-    return sig
 
 
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
