@@ -714,3 +714,38 @@ def test_simhash_incremental_broadcasts_batch_never_index(spark, sf_correct):
     assert "block" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_single_scan_no_join(spark, sf_correct):
+    """text_winnowing scans the corpus ONCE, selects fingerprints with
+    in-row array expressions (structs, never concatenated strings), and
+    expands per-fingerprint doc pairs in-row after one grouped shuffle —
+    no self-join, no broadcast, no pair enumeration operator at all."""
+    plan = _plan(spark, sf_correct, "text_winnowing")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan, node
+
+
+def test_source_similarity_joins_stay_catalog_sized(spark, sf_correct):
+    """source_similarity_jaccard's only non-equi join is the all-pairs
+    frame over the #sources-row size table (catalog-sized, broadcast);
+    intersection counts come from in-row pair expansion of per-gram
+    source sets, never a gram-table self-join."""
+    plan = _plan(spark, sf_correct, "source_similarity_jaccard")
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # sizes × sizes only
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan  # grams travel as longs, not strings
+
+
+def test_phrase_collocations_broadcasts_vocab(spark, sf_correct):
+    """Unigram-count lookups are vocabulary-bounded broadcasts onto the
+    bigram table; the corpus total rides as a broadcast one-row cross
+    join; the bigram table itself is never re-shuffled for the joins."""
+    plan = _plan(spark, sf_correct, "phrase_collocations")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar total
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
