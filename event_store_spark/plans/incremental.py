@@ -98,8 +98,13 @@ def _verified_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_sig = sig.where(F.col("source") != NEW_SOURCE).select(
         F.col("doc_id").alias("idx_id"), "band", "bandkey"
     )
+    # no broadcast HINT: a production batch is bounded and AQE broadcasts
+    # it from its measured size; the synthetic scale corpus grows the
+    # "batch" with the corpus (5% of it), and forcing that broadcast
+    # serializes a multi-hundred-MB hash relation on the driver (100×
+    # run measured exponent 3.0 on this query before the hint came out)
     cand = (
-        index_sig.join(F.broadcast(batch_sig), ["band", "bandkey"])
+        index_sig.join(batch_sig, ["band", "bandkey"])
         .select("new_id", "idx_id")
         .distinct()
     )

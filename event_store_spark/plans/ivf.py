@@ -36,6 +36,12 @@ K = 8
 DIM = 64
 ITERS = 1  # each extra iteration = one more (assign, update, collect) round
 SAMPLE = 32  # ann_ivf_sampled's training-sample size (md5 bottom-k)
+#: centroid count above which `_assign` switches from the Catalyst
+#: expression (exact oracle arithmetic; interpreted O(k·d) per row) to the
+#: Arrow/numpy GEMM. All oracle-checked scales (sf0.001/0.01/0.1) resolve
+#: adaptive k ≤ 20, comfortably under this — the GEMM path only ever runs
+#: on scale corpora whose oracles are wall-capped anyway.
+GEMM_ASSIGN_K = 64
 
 #: The "adaptive" build's target mean cell occupancy: k = max(K, ceil(n /
 #: ADAPTIVE_TARGET)), the adaptive_planes rule (llm.py:249) applied to
@@ -115,7 +121,19 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     transform+array_min expression — not k separate fold subtrees — so
     Catalyst analysis/codegen stays flat in k. `array_position` returns the
     FIRST index holding the min, and `centroids` is sorted by cell id, so
-    ties break to the lowest cell (the oracle's ORDER BY dist, cell)."""
+    ties break to the lowest cell (the oracle's ORDER BY dist, cell).
+
+    Above ``GEMM_ASSIGN_K`` centroids the per-row expression flips to an
+    Arrow-batched numpy GEMM (`mapInPandas`): higher-order lambdas are
+    INTERPRETED, so the expression form's per-row cost is O(k·d) lambda
+    calls — at the adaptive build's k = n/512 that made the 100× assign
+    ~25 min where the GEMM runs it in seconds (argmin over
+    ‖c‖² − 2 V·Cᵀ; ties to the lowest cell via argmin-first + cell-sorted
+    rows, the same rule). Every oracle-checked scale runs k ≤ 20 and
+    stays on the expression path, so hash parity never depends on
+    float-sum order; both paths are deterministic per-path."""
+    if len(centroids) > GEMM_ASSIGN_K:
+        return _assign_gemm(emb, centroids)
     ids = F.lit([cell for cell, _ in centroids])
     mat = F.lit([[float(x) for x in c] for _, c in centroids])
     dists = F.transform(
@@ -128,6 +146,40 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     )
     pos = F.array_position(dists, F.array_min(dists))
     return emb.withColumn("cell", F.element_at(ids, pos.cast("int")))
+
+
+def _assign_gemm(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Large-k assign: per Arrow batch, argmin_k(‖c_k‖² − 2 V·Cᵀ) — the
+    ‖v‖² term is constant per row and dropped. numpy argmin returns the
+    FIRST minimal index and rows are cell-sorted, so ties break to the
+    lowest cell like the expression path. Passes `v` through so callers
+    see the identical (vec_id, v, cell) shape."""
+    import numpy as np
+    import pandas as pd
+
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped(emb.sparkSession)
+    ids = [int(cell) for cell, _ in centroids]
+    mat = [[float(x) for x in c] for _, c in centroids]
+
+    def assign_batches(pdfs):
+        ids_a = np.asarray(ids, dtype=np.int32)
+        mat_a = np.asarray(mat, dtype=np.float64)  # k×d
+        c_sq = (mat_a * mat_a).sum(axis=1)  # ‖c‖², length k
+        for pdf in pdfs:
+            if not len(pdf):
+                yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                continue
+            v = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # B×d
+            pos = (c_sq[None, :] - 2.0 * (v @ mat_a.T)).argmin(axis=1)
+            yield pdf.assign(cell=ids_a[pos])
+
+    return emb.mapInPandas(
+        assign_batches, "vec_id bigint, v array<double>, cell int"
+    )
 
 
 def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:

@@ -30,7 +30,16 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # shuffle width defaults to the core count; at scale it must ride
+        # the INPUT (the standard cluster-sizing rule — a 100× corpus
+        # through a fixed 32-way shuffle makes every reducer sort 100×
+        # more rows), so the scale harness overrides it via env
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8))
+            ),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

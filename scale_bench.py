@@ -126,7 +126,17 @@ def build_fixtures(spark, src_dir: str, out_dir: str) -> None:
                         ),
                     ),
                 )
-            out = out.drop("_i")
+            # realistic file layout: a corpus this size is never ONE file.
+            # The copies cross-join otherwise collapses to a single output
+            # file (49 MB of snappy text at 100×), and parquet input splits
+            # can't subdivide a row group — every downstream map stage of a
+            # scan-heavy query then runs as ONE task regardless of cores,
+            # which measures the synthetic file layout, not the plans
+            # (first 100× run: uniform super-linear drift across unrelated
+            # scan-heavy queries; the re-run on this layout removed it).
+            # One output file per copy ≈ the per-day / per-shard files any
+            # real landing zone has.
+            out = out.drop("_i").repartition(max(32, COPIES))
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
     with open(marker, "w") as fh:
         fh.write("ok")

@@ -110,3 +110,28 @@ def test_collapses_to_pinned_k_at_fixture_scale(spark):
     a = QUERIES["semantic_dedup_adaptive"](spark, SRC).collect()
     b = QUERIES["semantic_dedup"](spark, SRC).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_gemm_assign_equals_expression_assign(spark, synth_dir):
+    """The large-k GEMM fast path (`_assign_gemm`) and the oracle-exact
+    expression path assign identical cells (same argmin, same
+    ties-to-lowest-cell rule) — pinned on the 6k synth corpus with the
+    k=12 trained centroids, and schema-identical so the flip is
+    invisible downstream."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.functions.vectors import as_double
+    from event_store_spark.plans.ivf import _assign, _assign_gemm
+
+    centroids, _ = _ivf_index(spark, synth_dir, "adaptive")
+    emb = load_table(spark, synth_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    expr_df = _assign(emb, centroids)
+    gemm_df = _assign_gemm(emb, centroids)
+    # names+types identical (nullability flags differ — mapInPandas output
+    # is nullable by declaration; no downstream consumer branches on it)
+    assert gemm_df.schema.simpleString() == expr_df.schema.simpleString()
+    e = {r["vec_id"]: r["cell"] for r in expr_df.collect()}
+    g = {r["vec_id"]: r["cell"] for r in gemm_df.collect()}
+    assert e == g
