@@ -38,10 +38,12 @@ ITERS = 1  # each extra iteration = one more (assign, update, collect) round
 SAMPLE = 32  # ann_ivf_sampled's training-sample size (md5 bottom-k)
 #: centroid count above which `_assign` switches from the Catalyst
 #: expression (exact oracle arithmetic; interpreted O(k·d) per row) to the
-#: Arrow/numpy GEMM. All oracle-checked scales (sf0.001/0.01/0.1) resolve
-#: adaptive k ≤ 20, comfortably under this — the GEMM path only ever runs
-#: on scale corpora whose oracles are wall-capped anyway.
-GEMM_ASSIGN_K = 64
+#: Arrow/numpy GEMM. Every oracle-checked scale (sf0.001/0.01/0.1 and the
+#: 6k-vector synth corpus) resolves adaptive k ≤ 12, under this — the GEMM
+#: path only ever runs on scale corpora whose oracles are wall-capped
+#: anyway (first cut used 64, which left the 10× corpus's k=40 on the
+#: interpreted path: 106 s where the GEMM form runs ~4 s).
+GEMM_ASSIGN_K = 16
 
 #: The "adaptive" build's target mean cell occupancy: k = max(K, ceil(n /
 #: ADAPTIVE_TARGET)), the adaptive_planes rule (llm.py:249) applied to
@@ -129,7 +131,7 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     calls — at the adaptive build's k = n/512 that made the 100× assign
     ~25 min where the GEMM runs it in seconds (argmin over
     ‖c‖² − 2 V·Cᵀ; ties to the lowest cell via argmin-first + cell-sorted
-    rows, the same rule). Every oracle-checked scale runs k ≤ 20 and
+    rows, the same rule). Every oracle-checked scale runs k ≤ 12 and
     stays on the expression path, so hash parity never depends on
     float-sum order; both paths are deterministic per-path."""
     if len(centroids) > GEMM_ASSIGN_K:
