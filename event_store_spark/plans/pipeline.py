@@ -154,6 +154,14 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass distinct-then-join form instead — at that point the gram is
     noise and belongs on a deny list before this scan.
 
+    SCALE NOTE: this one-shuffle groupBy form pays a full corpus-gram
+    shuffle (75M rows at 100×, 112.8 s — PERF.md "the 100× dossier");
+    the registered twin `contamination_broadcast` (pipeline4) broadcasts
+    the BENCHMARK side and probes map-side, scaling at exponent 0.91
+    (17.2 s at 100×) — it is the production path whenever the benchmark
+    gram set fits a broadcast, which is the defining shape of
+    decontamination.
+
     Grams travel as xxhash64 longs, not strings (`word_ngram_hashes`):
     the gram is only the shuffle key here, never output, so hashing is
     invisible to the result (2^-64 collisions) and the explode+shuffle
