@@ -12,10 +12,13 @@ module makes that layout real):
 
 - ``DedupIndex.build(spark, docs, path, kind)`` — signature table
   computed with the family's one shared formula
-  (`llm.minhash_band_signatures` / `llm._simhash_sig`) and written
-  parquet PARTITIONED BY the blocking key (``band`` / ``block_idx``),
-  so a probe's equi-join prunes to the blocks it needs; params
-  (``meta.json``) written last as the index-complete marker.
+  (`llm.minhash_band_signatures` / `llm._simhash_sig` /
+  `pipeline11.winnow_fingerprints`) and written parquet PARTITIONED BY
+  the blocking key (``band`` / ``block_idx`` / ``part``), so a probe's
+  equi-join prunes to the blocks it needs; params (``meta.json``)
+  written last as the index-complete marker. The winnow build enforces
+  the MAX_FP_DOCS stoplist (build+compact time), which doubles as the
+  probe's per-key fan-out bound.
 - ``DedupIndex.open(spark, path)`` — lazy signatures over the live
   generation; never retrains, never rescans the corpus.
 - ``probe(batch_docs)`` — the asymmetric join both incremental queries
@@ -54,7 +57,16 @@ from pyspark.sql import functions as F
 
 from event_store_spark.plans.generations import GenerationPair
 
-KINDS = ("minhash", "simhash64")
+KINDS = ("minhash", "simhash64", "winnow")
+
+#: winnow kind: fingerprints hashed to scalars (xxhash64 over the gram's
+#: token slots — join keys only, never output) and bucketed into this
+#: many parquet partitions so a probe's equi-join stays co-located
+WINNOW_PARTS = 32
+#: build/compact-time stoplist (the registered query's MAX_FP_DOCS rule):
+#: a fingerprint indexed by more documents than this is dropped as
+#: non-discriminative, which is also the per-key probe fan-out bound
+WINNOW_MAX_FP_DOCS = 50
 
 
 def _simhash64_signatures(docs: DataFrame) -> DataFrame:
@@ -83,17 +95,50 @@ def _simhash_blocked(sig: DataFrame) -> DataFrame:
     )
 
 
+def _winnow_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, part): winnowing fingerprints under text_winnowing's
+    exact selection rule, hashed to xxhash64 scalars (2^-64 collisions,
+    the gram-hash convention) and bucketed for the parquet layout."""
+    from event_store_spark.plans.pipeline11 import WIN_K, winnow_fingerprints
+
+    fp = winnow_fingerprints(docs)
+    h = F.xxhash64(*[F.col(f"f.t{j}") for j in range(WIN_K)])
+    return fp.select(
+        "doc_id",
+        h.alias("fp"),
+        F.pmod(h, F.lit(WINNOW_PARTS)).cast("int").alias("part"),
+    )
+
+
 def _signatures(docs: DataFrame, kind: str) -> DataFrame:
     from event_store_spark.plans.llm import minhash_band_signatures
 
     if kind == "minhash":
         return minhash_band_signatures(docs)
+    if kind == "winnow":
+        return _winnow_signatures(docs)
     return _simhash_blocked(_simhash64_signatures(docs))
 
 
 #: the blocking/partition column per kind (what probes equi-join on and
 #: what the parquet layout partitions by, so probes prune)
-_PART_COL = {"minhash": "band", "simhash64": "block_idx"}
+_PART_COL = {"minhash": "band", "simhash64": "block_idx", "winnow": "part"}
+
+
+def _enforce_stoplist(sig: DataFrame, kind: str) -> DataFrame:
+    """winnow only: drop fingerprints indexed by more than
+    WINNOW_MAX_FP_DOCS documents (the registered query's MAX_FP_DOCS
+    rule) — non-discriminative, and the per-key probe fan-out bound.
+    Applied at BUILD and COMPACT; appends may transiently exceed it
+    until the next compact (documented, same class as segment-wins)."""
+    if kind != "winnow":
+        return sig
+    keep = (
+        sig.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") <= WINNOW_MAX_FP_DOCS)
+    )
+    return sig.join(keep.select("fp"), "fp")
 
 
 class DedupIndex:
@@ -119,7 +164,7 @@ class DedupIndex:
         idx = cls(spark, path, kind)
         os.makedirs(path, exist_ok=True)
         target_dir, target_meta = idx._gen.next_names()
-        sig = _signatures(docs, kind)
+        sig = _enforce_stoplist(_signatures(docs, kind), kind)
         sig.write.mode("overwrite").partitionBy(_PART_COL[kind]).parquet(
             os.path.join(path, target_dir)
         )
@@ -163,9 +208,30 @@ class DedupIndex:
         minhash → (new_doc_id, match_doc_id, n_bands): distinct band-
         collision candidates with agreement counts; exact-Jaccard
         verification over candidate text is the caller's residual, as in
-        dedup_incremental."""
+        dedup_incremental.
+        winnow → (new_doc_id, match_doc_id, n_shared): pairs sharing ≥
+        MIN_SHARED selected fingerprints (text_winnowing's pair rule) —
+        self-sufficient, since ≥1 shared fingerprint already certifies a
+        verbatim ≥ K+W−1-token overlap (the winnowing guarantee)."""
         sig = self.signatures()
         batch = _signatures(batch_docs, self.kind)
+        if self.kind == "winnow":
+            from event_store_spark.plans.pipeline11 import MIN_SHARED
+
+            b = F.broadcast(
+                batch.select(F.col("doc_id").alias("new_id"), "part", "fp")
+            )
+            return (
+                sig.join(b, ["part", "fp"])
+                .where(F.col("doc_id") != F.col("new_id"))
+                .groupBy(
+                    F.col("new_id").alias("new_doc_id"),
+                    F.col("doc_id").alias("match_doc_id"),
+                )
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+                .where(F.col("n_shared") >= MIN_SHARED)
+                .orderBy("new_doc_id", "match_doc_id")
+            )
         if self.kind == "simhash64":
             b = F.broadcast(
                 batch.select(
@@ -241,7 +307,10 @@ class DedupIndex:
         base = self.spark.read.parquet(os.path.join(self.path, live_dir))
         seg = self.spark.read.parquet(seg_path)
         seg_ids = seg.select("doc_id").distinct()
-        merged = base.join(seg_ids, "doc_id", "left_anti").unionByName(seg)
+        merged = _enforce_stoplist(
+            base.join(seg_ids, "doc_id", "left_anti").unionByName(seg),
+            self.kind,
+        )
         target_dir, target_meta = self._gen.next_names()
         merged.write.mode("overwrite").partitionBy(
             _PART_COL[self.kind]

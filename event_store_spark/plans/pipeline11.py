@@ -64,6 +64,61 @@ PMI_DISCOUNT = 5
 PMI_MIN_COUNT = 10
 
 
+def winnow_fingerprints(docs: DataFrame, keep: tuple = ("doc_id",)) -> DataFrame:
+    """(keep columns..., f): each document's DISTINCT winnowing
+    fingerprints, for an arbitrary frame carrying ``text`` — the
+    selection formula itself, factored out of the sf_dir-bound
+    `text_winnowing` so index builders (`plans.dedup_index`) can run it
+    over any corpus slice or arriving batch.
+
+    Grams are {WIN_K}-token STRUCTS, never concatenated strings: the
+    fingerprint is only ever a comparison/join/group key, and for
+    whitespace tokens the struct's field-wise order EQUALS the
+    space-joined string's order (the ' ' separator sorts below every
+    non-space character), so the oracle's string-min selection picks the
+    same grams — skipping concat_ws removed ~9 s of the 12 s sf0.1
+    runtime (building n strings in an interpreted lambda dominated).
+    Window minima by doubling (sparse table): m2[i]=min(gr[i..i+1]),
+    m4[i]=min(gr[i..i+3]), w5[i]=min(m4[i],m4[i+1])=min(gr[i..i+4]);
+    the window overlap is harmless for min. ~3n O(1) lambda evaluations
+    instead of (n−W+1) per-window slice()+array_min() allocations —
+    higher-order functions are INTERPRETED, so per-call constants
+    dominate (4× faster at sf0.1). Each level is its own projection,
+    referenced twice downstream, so CollapseProject keeps it
+    materialized instead of inlining the recomputation. The doubling ≡
+    brute-force window-min and the K+W−1 detection guarantee are
+    hypothesis-pinned (tests/test_winnowing_properties.py)."""
+    cols = list(keep)
+    base = docs.select(
+        *cols, whitespace_tokens("text").alias("w")
+    ).where(F.size("w") >= WIN_K + WIN_W - 1)
+    gram_expr = (
+        "transform(sequence(0, size(w) - {k}), i -> "
+        "struct({fields}))".format(
+            k=WIN_K,
+            fields=", ".join(f"w[i+{j}] AS t{j}" for j in range(WIN_K)),
+        )
+    )
+    lvl = (
+        base.select(*cols, F.expr(gram_expr).alias("gr"))
+        .withColumn(
+            "m2",
+            F.expr("transform(sequence(0, size(gr) - 2), i -> least(gr[i], gr[i+1]))"),
+        )
+        .withColumn(
+            "m4",
+            F.expr("transform(sequence(0, size(m2) - 3), i -> least(m2[i], m2[i+2]))"),
+        )
+        .withColumn(
+            "w5",
+            F.expr("transform(sequence(0, size(m4) - 2), i -> least(m4[i], m4[i+1]))"),
+        )
+    )
+    return lvl.select(
+        *cols, F.explode(F.array_distinct("w5")).alias("f")
+    ).distinct()
+
+
 @register(
     "text_winnowing",
     oracle=f"""
@@ -104,47 +159,8 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stoplist filter — the in-plan bound) expands to ordered pairs
     in-row, so shared-count aggregation never self-joins the fingerprint
     table and the corpus text is scanned exactly once."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", whitespace_tokens("text").alias("w")
-    ).where(F.size("w") >= WIN_K + WIN_W - 1)
-    # grams as 4-token STRUCTS, never concatenated strings: the fingerprint
-    # is only ever a comparison/join/group key, and for whitespace tokens
-    # the struct's field-wise order EQUALS the space-joined string's order
-    # (the ' ' separator sorts below every non-space character), so the
-    # oracle's string-min selection picks the same grams. Skipping
-    # concat_ws removed ~9 s of the 12 s sf0.1 runtime — building n
-    # strings in an interpreted lambda was the dominant cost.
-    gram_expr = (
-        "transform(sequence(0, size(w) - {k}), i -> "
-        "struct({fields}))".format(
-            k=WIN_K,
-            fields=", ".join(
-                f"w[i+{j}] AS t{j}" for j in range(WIN_K)
-            ),
-        )
-    )
-    grams = docs.select("doc_id", F.expr(gram_expr).alias("gr"))
-    # sliding-window min by doubling (sparse table): m2[i]=min(gr[i..i+1]),
-    # m4[i]=min(gr[i..i+3]), w5[i]=min(m4[i],m4[i+1])=min(gr[i..i+4]) — the
-    # window overlap is harmless for min. ~3n O(1) lambda evaluations
-    # instead of (n−W+1) per-window slice()+array_min() allocations:
-    # higher-order functions are INTERPRETED, so per-call constants
-    # dominate (this form measured 4× faster at sf0.1). Each level is its
-    # own projection — referenced twice downstream, so CollapseProject
-    # keeps it materialized instead of inlining the recomputation.
-    lvl = grams.withColumn(
-        "m2",
-        F.expr("transform(sequence(0, size(gr) - 2), i -> least(gr[i], gr[i+1]))"),
-    ).withColumn(
-        "m4",
-        F.expr("transform(sequence(0, size(m2) - 3), i -> least(m2[i], m2[i+2]))"),
-    ).withColumn(
-        "w5",
-        F.expr("transform(sequence(0, size(m4) - 2), i -> least(m4[i], m4[i+1]))"),
-    )
-    fp = lvl.select(
-        "doc_id", F.explode(F.array_distinct("w5")).alias("f")
-    ).distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs)
     pair_expr = (
         "flatten(transform(ds, (a, i) -> "
         "transform(slice(ds, i + 2, size(ds)), "

@@ -154,3 +154,81 @@ def test_compact_segment_wins_and_deferred_gc(spark, docs, tmp_path):
 def test_open_requires_complete_index(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         DedupIndex.open(spark, str(tmp_path / "missing"))
+
+
+def test_winnow_probe_matches_inplan_computation(spark, docs, tmp_path):
+    """winnow probe == the independently-computed (batch × stoplisted
+    index) shared-fingerprint pair counts under text_winnowing's
+    selection + pair rules."""
+    from event_store_spark.plans.dedup_index import WINNOW_MAX_FP_DOCS
+    from event_store_spark.plans.pipeline11 import (
+        MIN_SHARED,
+        winnow_fingerprints,
+    )
+
+    index_docs = docs.where(F.col("source") != NEW_SOURCE)
+    batch_docs = docs.where(F.col("source") == NEW_SOURCE)
+    idx = DedupIndex.build(spark, index_docs, str(tmp_path / "wn"), "winnow")
+    got = rows(idx.probe(batch_docs))
+
+    ifp = winnow_fingerprints(index_docs)
+    keep = (
+        ifp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") <= WINNOW_MAX_FP_DOCS)
+        .select("f")
+    )
+    ifp = ifp.join(keep, "f").select(
+        F.col("doc_id").alias("match_doc_id"), "f"
+    )
+    bfp = winnow_fingerprints(batch_docs).select(
+        F.col("doc_id").alias("new_doc_id"), "f"
+    )
+    want = rows(
+        bfp.join(ifp, "f")
+        .groupBy("new_doc_id", "match_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= MIN_SHARED)
+        .orderBy("new_doc_id", "match_doc_id")
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture split really produces matches
+
+
+def test_winnow_append_compact_and_stoplist(spark, docs, tmp_path):
+    """Append+compact ≡ rebuild for the winnow kind, and compaction
+    re-enforces the stoplist over base∪segment (a fingerprint pushed
+    over MAX_FP_DOCS by appends disappears from the folded base)."""
+    import event_store_spark.plans.dedup_index as di
+
+    base = docs.where(~F.col("source").isin(NEW_SOURCE, "src2"))
+    extra = docs.where(F.col("source") == "src2")
+    batch = docs.where(F.col("source") == NEW_SOURCE)
+
+    grown = DedupIndex.build(spark, base, str(tmp_path / "g"), "winnow")
+    grown.append(extra)
+    whole = DedupIndex.build(
+        spark,
+        docs.where(F.col("source") != NEW_SOURCE),
+        str(tmp_path / "w"),
+        "winnow",
+    )
+    want = rows(whole.probe(batch))
+    grown.compact()  # stoplist re-enforced over the merged corpus here
+    assert rows(grown.probe(batch)) == want
+
+    # stoplist: with the ceiling forced to 1, every shared fingerprint is
+    # non-discriminative and the compacted index must go silent
+    old = di.WINNOW_MAX_FP_DOCS
+    di.WINNOW_MAX_FP_DOCS = 1
+    try:
+        tiny = DedupIndex.build(
+            spark,
+            docs.where(F.col("source") != NEW_SOURCE),
+            str(tmp_path / "t"),
+            "winnow",
+        )
+        only_unique = tiny.signatures().groupBy("fp").count()
+        assert only_unique.where(F.col("count") > 1).count() == 0
+    finally:
+        di.WINNOW_MAX_FP_DOCS = old
