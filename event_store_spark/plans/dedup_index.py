@@ -186,14 +186,24 @@ class DedupIndex:
             kind = json.load(fh)["kind"]
         return cls(spark, path, kind)
 
+    def _segment_dirs(self) -> list[str]:
+        """All segment directories: the unkeyed ``segment`` plus any
+        batch-keyed ``segment-b<id>`` dirs (streaming appends)."""
+        return sorted(
+            os.path.join(self.path, name)
+            for name in os.listdir(self.path)
+            if name == "segment" or name.startswith("segment-b")
+            if os.path.isdir(os.path.join(self.path, name))
+        )
+
     def signatures(self, include_segment: bool = True) -> DataFrame:
         """The live signature table (lazy, partition-prunable); segment
         rows union on when present so probes see appended batches."""
         live_dir, _ = self._gen.live()
         sig = self.spark.read.parquet(os.path.join(self.path, live_dir))
-        seg = os.path.join(self.path, "segment")
-        if include_segment and os.path.isdir(seg):
-            sig = sig.unionByName(self.spark.read.parquet(seg))
+        if include_segment:
+            for seg in self._segment_dirs():
+                sig = sig.unionByName(self.spark.read.parquet(seg))
         return sig
 
     # --------------------------------------------------------------- probe
@@ -286,26 +296,41 @@ class DedupIndex:
 
     # --------------------------------------------------------- maintenance
 
-    def append(self, batch_docs: DataFrame) -> None:
-        """Fold an (admitted) batch's signatures into the segment dir —
-        the next probe sees them without a base rewrite."""
-        _signatures(batch_docs, self.kind).write.mode("append").partitionBy(
-            _PART_COL[self.kind]
-        ).parquet(os.path.join(self.path, "segment"))
+    def append(self, batch_docs: DataFrame, batch_id: int | None = None) -> None:
+        """Fold an (admitted) batch's signatures into a segment dir —
+        the next probe sees them without a base rewrite.
+
+        With ``batch_id`` (streaming `foreachBatch` callers) the batch
+        gets its OWN deterministic ``segment-b<id>`` directory written
+        with overwrite, so a crash-redelivered micro-batch rewrites its
+        segment instead of appending duplicate signature rows — the same
+        idempotent-by-name discipline as `write_avro_container_dist`'s
+        part files. Without it, rows append to the shared ``segment``."""
+        sig = _signatures(batch_docs, self.kind)
+        if batch_id is None:
+            sig.write.mode("append").partitionBy(_PART_COL[self.kind]).parquet(
+                os.path.join(self.path, "segment")
+            )
+        else:
+            sig.write.mode("overwrite").partitionBy(
+                _PART_COL[self.kind]
+            ).parquet(os.path.join(self.path, f"segment-b{batch_id}"))
 
     def compact(self) -> None:
-        """Merge base + segment into a fresh generation and flip; no-op
-        without a segment. Collisions on doc_id resolve segment-wins
-        (a re-ingested doc's newest signatures replace the base's), the
-        ANN compactions' rule."""
+        """Merge base + every segment dir into a fresh generation and
+        flip; no-op without segments. Collisions on doc_id resolve
+        segment-wins (a re-ingested doc's newest signatures replace the
+        base's), the ANN compactions' rule."""
         import shutil
 
-        seg_path = os.path.join(self.path, "segment")
-        if not os.path.isdir(seg_path):
+        seg_dirs = self._segment_dirs()
+        if not seg_dirs:
             return
         live_dir, _ = self._gen.live()
         base = self.spark.read.parquet(os.path.join(self.path, live_dir))
-        seg = self.spark.read.parquet(seg_path)
+        seg = self.spark.read.parquet(seg_dirs[0])
+        for extra in seg_dirs[1:]:
+            seg = seg.unionByName(self.spark.read.parquet(extra))
         seg_ids = seg.select("doc_id").distinct()
         merged = _enforce_stoplist(
             base.join(seg_ids, "doc_id", "left_anti").unionByName(seg),
@@ -318,4 +343,5 @@ class DedupIndex:
         with open(os.path.join(self.path, target_meta), "w") as fh:
             json.dump({"kind": self.kind, "format": 1}, fh)
         self._gen.flip(target_dir, target_meta)
-        shutil.rmtree(seg_path, ignore_errors=True)
+        for seg_path in seg_dirs:
+            shutil.rmtree(seg_path, ignore_errors=True)
