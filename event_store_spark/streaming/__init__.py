@@ -18,6 +18,7 @@ from event_store_spark.streaming.index import (
     pq_encode_stream,
     sq8_encode_stream,
 )
+from event_store_spark.streaming.neardup_winnow import WinnowDedupGate
 from event_store_spark.streaming.lock import LockManager, LockMonitor
 from event_store_spark.streaming.ocf_ingest import OcfIngest
 from event_store_spark.streaming.replicate import Replicator
@@ -25,6 +26,7 @@ from event_store_spark.streaming.subscribe import Subscription
 from event_store_spark.streaming.typed_ingest import TypedEventsMaterializer
 
 __all__ = [
+    "WinnowDedupGate",
     "Subscription",
     "Replicator",
     "LockManager",
