@@ -119,11 +119,11 @@ def winnow_fingerprints(docs: DataFrame, keep: tuple = ("doc_id",)) -> DataFrame
     ).distinct()
 
 
-@register(
-    "text_winnowing",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                  FROM documents),
+#: shared winnowing-pair CTE chain (ends in ``dups``: doc_a < doc_b
+#: pairs passing the stoplist + MIN_SHARED rules)
+_WINNOW_PAIRS_CTE = f"""
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+             FROM documents),
     g AS (SELECT doc_id,
                  list_transform(range(1, len(w) - {WIN_K - 1} + 1),
                      i -> array_to_string(w[i:i + {WIN_K - 1}], ' ')) AS gr
@@ -138,9 +138,16 @@ def winnow_fingerprints(docs: DataFrame, keep: tuple = ("doc_id",)) -> DataFrame
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      COUNT(*) AS n_shared
               FROM fpk a JOIN fpk b USING (f)
-              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    dups AS (SELECT * FROM pairs WHERE n_shared >= {MIN_SHARED})"""
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+    WITH {_WINNOW_PAIRS_CTE}
     SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
-    FROM pairs WHERE n_shared >= {MIN_SHARED}
+    FROM dups
     ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50
     """,
 )
@@ -159,14 +166,60 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stoplist filter — the in-plan bound) expands to ordered pairs
     in-row, so shared-count aggregation never self-joins the fingerprint
     table and the corpus text is scanned exactly once."""
-    docs = load_table(spark, sf_dir, "documents")
+    pairs = _winnow_pairs(load_table(spark, sf_dir, "documents"))
+    return pairs.orderBy(
+        F.desc("n_shared"), "doc_a", "doc_b"
+    ).limit(50)
+
+
+@register(
+    "dedup_winnow_drops",
+    oracle=f"""
+    WITH {_WINNOW_PAIRS_CTE},
+    ranked AS (SELECT doc_b, doc_a, n_shared,
+                      ROW_NUMBER() OVER (PARTITION BY doc_b
+                                         ORDER BY doc_a) AS rn
+               FROM dups)
+    SELECT doc_b AS doc_id, doc_a AS witness_doc_id,
+           CAST(n_shared AS BIGINT) AS n_shared
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_winnow_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The condemned list under the winnowing keep-lowest rule: every
+    document sharing ≥ MIN_SHARED fingerprints with ANY lower-doc_id
+    document, with its smallest such witness and that pair's shared
+    count — the deletion manifest an exact-substring dedup pass emits
+    (Lee et al.'s operational output), dual to `text_winnowing`'s
+    ranked pair report. Same single-scan pair plan; one extra
+    doc_b-partitioned window picks the witness."""
+    from pyspark.sql import Window
+
+    pairs = _winnow_pairs(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_b").orderBy("doc_a")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("witness_doc_id"),
+            F.col("n_shared"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _winnow_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a < doc_b, n_shared ≥ MIN_SHARED): the winnowing pair table
+    under the registered stoplist + threshold rules — shared by
+    `text_winnowing` and `dedup_winnow_drops`."""
     fp = winnow_fingerprints(docs)
     pair_expr = (
         "flatten(transform(ds, (a, i) -> "
         "transform(slice(ds, i + 2, size(ds)), "
         "b -> struct(a AS doc_a, b AS doc_b))))"
     )
-    pairs = (
+    return (
         fp.groupBy("f")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .where(
@@ -180,9 +233,6 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= MIN_SHARED)
     )
-    return pairs.orderBy(
-        F.desc("n_shared"), "doc_a", "doc_b"
-    ).limit(50)
 
 
 @register(
