@@ -188,12 +188,21 @@ class DedupIndex:
 
     def _segment_dirs(self) -> list[str]:
         """All segment directories: the unkeyed ``segment`` plus any
-        batch-keyed ``segment-b<id>`` dirs (streaming appends)."""
+        batch-keyed ``segment-b<id>`` dirs (streaming appends). Dirs
+        holding no parquet data file (a crash between an empty
+        partitioned write's _SUCCESS and `append`'s skip-guard) are
+        ignored — a partitioned dir without data files has no readable
+        schema and would wedge every subsequent read."""
         return sorted(
-            os.path.join(self.path, name)
+            p
             for name in os.listdir(self.path)
             if name == "segment" or name.startswith("segment-b")
-            if os.path.isdir(os.path.join(self.path, name))
+            if os.path.isdir(p := os.path.join(self.path, name))
+            if any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(p)
+                for f in files
+            )
         )
 
     def signatures(self, include_segment: bool = True) -> DataFrame:
@@ -305,16 +314,33 @@ class DedupIndex:
         with overwrite, so a crash-redelivered micro-batch rewrites its
         segment instead of appending duplicate signature rows — the same
         idempotent-by-name discipline as `write_avro_container_dist`'s
-        part files. Without it, rows append to the shared ``segment``."""
+        part files. Without it, rows append to the shared ``segment``.
+
+        A batch whose signature frame is EMPTY (every doc dropped
+        upstream, or every doc shorter than the scheme's minimum) writes
+        NOTHING: a partitioned overwrite of zero rows leaves a dir with
+        only _SUCCESS, whose schema cannot be inferred — one
+        all-duplicates micro-batch would wedge every later
+        `signatures()`/`probe`. The skip (plus removing a stale dir a
+        crashed redelivery might have left) keeps the segment set
+        readable and the append idempotent."""
+        import shutil
+
         sig = _signatures(batch_docs, self.kind)
         if batch_id is None:
+            if sig.isEmpty():
+                return
             sig.write.mode("append").partitionBy(_PART_COL[self.kind]).parquet(
                 os.path.join(self.path, "segment")
             )
         else:
+            seg = os.path.join(self.path, f"segment-b{batch_id}")
+            if sig.isEmpty():
+                shutil.rmtree(seg, ignore_errors=True)
+                return
             sig.write.mode("overwrite").partitionBy(
                 _PART_COL[self.kind]
-            ).parquet(os.path.join(self.path, f"segment-b{batch_id}"))
+            ).parquet(seg)
 
     def compact(self) -> None:
         """Merge base + every segment dir into a fresh generation and

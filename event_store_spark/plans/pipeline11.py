@@ -78,6 +78,15 @@ def winnow_fingerprints(docs: DataFrame, keep: tuple = ("doc_id",)) -> DataFrame
     non-space character), so the oracle's string-min selection picks the
     same grams — skipping concat_ws removed ~9 s of the 12 s sf0.1
     runtime (building n strings in an interpreted lambda dominated).
+    CLEAN-TOKEN PRECONDITION: the struct/string order equivalence holds
+    only when tokens contain no code point below U+0020 — a control
+    character inside a token (not whitespace, so `\\s+` leaves it in)
+    sorts below ' ' and can flip which gram a window's string-min picks
+    ('ab' < 'ab\\x01' field-wise but 'ab …' > 'ab\\x01…' joined). Corpus
+    text is expected pre-sanitized (the fixtures are; a production
+    cleaning pass strips C0 controls before dedup anyway) — feed raw
+    text through a control-stripping normalizer first if that guarantee
+    is not already upstream.
     Window minima by doubling (sparse table): m2[i]=min(gr[i..i+1]),
     m4[i]=min(gr[i..i+3]), w5[i]=min(m4[i],m4[i+1])=min(gr[i..i+4]);
     the window overlap is harmless for min. ~3n O(1) lambda evaluations

@@ -21,7 +21,7 @@ from event_store_spark.plans.dedup_index import (
     WINNOW_MAX_FP_DOCS,
     DedupIndex,
 )
-from event_store_spark.plans.pipeline11 import MIN_SHARED
+from event_store_spark.plans.pipeline11 import MAX_FP_DOCS, MIN_SHARED
 from event_store_spark.streaming.neardup_winnow import WinnowDedupGate
 from event_store_spark.tables import load_table
 from tests.test_winnowing_properties import select_doubled
@@ -49,9 +49,13 @@ def _py_fps(rows):
 
 
 def _reference_admitted(index_rows, arriving_rows, batch_cuts):
-    """Sequential fold: index fps stoplisted at build; admitted batch
-    fps join unfiltered (compact re-enforces later); within a batch the
-    LOWER id wins; earlier batches win over later ones."""
+    """Sequential fold of the documented admission rule: index fps
+    stoplisted at build; admitted batch fps join unfiltered (compact
+    re-enforces later). Within a batch, index-duplicates drop first and
+    condemn nobody; the remaining (live) docs fold keep-first in
+    ascending id against the SURVIVORS so far, with per-pair ≥
+    MIN_SHARED counting over batch-stoplisted fingerprints (a fp in
+    more than MAX_FP_DOCS live batchmates witnesses no pair)."""
     from collections import Counter
 
     idx_fps = _py_fps(index_rows)
@@ -63,16 +67,24 @@ def _reference_admitted(index_rows, arriving_rows, batch_cuts):
     arr_fps = _py_fps(arriving_rows)
     admitted = []
     for batch in batch_cuts:
-        survivors = []
-        for doc_id in batch:  # ascending ids within the batch
-            fps = arr_fps[doc_id]
-            dup = any(
-                len(fps & other) >= MIN_SHARED for other in indexed
-            ) or any(
-                len(fps & arr_fps[s]) >= MIN_SHARED for s in survivors
+        live = [
+            d
+            for d in batch  # ascending ids within the batch
+            if not any(
+                len(arr_fps[d] & other) >= MIN_SHARED for other in indexed
             )
-            if not dup:
-                survivors.append(doc_id)
+        ]
+        bocc = Counter(f for d in live for f in arr_fps[d])
+        flt = {
+            d: {f for f in arr_fps[d] if bocc[f] <= MAX_FP_DOCS}
+            for d in live
+        }
+        survivors = []
+        for d in live:
+            if not any(
+                len(flt[d] & flt[s]) >= MIN_SHARED for s in survivors
+            ):
+                survivors.append(d)
         for s in survivors:
             indexed.append(arr_fps[s])
             admitted.append(s)
@@ -132,6 +144,91 @@ def test_gate_matches_sequential_reference_and_redelivery(
     )
     hits = idx.probe(copy).collect()
     assert any(r["match_doc_id"] == got[0] for r in hits)
+
+
+def test_gate_pair_threshold_chains_and_empty_batch(spark, tmp_path):
+    """Crafted-doc pins for the admission rule's fine structure:
+
+    - per-PAIR MIN_SHARED counting: D shares exactly 1 fingerprint with
+      each of two kept lower-id batchmates (E, G) — two weak brushes
+      must NOT add up to a drop;
+    - index-duplicates condemn nobody: A is an index-dup of X, C
+      near-dups only A → C is admitted;
+    - within-batch chain resolution: P kept, Q dups P (dropped), R
+      near-dups only Q → R is admitted;
+    - an all-duplicates batch produces an EMPTY signature frame whose
+      append must be skipped (a zero-row partitioned write has no
+      inferable schema) — the gate keeps working afterwards.
+    """
+    from tests.test_winnowing_properties import select_doubled as sel
+
+    X = [f"x{i}" for i in range(30)]
+    E = [f"e{i}" for i in range(8)] + [f"ze{i}" for i in range(8)]
+    G = [f"g{i}" for i in range(8)] + [f"zg{i}" for i in range(8)]
+    D = (
+        [f"ze{i}" for i in range(8)]
+        + [f"d{i}" for i in range(4)]
+        + [f"zg{i}" for i in range(8)]
+    )
+    A = X[5:25] + [f"a{i}" for i in range(20)]
+    C = [f"a{i}" for i in range(20)] + [f"c{i}" for i in range(8)]
+    P = [f"p{i}" for i in range(20)]
+    Q = P + [f"q{i}" for i in range(20)]
+    R = [f"q{i}" for i in range(20)] + [f"r{i}" for i in range(8)]
+
+    f = {n: sel(t) for n, t in
+         dict(X=X, E=E, G=G, D=D, A=A, C=C, P=P, Q=Q, R=R).items()}
+    # scenario preconditions (MIN_SHARED == 2)
+    assert MIN_SHARED == 2
+    assert len(f["D"] & f["E"]) == 1 and len(f["D"] & f["G"]) == 1
+    assert len(f["A"] & f["X"]) >= 2
+    assert len(f["C"] & f["A"]) >= 2 and not (f["C"] & f["X"])
+    assert len(f["Q"] & f["P"]) >= 2
+    assert len(f["R"] & f["Q"]) >= 2 and not (f["R"] & f["P"])
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, "srcT", " ".join(t)) for i, t in rows],
+            "doc_id bigint, source string, text string",
+        )
+
+    index_docs = df([(100, X)])
+    batch1 = [(1, E), (2, G), (3, D), (4, A), (5, C), (6, P), (7, Q), (8, R)]
+    idx = DedupIndex.build(spark, index_docs, str(tmp_path / "ix"), "winnow")
+    gate = WinnowDedupGate(
+        idx, str(tmp_path / "out"), str(tmp_path / "gate.json")
+    )
+    fn = gate.foreach_batch()
+    fn(df(batch1), 0)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "batch-*")).collect()
+    )
+    assert got == [1, 2, 3, 5, 6, 8]  # A(4) index-dup, Q(7) dups P
+    assert got == _reference_admitted(
+        index_docs.collect(),
+        df(batch1).collect(),
+        [[i for i, _ in batch1]],
+    )
+
+    # all-duplicates batch: every doc copies an admitted one → empty
+    # admit, skipped signature append, gate not wedged
+    n_sig = idx.signatures().count()
+    fn(df([(11, E), (12, P)]), 1)
+    assert not (tmp_path / "ix" / "segment-b1").exists()
+    assert idx.signatures().count() == n_sig
+    assert (
+        spark.read.parquet(str(tmp_path / "out" / "batch-1")).count() == 0
+    )
+
+    # the gate still probes and admits after the empty append
+    fresh = [(13, [f"v{i}" for i in range(16)]), (14, E)]
+    fn(df(fresh), 2)
+    got3 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "batch-2")).collect()
+    )
+    assert got3 == [13]
 
 
 def test_gate_through_real_stream(spark, corpus, tmp_path):
