@@ -165,23 +165,31 @@ _register_dedup_minhash_survivors()
     """,
 )
 def contamination_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination scan, BROADCAST formulation — identical
-    semantics to `contamination_ngram` (same oracle), different physical
-    strategy, registered because the two plans trade differently with
-    corpus size:
+    """Benchmark-contamination scan, BROADCAST formulation — since round
+    9 this is ALSO `contamination_ngram`'s registered body (pipeline.py
+    delegates here; the r8 100× dossier measured the old groupBy form at
+    exponent 1.54 / 112.8 s vs 17.2 s for this plan, so the scale-safe
+    shape is the default and the groupBy form survives as the
+    `contamination_grouped` parity twin).
 
-    `contamination_ngram` shuffles every corpus gram once (groupBy on the
-    gram key). Here the EVAL side — small by nature: the held-out
-    benchmark — is made distinct (a shuffle of eval grams only) and
-    broadcast; the corpus side is a map-only explode + broadcast
-    semi-join probe, so the full training corpus NEVER crosses the
-    network. Only the contaminated survivors (tiny by construction — if
-    they weren't, training data IS the benchmark) are shuffled for the
-    per-(doc, gram) dedup and the per-doc count. At 100 TB this is the
-    decontamination plan: broadcast of benchmark-gram hashes ≈ the
-    runtime-filter/Bloom pattern, with exact semantics instead of a false
-    positive rate.
+    The EVAL side — small by nature: the held-out benchmark — is made
+    distinct (a shuffle of eval grams only) and broadcast; the corpus
+    side is a map-only explode + broadcast semi-join probe, so the full
+    training corpus NEVER crosses the network. Only the contaminated
+    survivors (tiny by construction — if they weren't, training data IS
+    the benchmark) are shuffled for the per-(doc, gram) dedup and the
+    per-doc count. At 100 TB this is the decontamination plan: broadcast
+    of benchmark-gram hashes ≈ the runtime-filter/Bloom pattern, with
+    exact semantics instead of a false positive rate.
     """
+    return _contamination_broadcast_plan(spark, sf_dir)
+
+
+def _contamination_broadcast_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The shared broadcast-probe plan body (see the registered
+    docstrings of `contamination_broadcast` and `contamination_ngram`)."""
     from event_store_spark.functions.text import whitespace_tokens, word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")

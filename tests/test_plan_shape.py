@@ -81,10 +81,12 @@ def test_contamination_join_is_hash_equi(spark, sf_correct):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_contamination_tokenizes_corpus_once(spark, sf_correct):
-    """The single-pass rewrite: exactly one documents scan (round 2's
-    self-join lineage tokenized the corpus twice)."""
-    plan = _plan(spark, sf_correct, "contamination_ngram")
+def test_contamination_grouped_tokenizes_corpus_once(spark, sf_correct):
+    """The groupBy parity twin's defining property: exactly one documents
+    scan (round 2's self-join lineage tokenized the corpus twice). The
+    broadcast default trades this for two map-side scans — the eval scan
+    is source-pruned at the parquet reader and neither side shuffles."""
+    plan = _plan(spark, sf_correct, "contamination_grouped")
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
 
 
@@ -749,3 +751,29 @@ def test_phrase_collocations_broadcasts_vocab(spark, sf_correct):
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar total
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_ngram_defaults_to_broadcast_probe(spark, sf_correct):
+    """VERDICT r8 #1: the registered contamination_ngram body IS the
+    broadcast plan — the benchmark gram set rides a BroadcastExchange
+    and the corpus side probes it as a broadcast semi-join, so the
+    training corpus never shuffles for the probe."""
+    plan = _plan(spark, sf_correct, "contamination_ngram")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_grouped_carries_set_size_guard(spark, sf_correct, monkeypatch):
+    """The groupBy parity twin keeps its one-shuffle shape but cannot
+    melt silently: the per-gram train-doc set size is guarded in the
+    EXECUTED plan and trips loudly past the cap."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import event_store_spark.plans.pipeline as pl
+
+    plan = _plan(spark, sf_correct, "contamination_grouped")
+    assert "raise_error" in plan
+    monkeypatch.setattr(pl, "CONTAMINATION_MAX_DOCS_PER_GRAM", 1)
+    with pytest.raises(Exception, match="deny-list"):
+        QUERIES["contamination_grouped"](spark, sf_correct).collect()
