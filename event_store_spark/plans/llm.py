@@ -1372,41 +1372,21 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     `dedup_minhash_lsh` stops at candidate counting; real dedup pipelines
     verify every LSH candidate exactly before dropping documents, because
-    banding admits false positives by construction. The verify stage joins
-    the candidate pairs (tiny relative to the corpus) back to the distinct
-    3-gram sets — two broadcast-friendly joins keyed by doc_id — so the
-    expensive exact comparison runs ONLY on LSH survivors, never all pairs.
-    This candidates→verify shape is exactly how a 100 TB dedup run spends
-    its budget: signature build O(corpus), verification O(candidates)."""
+    banding admits false positives by construction. Verification goes
+    through `plans.jaccard.exact_jaccard` (VERDICT r8 #2): candidates
+    meet fixed-width ≤K-long gram-hash SKETCHES (the full distinct set
+    whenever a doc has ≤ K grams, an exact inverted-index row re-check
+    otherwise) instead of full gram string arrays, so the verify join
+    moves O(1) bytes per doc at any document length. No size-ratio prune
+    here — the query reports max_jaccard over ALL candidates, so every
+    pair's exact jac is computed. This candidates→verify shape is
+    exactly how a 100 TB dedup run spends its budget: signature build
+    O(corpus), verification O(candidates)."""
+    from event_store_spark.plans.jaccard import exact_jaccard
+
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", whitespace_tokens("text").alias("w"))
     cand = _minhash_candidates(spark, sf_dir)
-    grams = toks.select("doc_id", F.array_distinct(word_ngrams("w", 3)).alias("grams"))
-    ga, gb = grams.alias("ga"), grams.alias("gb")
-    # Join shapes: the BARE candidate pair set is tiny by LSH construction
-    # and broadcasts (without the hint Catalyst trusts the parquet scan's
-    # file-size estimate and broadcasts the corpus gram arrays — measured
-    # 4× slower). The gram-ENRICHED intermediate j1 is NOT broadcast: it
-    # carries a document-sized array per pair, so at scale it is
-    # candidates × grams big — it meets the second gram side in a
-    # shuffled hash join instead (j1 builds, the corpus streams).
-    j1 = ga.join(F.broadcast(cand), F.col("d1") == F.col("ga.doc_id"))
-    verified = (
-        gb.join(j1.hint("shuffle_hash"), F.col("d2") == F.col("gb.doc_id"))
-        .select(
-            F.size(F.array_intersect("ga.grams", "gb.grams")).alias("inter"),
-            (
-                F.size("ga.grams")
-                + F.size("gb.grams")
-                - F.size(F.array_intersect("ga.grams", "gb.grams"))
-            ).alias("uni"),
-        )
-        .select(
-            F.when(F.col("uni") > 0, F.col("inter").cast("double") / F.col("uni"))
-            .otherwise(F.lit(0.0))
-            .alias("jac")
-        )
-    )
+    verified = exact_jaccard(docs, cand, "d1", "d2")
     return verified.agg(
         F.count(F.lit(1)).cast("bigint").alias("candidate_pairs"),
         F.count(F.when(F.col("jac") >= 0.3, 1)).cast("bigint").alias("verified_pairs"),
