@@ -284,6 +284,184 @@ def semantic_dedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cell_report(assigned)
 
 
+#: two-level build: global fine cell id = coarse_cell * STRIDE + local
+#: fine index (local count ≤ TL_COARSE_MAX / ADAPTIVE_TARGET ≪ STRIDE)
+TL_CELL_STRIDE = 1_000_000
+#: per-coarse-cell member bound for the in-task fine train: 250k × 64
+#: doubles ≈ 128 MB, one comfortable Arrow task. Recovery = more coarse
+#: cells (the SEM_MAX_CELL loud-guard convention one level up).
+TL_COARSE_MAX = 250_000
+
+from weakref import WeakKeyDictionary
+
+#: memoized two-level assignment per (session, sf_dir) — the
+#: _IVF_MEMO/_MINHASH_MEMO convention: the build is deterministic, so
+#: reuse cannot change results, and the cached frame IS the index
+_TL_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def _twolevel_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cell) under the two-level coarse→fine assign — the
+    sub-quadratic replacement for the adaptive build's flat assign
+    (VERDICT r8 #5, PERF.md "Remaining known asymptote").
+
+    The flat adaptive build scores every vector against all k = ⌈n/512⌉
+    centroids: O(n·k·d) = O(n²d/512) flops — quadratic by contract, the
+    engine's one declared asymptote through round 8. Here:
+
+    - COARSE: k₁ = ⌈√k⌉ centroids (seeds vec_id 1..k₁, one Lloyd pass,
+      6-dp rounding — `_assign`/`_update` verbatim, GEMM path above 16);
+      n·k₁ = n·√k flop assign.
+    - FINE, per coarse cell inside ONE `applyInPandas` task: k_c =
+      ⌈n_c/512⌉ local centroids seeded from the cell's lowest vec_ids,
+      one numpy Lloyd pass (empty cluster keeps its seed), 6-dp rounding,
+      argmin-first tie rule — the flat build's exact conventions, scoped
+      to the cell. Σ n_c·k_c ≈ n²/(512·k₁) = n^1.5·√512/512.
+
+    Total assign+train work is Θ(n^1.5/√512·d) versus the flat Θ(n²/512·d)
+    — sub-quadratic, and every stage is either one GEMM scan or one
+    shuffle by coarse cell. Mean fine occupancy still tracks
+    ADAPTIVE_TARGET, so the downstream SemDeDup GEMM keeps its O(n·512)
+    bound and SEM_MAX_CELL guard unchanged.
+
+    When k ≤ GEMM_ASSIGN_K (every correctness SF: k collapses to 8) the
+    two-level structure is pointless and this DELEGATES to the memoized
+    flat adaptive build — making `semantic_dedup_twolevel` bit-equal to
+    `semantic_dedup_adaptive` there, which is what lets it share the
+    adaptive oracle. The crossover is pinned by
+    tests/test_semantic_twolevel.py on a 12k-vector synth corpus (k=24,
+    k₁=5) where the two-level path really engages."""
+    import math
+
+    from event_store_spark.plans.ivf import (
+        ADAPTIVE_TARGET,
+        GEMM_ASSIGN_K,
+        K,
+        _assign,
+        _ivf_index,
+        _update,
+    )
+    from event_store_spark.tables import load_table
+
+    memo = _TL_MEMO.setdefault(spark, {})
+    got = memo.get(sf_dir)
+    if got is not None:
+        return got
+    from event_store_spark.functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    n = emb.count()
+    k = max(K, math.ceil(n / ADAPTIVE_TARGET))
+    if k <= GEMM_ASSIGN_K:
+        _, assigned = _ivf_index(spark, sf_dir, "adaptive")
+        memo[sf_dir] = assigned
+        return assigned
+
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    k1 = math.ceil(math.sqrt(k))
+    coarse0 = sorted(
+        (r["vec_id"] - 1, [float(x) for x in r["v"]])
+        for r in emb.where(F.col("vec_id").between(1, k1)).collect()
+    )
+    coarse = _update(_assign(emb, coarse0))
+    a = _assign(emb, coarse)
+
+    import numpy as np
+    import pandas as pd
+
+    target = ADAPTIVE_TARGET
+
+    def fine(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n_c = len(pdf)
+        coarse_id = int(pdf["cell"].iloc[0])
+        if n_c > TL_COARSE_MAX:
+            raise ValueError(
+                f"semantic_dedup_twolevel: coarse cell {coarse_id} holds "
+                f"{n_c} vectors (TL_COARSE_MAX={TL_COARSE_MAX}); raise k1"
+            )
+        pdf = pdf.sort_values("vec_id")
+        base = coarse_id * TL_CELL_STRIDE
+        kc = max(1, math.ceil(n_c / target))
+        if kc == 1 or n_c <= kc:
+            return pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "v": pdf["v"],
+                    "cell": np.full(n_c, base, dtype="int64"),
+                }
+            )
+        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        C = V[:kc].copy()  # seeds: the cell's lowest vec_ids
+
+        def assign(cents):
+            # argmin ‖v−c‖² = ‖c‖² − 2 v·c (‖v‖² constant per row);
+            # numpy argmin takes the FIRST minimal index = lowest local
+            # cell, the flat build's tie rule
+            return (
+                (cents * cents).sum(axis=1)[None, :] - 2.0 * (V @ cents.T)
+            ).argmin(axis=1)
+
+        pos = assign(C)
+        for j in range(kc):  # Lloyd update; an empty cluster keeps its seed
+            m = pos == j
+            if m.any():
+                C[j] = np.round(V[m].mean(axis=0), 6)
+        pos = assign(C)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "v": pdf["v"],
+                "cell": (base + pos).astype("int64"),
+            }
+        )
+
+    assigned = (
+        a.select("vec_id", "v", "cell")
+        .groupBy("cell")
+        .applyInPandas(fine, "vec_id bigint, v array<double>, cell bigint")
+        .cache()
+    )
+    memo[sf_dir] = assigned
+    return assigned
+
+
+@register(
+    "semantic_dedup_twolevel",
+    oracle=f"""
+    WITH {_KMEANS_ADAPTIVE_CTE},
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM av a JOIN av b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE {_SIM} >= {SEM_TAU})
+    SELECT CAST(av.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS members,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_cnt,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_cnt
+    FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+    GROUP BY av.cell ORDER BY cell
+    """,
+)
+def semantic_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup_adaptive` with the SUB-QUADRATIC two-level assign
+    (coarse √k cells → per-cell fine k-means inside one Arrow task) —
+    the swap point PERF.md declared as the engine's remaining asymptote,
+    now built (VERDICT r8 #5; see `_twolevel_assigned` for the flop
+    accounting). Same report, same greedy min-id drop rule, same
+    SEM_MAX_CELL guard; at correctness SFs k ≤ 16 makes it DELEGATE to
+    the flat adaptive build, so the adaptive oracle pins it exactly
+    there, and tests/test_semantic_twolevel.py pins the engaged path on
+    a 12k-vector corpus."""
+    return _cell_report(_twolevel_assigned(spark, sf_dir))
+
+
 @register(
     "semantic_dedup_survivors",
     oracle=f"""
