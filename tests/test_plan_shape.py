@@ -777,3 +777,33 @@ def test_contamination_grouped_carries_set_size_guard(spark, sf_correct, monkeyp
     monkeypatch.setattr(pl, "CONTAMINATION_MAX_DOCS_PER_GRAM", 1)
     with pytest.raises(Exception, match="deny-list"):
         QUERIES["contamination_grouped"](spark, sf_correct).collect()
+
+
+def test_bm25_postings_probe_prunes_partitions(spark, sf_correct):
+    """VERDICT r8 #6: the postings probe's parquet scan carries a
+    PartitionFilters entry on the term bucket — the plan reads the query
+    terms' partitions, not the corpus — and the python/Spark bucket
+    hashes agree (the prune's correctness precondition)."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.ir import (
+        POSTINGS_BUCKETS,
+        QUERY_TERMS,
+        term_bucket,
+    )
+
+    spark_buckets = {
+        r["b"]: r["t"]
+        for r in spark.createDataFrame(
+            [(t,) for t in QUERY_TERMS], "t string"
+        )
+        .select("t", F.pmod(F.crc32("t"), F.lit(POSTINGS_BUCKETS)).alias("b"))
+        .collect()
+    }
+    assert spark_buckets == {term_bucket(t): t for t in QUERY_TERMS}
+
+    plan = _plan(spark, sf_correct, "bm25_postings_topk")
+    scan = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "bucket" in scan
