@@ -73,6 +73,13 @@ def main() -> None:
 
     typed_events(spark, sf_dir)
 
+    # same accounting for the BM25 postings index (bm25_postings_topk
+    # serves from it): a one-time per-corpus write-path build, disclosed
+    # in PERF.md alongside the typed-events materialization
+    from event_store_spark.plans.ir import bm25_postings
+
+    bm25_postings(spark, sf_dir)
+
     # engine: interleaved reps (rep-major) so a transient contention spike
     # lands on ONE rep of many queries, not all reps of one query
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}

@@ -233,6 +233,11 @@ def main() -> None:
 
     typed_events(spark, out_dir)
 
+    # BM25 postings index: same write-path accounting as typed_events
+    from event_store_spark.plans.ir import bm25_postings
+
+    bm25_postings(spark, out_dir)
+
     # resumable progress journal: one JSON line per timed query, so a run
     # killed by an external wall-clock cap loses at most one query's work
     journal_path = os.path.join(out_dir, "_progress.jsonl")
