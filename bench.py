@@ -80,6 +80,12 @@ def main() -> None:
 
     bm25_postings(spark, sf_dir)
 
+    # and the verify-sketch side table (dedup_incremental /
+    # dedup_minhash_verified verify against it) — same write-path rule
+    from event_store_spark.plans.jaccard import verify_sketches
+
+    verify_sketches(spark, sf_dir)
+
     # engine: interleaved reps (rep-major) so a transient contention spike
     # lands on ONE rep of many queries, not all reps of one query
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}

@@ -100,7 +100,10 @@ def _verified_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection and an exact row-join re-check only for docs larger
     than the sketch. Same answers (the oracle is unchanged), a fraction
     of the join payload."""
-    from event_store_spark.plans.jaccard import exact_jaccard
+    from event_store_spark.plans.jaccard import (
+        exact_jaccard,
+        verify_sketches,
+    )
 
     sig = _minhash_signatures(spark, sf_dir)
     batch_sig = sig.where(F.col("source") == NEW_SOURCE).select(
@@ -122,6 +125,7 @@ def _verified_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard(
         _docs(spark, sf_dir), cand, "new_id", "idx_id",
         min_jaccard=JACCARD_MIN,
+        sketches=verify_sketches(spark, sf_dir),
     ).where(F.col("jac") >= JACCARD_MIN).select("new_id", "idx_id", "jac")
 
 

@@ -45,6 +45,7 @@ from weakref import WeakKeyDictionary
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.generations import GenerationPair
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table, table_path
 
@@ -145,8 +146,10 @@ def _postings_dir(sf_dir: str) -> str:
     st = os.stat(src)
     ident = f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
     digest = hashlib.md5(ident.encode()).hexdigest()[:16]
+    # layout version suffix: bumping it orphans caches written by older
+    # code (the round-9 flat layout had no generation dir / sum_dl)
     return os.path.join(
-        tempfile.gettempdir(), "event_store_spark_bm25", digest, "postings"
+        tempfile.gettempdir(), "event_store_spark_bm25", digest, "postings-v2"
     )
 
 
@@ -156,55 +159,272 @@ def term_bucket(term: str) -> int:
     return zlib.crc32(term.encode("utf-8")) % POSTINGS_BUCKETS
 
 
-def bm25_postings(spark: SparkSession, sf_dir: str):
-    """(postings DataFrame, stats dict): the persisted inverted index.
+def _postings_rows(docs: DataFrame) -> DataFrame:
+    """(bucket, t, doc_id, dl, tf): the one shared postings formula —
+    build, append, and every test derive rows from it, so the paths
+    cannot drift."""
+    return (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("t"))
+        .groupBy("t", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.crc32("t"), F.lit(POSTINGS_BUCKETS)))
+    )
 
-    Built ONCE per corpus (ir.py module docstring): one tokenize pass →
-    (bucket, t, doc_id, dl, tf) rows written parquet PARTITIONED BY the
-    crc32 term bucket, with the corpus stats the scorer needs (n_docs,
-    avgdl) in meta.json INSIDE the staged dir so the atomic rename
-    publishes rows and stats together. Thereafter every call is a
-    parquet open + one json read; probes prune to their terms' buckets.
-    In production this is write-path work (the MinHash DedupIndex cost
+
+def _doc_stats(docs: DataFrame) -> dict:
+    """{n_docs, sum_dl} as EXACT integers — avgdl is derived as
+    sum_dl / n_docs in Python, so the value is bit-stable across builds
+    and across fold orders (appended segments fold by integer addition,
+    giving the identical avgdl a from-scratch rebuild computes)."""
+    n_docs, sum_dl = (
+        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    return {"n_docs": int(n_docs), "sum_dl": int(sum_dl or 0)}
+
+
+class PostingsIndex:
+    """The persisted BM25 inverted index at ``path`` — the full lifecycle
+    the ANN (`VectorIndex`) and dedup (`DedupIndex`) families already
+    have, completed for retrieval (VERDICT r8 #6 and the ir.py module
+    docstring's promise):
+
+    - ``build``: one tokenize pass → (bucket, t, doc_id, dl, tf) parquet
+      PARTITIONED BY the crc32 term bucket; exact integer corpus stats
+      ({n_docs, sum_dl}) land in meta.json, written into the staged dir
+      so one atomic rename publishes rows and stats together.
+    - ``probe(terms)``: filter to the terms' buckets — a PartitionFilters
+      prune, the distributed analog of an index seek — then the standard
+      Okapi scoring; document frequencies fall out of the rows read,
+      (n_docs, avgdl) ride as literals from ``stats()``.
+    - ``append(docs, batch_id)``: an arriving batch's rows go to a
+      deterministic ``segment-b<id>`` dir (overwrite — crash redelivery
+      rewrites bytes, never duplicates) with its own ``segmeta-b<id>``
+      stats written LAST as the segment-complete marker; empty batches
+      write nothing and clear any stale dir (the DedupIndex empty-append
+      rule). Stats fold by integer addition, so probes over base +
+      segments score with the exact same avgdl a rebuild would.
+    - ``compact()``: merge base + segments into a fresh generation
+      behind `GenerationPair`'s atomic pointer flip (deferred GC);
+      doc_id collisions resolve segment-wins (a re-ingested doc's newest
+      postings replace the base's) and stats are RECOMPUTED from the
+      merged rows — self-healing, same rules as the ANN compactions.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._gen = GenerationPair(path, "rows", "meta.json")
+
+    # ----------------------------------------------------------- lifecycle
+
+    @classmethod
+    def build(
+        cls, spark: SparkSession, docs: DataFrame, path: str
+    ) -> "PostingsIndex":
+        idx = cls(spark, path)
+        staged = f"{path}.staged-{os.getpid()}"
+        shutil.rmtree(staged, ignore_errors=True)
+        _postings_rows(docs).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(staged, "rows"))
+        meta = {**_doc_stats(docs), "format": 1}
+        with open(os.path.join(staged, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        try:
+            os.rename(staged, path)  # atomic publish
+        except OSError:
+            # another process published first; theirs is equivalent
+            shutil.rmtree(staged, ignore_errors=True)
+        return idx
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "PostingsIndex":
+        live_meta = GenerationPair(path, "rows", "meta.json").live()[1]
+        if not os.path.isfile(os.path.join(path, live_meta)):
+            raise FileNotFoundError(f"no postings index at {path}")
+        return cls(spark, path)
+
+    def _segments(self) -> list[str]:
+        """Complete segment ids: a segment counts only once its stats
+        marker exists (written last), so a crash mid-append is invisible
+        to readers."""
+        ids = (
+            name[len("segmeta-b"):-len(".json")]
+            for name in os.listdir(self.path)
+            if name.startswith("segmeta-b") and name.endswith(".json")
+        )
+        return sorted(
+            s
+            for s in ids
+            if os.path.isdir(os.path.join(self.path, f"segment-b{s}"))
+        )
+
+    def postings(self, include_segments: bool = True) -> DataFrame:
+        live_dir, _ = self._gen.live()
+        post = self.spark.read.parquet(os.path.join(self.path, live_dir))
+        if include_segments:
+            for seg in self._segments():
+                post = post.unionByName(
+                    self.spark.read.parquet(
+                        os.path.join(self.path, f"segment-b{seg}")
+                    )
+                )
+        return post
+
+    def stats(self) -> dict:
+        """{n_docs, sum_dl, avgdl} folded over base + complete segments
+        by exact integer addition."""
+        _, live_meta = self._gen.live()
+        with open(os.path.join(self.path, live_meta)) as fh:
+            meta = json.load(fh)
+        n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+        for seg in self._segments():
+            with open(os.path.join(self.path, f"segmeta-b{seg}.json")) as fh:
+                m = json.load(fh)
+            n_docs += m["n_docs"]
+            sum_dl += m["sum_dl"]
+        return {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": sum_dl / n_docs if n_docs else 0.0,
+        }
+
+    # --------------------------------------------------------------- probe
+
+    def probe(self, terms=QUERY_TERMS, topk: int = BM25_TOPK) -> DataFrame:
+        """Okapi BM25 top-k over the index for ``terms`` — reads only the
+        terms' bucket partitions."""
+        stats = self.stats()
+        buckets = sorted({term_bucket(t) for t in terms})
+        sub = self.postings().where(
+            F.col("bucket").isin(buckets) & F.col("t").isin(*terms)
+        ).select("t", "doc_id", "dl", "tf")
+        df = sub.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            (F.lit(stats["n_docs"]) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        )
+        contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(stats["avgdl"]))
+        )
+        return (
+            sub.join(F.broadcast(df), "t")
+            .groupBy("doc_id")
+            .agg(F.sum(contrib).alias("_s"))
+            .select("doc_id", F.round("_s", 4).alias("score"))
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(topk)
+        )
+
+    # --------------------------------------------------------- maintenance
+
+    def append(self, docs: DataFrame, batch_id: int) -> None:
+        seg_dir = os.path.join(self.path, f"segment-b{batch_id}")
+        seg_meta = os.path.join(self.path, f"segmeta-b{batch_id}.json")
+        stats = _doc_stats(docs)
+        if stats["n_docs"] == 0:
+            shutil.rmtree(seg_dir, ignore_errors=True)
+            try:
+                os.remove(seg_meta)
+            except OSError:
+                pass
+            return
+        _postings_rows(docs).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(seg_dir)
+        tmp = seg_meta + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, seg_meta)  # marker LAST, atomically
+
+    def compact(self) -> None:
+        """Merge base + segments into a fresh generation and flip.
+
+        Collisions resolve NEWEST-wins at every level: segment rows
+        replace base rows for a re-ingested doc_id, and when a doc was
+        appended in several batches the highest batch id's rows win
+        (batch ids ascend with ingest order — exactly_once_batch's
+        contract). Before compaction a twice-ingested doc transiently
+        double-counts in probes, the same disclosed window DedupIndex
+        has; an ingest gate that feeds each doc once never sees it."""
+        segs = self._segments()
+        if not segs:
+            return
+        live_dir, _ = self._gen.live()
+        base = self.spark.read.parquet(os.path.join(self.path, live_dir))
+        seg = None
+        # order by NUMERIC batch id — lexicographic would rank b9 > b10
+        for order, s in enumerate(
+            sorted(segs, key=lambda x: int(x) if x.isdigit() else 0)
+        ):
+            part = self.spark.read.parquet(
+                os.path.join(self.path, f"segment-b{s}")
+            ).withColumn("_b", F.lit(order))
+            seg = part if seg is None else seg.unionByName(part)
+        latest = seg.groupBy("doc_id").agg(F.max("_b").alias("_b"))
+        seg = seg.join(latest, ["doc_id", "_b"]).drop("_b")
+        seg_ids = seg.select("doc_id").distinct()
+        merged = base.join(seg_ids, "doc_id", "left_anti").unionByName(seg)
+        target_dir, target_meta = self._gen.next_names()
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(self.path, target_dir)
+        )
+        # stats recomputed from the merged rows (exact: one first(dl) per
+        # doc) — segment-wins collisions and any drift self-heal here
+        written = self.spark.read.parquet(os.path.join(self.path, target_dir))
+        per_doc = written.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        n_docs, sum_dl = per_doc.agg(
+            F.count(F.lit(1)), F.sum("dl")
+        ).first()
+        with open(os.path.join(self.path, target_meta), "w") as fh:
+            json.dump(
+                {"n_docs": int(n_docs), "sum_dl": int(sum_dl or 0),
+                 "format": 1},
+                fh,
+            )
+        self._gen.flip(target_dir, target_meta)
+        for s in segs:
+            try:
+                os.remove(os.path.join(self.path, f"segmeta-b{s}.json"))
+            except OSError:
+                pass
+            shutil.rmtree(
+                os.path.join(self.path, f"segment-b{s}"), ignore_errors=True
+            )
+
+
+def bm25_index(spark: SparkSession, sf_dir: str) -> PostingsIndex:
+    """The fixture corpus's `PostingsIndex`, built once per corpus under
+    the typed_events digest-cache rule and opened thereafter. In
+    production the build is write-path work (the MinHash DedupIndex cost
     model); the side table is the batch backfill of that layout."""
     memo = _POSTINGS_MEMO.setdefault(spark, {})
     got = memo.get(sf_dir)
     if got is not None:
         return got
-
     final = _postings_dir(sf_dir)
-    if not os.path.isdir(final):
-        tok = load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    if os.path.isdir(final):
+        idx = PostingsIndex.open(spark, final)
+    else:
+        idx = PostingsIndex.build(
+            spark, load_table(spark, sf_dir, "documents"), final
         )
-        rows = (
-            tok.select(
-                "doc_id", F.size("w").alias("dl"), F.explode("w").alias("t")
-            )
-            .groupBy("t", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn(
-                "bucket", F.pmod(F.crc32("t"), F.lit(POSTINGS_BUCKETS))
-            )
-        )
-        n_docs, avgdl = tok.agg(
-            F.count(F.lit(1)), F.avg(F.size("w").cast("double"))
-        ).first()
-        staged = f"{final}.staged-{os.getpid()}"
-        rows.write.mode("overwrite").partitionBy("bucket").parquet(staged)
-        with open(os.path.join(staged, "meta.json"), "w") as fh:
-            json.dump({"n_docs": int(n_docs), "avgdl": float(avgdl)}, fh)
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        try:
-            os.rename(staged, final)  # atomic publish
-        except OSError:
-            shutil.rmtree(staged, ignore_errors=True)
+    memo[sf_dir] = idx
+    return idx
 
-    with open(os.path.join(final, "meta.json")) as fh:
-        stats = json.load(fh)
-    post = spark.read.parquet(final)
-    memo[sf_dir] = (post, stats)
-    return post, stats
+
+def bm25_postings(spark: SparkSession, sf_dir: str):
+    """(postings DataFrame, stats dict) over `bm25_index` — the bench
+    warm hooks call this to charge the build to the write path."""
+    idx = bm25_index(spark, sf_dir)
+    return idx.postings(), idx.stats()
 
 
 @register(
@@ -238,26 +458,7 @@ def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually read; (n_docs, avgdl) ride from meta.json as literals.
     Same scoring arithmetic and oracle as the scan form; the scan form
     measured 12× the oracle at the 100× point (14.8 s vs 1.2) where this
-    probe reads 3 of 64 partitions."""
-    post, stats = bm25_postings(spark, sf_dir)
-    buckets = sorted({term_bucket(t) for t in QUERY_TERMS})
-    sub = post.where(
-        F.col("bucket").isin(buckets) & F.col("t").isin(*QUERY_TERMS)
-    ).select("t", "doc_id", "dl", "tf")
-    df = sub.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.lit(stats["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        + 1.0
-    )
-    contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(stats["avgdl"]))
-    )
-    return (
-        sub.join(F.broadcast(df), "t")
-        .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("_s"))
-        .select("doc_id", F.round("_s", 4).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(BM25_TOPK)
-    )
+    probe reads 3 of 64 partitions. avgdl folds from exact integer
+    (n_docs, sum_dl) stats, so the appended-index probe and a rebuild
+    score identically."""
+    return bm25_index(spark, sf_dir).probe(QUERY_TERMS, BM25_TOPK)

@@ -1382,11 +1382,16 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair's exact jac is computed. This candidates→verify shape is
     exactly how a 100 TB dedup run spends its budget: signature build
     O(corpus), verification O(candidates)."""
-    from event_store_spark.plans.jaccard import exact_jaccard
+    from event_store_spark.plans.jaccard import (
+        exact_jaccard,
+        verify_sketches,
+    )
 
     docs = _docs(spark, sf_dir)
     cand = _minhash_candidates(spark, sf_dir)
-    verified = exact_jaccard(docs, cand, "d1", "d2")
+    verified = exact_jaccard(
+        docs, cand, "d1", "d2", sketches=verify_sketches(spark, sf_dir)
+    )
     return verified.agg(
         F.count(F.lit(1)).cast("bigint").alias("candidate_pairs"),
         F.count(F.when(F.col("jac") >= 0.3, 1)).cast("bigint").alias("verified_pairs"),

@@ -233,10 +233,13 @@ def main() -> None:
 
     typed_events(spark, out_dir)
 
-    # BM25 postings index: same write-path accounting as typed_events
+    # BM25 postings index + verify-sketch side table: same write-path
+    # accounting as typed_events
     from event_store_spark.plans.ir import bm25_postings
+    from event_store_spark.plans.jaccard import verify_sketches
 
     bm25_postings(spark, out_dir)
+    verify_sketches(spark, out_dir)
 
     # resumable progress journal: one JSON line per timed query, so a run
     # killed by an external wall-clock cap loses at most one query's work
@@ -263,27 +266,43 @@ def main() -> None:
         journal("engine", name, s=round(statistics.median(vals), 3))
     import duckdb
 
-    con = duckdb.connect()
     # VERDICT r8 #4: an in-memory duckdb has NO temp_directory, so big
     # hash joins/aggregations die with "failed to allocate block" instead
     # of spilling (16 of 41 rows at the 30x point had no ratio). A spill
     # dir plus an explicit memory_limit makes the oracle complete (or hit
     # the wall cap) instead of erroring — the fair single-node baseline.
+    # And an INTERRUPTED query can leave its buffer reservations pinned
+    # on the connection (observed: the next query dies failing to
+    # allocate 2 KB), so after any capped/errored row the connection is
+    # rebuilt — views are cheap to re-register.
     oracle_mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "64GB")
     duck_tmp = os.path.join(out_dir, "_duck_tmp")
     os.makedirs(duck_tmp, exist_ok=True)
-    con.execute(f"SET memory_limit='{oracle_mem}'")
-    con.execute(f"SET temp_directory='{duck_tmp}'")
-    con.execute("SET preserve_insertion_order=false")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{out_dir}/{t}.parquet/*.parquet'"
-        )
+
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{oracle_mem}'")
+        c.execute(f"SET temp_directory='{duck_tmp}'")
+        c.execute("SET preserve_insertion_order=false")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{out_dir}/{t}.parquet/*.parquet'"
+            )
+        return c
+
+    con = fresh_con()
     for name in sorted(ORACLE):
         if f"oracle:{name}" in done:
             continue
         secs, was_capped, err = run_oracle_capped(con, ORACLE[name], cap)
         journal("oracle", name, s=round(secs, 3), capped=was_capped, err=err)
+        if was_capped or err:
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
 
     with open(journal_path) as fh:
         for line in fh:

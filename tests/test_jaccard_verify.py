@@ -67,10 +67,11 @@ def test_min_jaccard_prune_drops_nothing_qualifying(spark):
     assert got == want
 
 
-def test_verify_callers_carry_sketch_not_full_arrays(spark):
-    """dedup_incremental and dedup_minhash_verified executed plans build
-    the K-sliced sketch (slice after array_sort) — the full-gram-array
-    join payload is gone."""
+def test_verify_callers_scan_the_persisted_sketch_table(spark):
+    """dedup_incremental and dedup_minhash_verified verify against the
+    PERSISTED (doc_id, _n, _sk) side table — the executed plan scans it
+    (the _sk sketch column appears; the tokenize+slice happened at write
+    time) and the full-gram-array join payload is gone."""
     for name in ("dedup_incremental", "dedup_minhash_verified"):
         plan = (
             QUERIES[name](spark, SF)
@@ -78,5 +79,5 @@ def test_verify_callers_carry_sketch_not_full_arrays(spark):
             .executedPlan()
             .toString()
         )
-        assert "slice(" in plan, name
+        assert "_sk" in plan, name
         assert "CartesianProduct" not in plan, name
