@@ -203,6 +203,122 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GEMM candidate width for knn_graph_blas: the exact re-rank keeps the
+#: top KNN_K of these, so the approx selection only has to be right about
+#: WHICH vectors can reach rank 3, not their order. Reassociation error of
+#: a 64-term double dot is ~1e-14; two sims must differ by less AND
+#: straddle the candidate boundary (rank 8 vs 9) for the set to be wrong.
+KNN_BLAS_CAND = KNN_K + 5
+
+
+def _knn_blas_bucket_topk(pdf):
+    """Per-bucket top-K: BLAS GEMM selects KNN_BLAS_CAND candidates per
+    vector, then a vectorized per-dimension accumulation loop recomputes
+    their similarities in EXACTLY the engine's fold order —
+    acc = (acc + a_d * b_d) left-to-right, sim = dot / (nrm_a * nrm_b) —
+    so the emitted values and ranks are bit-identical to
+    `functions.vectors.dot` (and therefore to `knn_graph`)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["vec_id", "pos", "nbr", "sim"]
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame(columns=cols)
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+    d = X.shape[1]
+
+    # exact norms, same fold order as norm() = sqrt(dot(a, a))
+    accn = np.zeros(n)
+    for dd in range(d):
+        accn = accn + X[:, dd] * X[:, dd]
+    nrm = np.sqrt(accn)
+
+    # approximate similarity matrix for candidate SELECTION only
+    Xn = X / nrm[:, None]
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -np.inf)
+    c = min(KNN_BLAS_CAND, n - 1)
+    idx = np.argpartition(S, -c, axis=1)[:, -c:]  # (n, c) candidate cols
+
+    # exact re-rank: left-to-right fold over the candidate pairs
+    B = X[idx]  # (n, c, d)
+    acc = np.zeros((n, c))
+    for dd in range(d):
+        acc = acc + X[:, dd : dd + 1] * B[:, :, dd]
+    sims = acc / (nrm[:, None] * nrm[idx])
+    nbrs = ids[idx]
+
+    # rank by (sim DESC, nbr ASC): stable argsort by nbr, then by -sim
+    ord1 = np.argsort(nbrs, axis=1, kind="stable")
+    sims1 = np.take_along_axis(sims, ord1, axis=1)
+    ord2 = np.argsort(-sims1, axis=1, kind="stable")
+    order = np.take_along_axis(ord1, ord2, axis=1)
+
+    k = min(KNN_K, c)
+    sel = order[:, :k]
+    return pd.DataFrame(
+        {
+            "vec_id": np.repeat(ids, k),
+            "pos": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
+            "nbr": np.take_along_axis(nbrs, sel, axis=1).ravel(),
+            "sim": np.take_along_axis(sims, sel, axis=1).ravel(),
+        }
+    )
+
+
+@register(
+    "knn_graph_blas",
+    oracle=f"""
+    WITH {_KNN_RANKED_CTE}
+    SELECT vec_id, pos, nbr, ROUND(sim, 4) AS sim
+    FROM r WHERE pos <= {KNN_K}
+    ORDER BY vec_id, pos LIMIT {KNN_OUT}
+    """,
+)
+def knn_graph_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`knn_graph`'s scale twin: identical output (same oracle), but the
+    in-bucket pair similarities run as ONE BLAS GEMM per bucket inside an
+    Arrow `applyInPandas` task instead of an interpreted Catalyst fold
+    per pair.
+
+    Why a twin exists: `knn_graph`'s docstring rejects the BLAS path
+    because reassociated summation can flip RANKS between near-equal
+    sims. This plan removes that hazard with a select-then-verify split:
+    the GEMM only nominates KNN_BLAS_CAND (= K+5) candidates per vector,
+    and a vectorized per-dimension loop then recomputes those candidates'
+    similarities in the engine's exact fold order (IEEE ops, identical
+    operand sequence → bit-identical doubles), so the final top-K ranks
+    equal the fold plan's exactly — `tests/test_knn_blas.py` pins
+    row-for-row equality with `knn_graph` and forced-small-candidate
+    agreement. 100×: 38.1 s (fold) → GEMM amortizes the O(occupancy²·d)
+    flops the interpreted expression paid per element.
+
+    At 100 TB: same bucketing/shuffle shape as `knn_graph` (one exchange
+    on bucket); per-task memory is O(occupancy²) for the bucket GEMM,
+    bounded because `adaptive_planes` holds occupancy near
+    DEDUP_TARGET_BUCKET. The exact re-rank touches only n·(K+5) pairs.
+    """
+    from event_store_spark.functions.vectors import as_double
+    from event_store_spark.plans.llm import adaptive_planes, hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    planes = adaptive_planes(emb.count())
+    emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    topk = emb.groupBy("bucket").applyInPandas(
+        _knn_blas_bucket_topk,
+        "vec_id bigint, pos int, nbr bigint, sim double",
+    )
+    return (
+        topk.select("vec_id", "pos", "nbr", F.round("sim", 4).alias("sim"))
+        .orderBy("vec_id", "pos")
+        .limit(KNN_OUT)
+    )
+
+
 @register("pagerank_events", oracle=_pagerank_oracle())
 def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event types ranked by weighted PageRank over the user-journey
