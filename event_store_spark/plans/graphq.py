@@ -268,6 +268,33 @@ def _knn_blas_bucket_topk(pdf):
     )
 
 
+def _knn_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, pos, nbr, sim) top-KNN_K rows via the GEMM/exact-re-rank
+    kernel — bit-identical to `_knn_ranked(...).where(pos <= KNN_K)`
+    (pinned by tests/test_knn_blas.py). Memoized + cached alongside
+    `_knn_ranked` under a distinct key; consumers that only need the
+    top-K edge set (knn_graph_blas, label_propagation_knn) come through
+    here so the pair enumeration is GEMM-priced, not fold-priced."""
+    memo = _KNN_MEMO.setdefault(spark, {})
+    got = memo.get(("blas", sf_dir))
+    if got is not None:
+        return got
+    from event_store_spark.functions.vectors import as_double
+    from event_store_spark.plans.llm import adaptive_planes, hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    planes = adaptive_planes(emb.count())
+    emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    topk = emb.groupBy("bucket").applyInPandas(
+        _knn_blas_bucket_topk,
+        "vec_id bigint, pos int, nbr bigint, sim double",
+    ).cache()
+    memo[("blas", sf_dir)] = topk
+    return topk
+
+
 @register(
     "knn_graph_blas",
     oracle=f"""
@@ -300,20 +327,9 @@ def knn_graph_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded because `adaptive_planes` holds occupancy near
     DEDUP_TARGET_BUCKET. The exact re-rank touches only n·(K+5) pairs.
     """
-    from event_store_spark.functions.vectors import as_double
-    from event_store_spark.plans.llm import adaptive_planes, hyperplane_bucket
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
-    planes = adaptive_planes(emb.count())
-    emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
-    topk = emb.groupBy("bucket").applyInPandas(
-        _knn_blas_bucket_topk,
-        "vec_id bigint, pos int, nbr bigint, sim double",
-    )
     return (
-        topk.select("vec_id", "pos", "nbr", F.round("sim", 4).alias("sim"))
+        _knn_topk_blas(spark, sf_dir)
+        .select("vec_id", "pos", "nbr", F.round("sim", 4).alias("sim"))
         .orderBy("vec_id", "pos")
         .limit(KNN_OUT)
     )
@@ -428,9 +444,10 @@ def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-spreading quality report a semi-supervised labeling pipeline
     emits before training on the propagated labels.
 
-    Plan: the shared `_knn_ranked` build (bucketed pair join + per-vector
-    rank) emits the top-K influence edges, eagerly checkpointed ONCE so
-    the operator's per-round joins never re-run the pair enumeration;
+    Plan: the shared `_knn_topk_blas` build (bucketed GEMM select +
+    exact-fold re-rank, bit-identical to `_knn_ranked`'s top-K rows)
+    emits the influence edges, eagerly checkpointed ONCE so the
+    operator's per-round joins never re-run the pair enumeration;
     each round is then an integer-vote hash aggregate + in-key-space
     window + one left join (see `operators.graph.label_propagation` for
     the bounded-lineage contract). All state is integers and label
@@ -439,8 +456,7 @@ def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_store_spark.operators.graph import label_propagation
 
     edges = (
-        _knn_ranked(spark, sf_dir)
-        .where(F.col("pos") <= KNN_K)
+        _knn_topk_blas(spark, sf_dir)
         .select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst"))
         .localCheckpoint(eager=True)
     )
