@@ -72,12 +72,18 @@ WINNOW_MAX_FP_DOCS = 50
 def _simhash64_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, source, sig) under dedup_simhash64's exact bit rule."""
     from event_store_spark.functions.text import whitespace_tokens
-    from event_store_spark.plans.llm import _simhash64_bit_on, _simhash_sig
+    from event_store_spark.plans.llm import (
+        _simhash64_bit_on,
+        _simhash64_chunks,
+        _simhash_sig,
+    )
 
     token_hashes = docs.select(
         "doc_id", "source", F.explode(whitespace_tokens("text")).alias("t")
     ).select("doc_id", "source", F.md5("t").alias("h"))
-    return _simhash_sig(token_hashes, 64, _simhash64_bit_on, ("source",))
+    return _simhash_sig(
+        _simhash64_chunks(token_hashes), 64, _simhash64_bit_on, ("source",)
+    )
 
 
 def _simhash_blocked(sig: DataFrame) -> DataFrame:

@@ -243,13 +243,19 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_incremental` completes minhash: batch self-dedup
     (dedup_simhash64) + incremental ingest probe, one signature
     definition (`llm._simhash_sig`)."""
-    from event_store_spark.plans.llm import _simhash64_bit_on, _simhash_sig
+    from event_store_spark.plans.llm import (
+        _simhash64_bit_on,
+        _simhash64_chunks,
+        _simhash_sig,
+    )
 
     docs = _docs(spark, sf_dir)
     token_hashes = docs.select(
         "doc_id", "source", F.explode(whitespace_tokens("text")).alias("t")
     ).select("doc_id", "source", F.md5("t").alias("h"))
-    sig = _simhash_sig(token_hashes, 64, _simhash64_bit_on, ("source",))
+    sig = _simhash_sig(
+        _simhash64_chunks(token_hashes), 64, _simhash64_bit_on, ("source",)
+    )
 
     def blocked(side: DataFrame, id_alias: str) -> DataFrame:
         return (
