@@ -405,11 +405,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(whitespace_tokens("text")).alias("t")
     ).select("doc_id", F.md5("t").alias("h"))
     # one SUM(±1) aggregate column per signature bit over the token rows
-    # (map-side partials, no 32× position explode) — see dedup_simhash64
+    # (map-side partials, no 32× position explode) — see dedup_simhash64.
+    # Bit p = high bit of hex char p; the full 32-char digest parsed once
+    # into 4 int chunks (chunk c = chars 8c-7..8c), then one shift+mask
+    # per bit — same collapse as _simhash64_chunks, same bit values as
+    # the substr-isin('89abcdef') form the oracle keeps.
+    chunked = token_hashes.select(
+        "doc_id",
+        *[
+            F.conv(F.expr(f"substr(h, {8 * c + 1}, 8)"), 16, 10)
+            .cast("long")
+            .alias(f"c{c + 1}")
+            for c in range(4)
+        ],
+    )
     sig = _simhash_sig(
-        token_hashes,
+        chunked,
         32,
-        lambda p: F.expr(f"substr(h, {p}, 1)").isin(*list("89abcdef")),
+        lambda p: F.expr(
+            f"(shiftright(c{(p - 1) // 8 + 1}, {31 - 4 * ((p - 1) % 8)})"
+            " & 1) = 1"
+        ),
     )
     # 4 pigeonhole blocks of 8 bits; Hamming distance as one codegen op:
     # parse the bit string once per row, then bit_count(xor) per pair.
