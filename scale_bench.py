@@ -142,51 +142,86 @@ def build_fixtures(spark, src_dir: str, out_dir: str) -> None:
         fh.write("ok")
 
 
-def run_oracle_capped(con, sql: str, cap_s: float):
-    """Run one oracle query; interrupt at the cap.
+_ORACLE_CHILD = r"""
+import json, sys, time
+import duckdb
+cfg = json.load(open(sys.argv[1]))
+con = duckdb.connect()
+con.execute("SET memory_limit='" + cfg["mem"] + "'")
+con.execute("SET temp_directory='" + cfg["tmp"] + "'")
+con.execute("SET preserve_insertion_order=false")
+for t in cfg["tables"]:
+    con.execute(
+        "CREATE VIEW " + t + " AS SELECT * FROM '"
+        + cfg["dir"] + "/" + t + ".parquet/*.parquet'"
+    )
+t0 = time.perf_counter()
+try:
+    con.execute(cfg["sql"]).fetchall()
+    out = {"s": time.perf_counter() - t0, "err": None}
+except Exception as e:
+    out = {
+        "s": time.perf_counter() - t0,
+        "err": (type(e).__name__ + ": " + str(e))[:400],
+    }
+print(json.dumps(out))
+"""
 
-    Returns (seconds, capped, err). Only a duckdb InterruptException (or
-    an interrupt surfaced as a generic error mentioning it) counts as
-    capped — a genuinely erroring oracle is recorded as err, never
-    silently relabeled a wall-cap lower bound. After cancel(), a no-op
-    query absorbs a pending interrupt that fired in the window between
-    fetchall() returning and the cancel, so it cannot abort the NEXT
-    oracle query.
-    """
-    import duckdb
 
-    fired = threading.Event()
+def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
+    """Run one oracle query in its OWN subprocess; kill at the cap.
 
-    def _interrupt():
-        fired.set()
-        con.interrupt()
+    Returns (seconds, capped, err). Process isolation replaces the
+    round-9 in-process interrupt scheme: a 90 s-capped DuckDB query
+    leaves its buffer pool allocated in the host process even after
+    con.close() (observed: after 5 capped rows at the 30x point, malloc
+    failed on a 573-BYTE block with 120 GB of host memory free, killing
+    the run mid-suite), so each query now gets a fresh process whose
+    memory the OS reclaims unconditionally. A killed child records the
+    cap as a LOWER BOUND (same semantics as the interrupt form); a
+    child that dies on its own records the error. View registration per
+    child is ~100 ms against OS-cached parquet footers."""
+    import subprocess
+    import tempfile
 
-    timer = threading.Timer(cap_s, _interrupt)
+    duck_tmp = os.path.join(out_dir, "_duck_tmp")
+    os.makedirs(duck_tmp, exist_ok=True)
+    cfg = {
+        "sql": sql,
+        "mem": mem,
+        "tmp": duck_tmp,
+        "dir": out_dir,
+        "tables": TABLES,
+    }
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as fh:
+        json.dump(cfg, fh)
+        cfg_path = fh.name
     t0 = time.perf_counter()
-    capped = False
-    err = None
-    timer.start()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _ORACLE_CHILD, cfg_path],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
     try:
-        con.execute(sql).fetchall()
-    except duckdb.InterruptException:
-        capped = True
-    except Exception as e:  # genuine oracle failure
-        if fired.is_set():
-            capped = True  # interrupt surfaced as a non-Interrupt error type
-        else:
-            err = f"{type(e).__name__}: {e}"
-    finally:
-        timer.cancel()
-        # join the timer thread: cancel() is a no-op on an already-running
-        # callback, so without the join con.interrupt() could land AFTER
-        # the absorb query below and abort the NEXT oracle instead
-        timer.join()
-        if fired.is_set():
-            try:  # absorb a late interrupt so it can't hit the next query
-                con.execute("SELECT 1").fetchall()
-            except Exception:
-                pass
-    return time.perf_counter() - t0, capped, err
+        stdout, stderr = proc.communicate(timeout=cap_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        os.unlink(cfg_path)
+        return time.perf_counter() - t0, True, None
+    os.unlink(cfg_path)
+    secs = time.perf_counter() - t0
+    for line in reversed(stdout.strip().splitlines() or [""]):
+        try:
+            rec = json.loads(line)
+            return rec["s"], False, rec["err"]
+        except (json.JSONDecodeError, KeyError, TypeError):
+            continue
+    err = f"oracle child exited {proc.returncode}: {stderr.strip()[-300:]}"
+    return secs, False, err
 
 
 def main() -> None:
@@ -280,45 +315,25 @@ def main() -> None:
         journal(
             "engine", name, s=round(statistics.median(vals), 3), err=err
         )
-    import duckdb
-
     # VERDICT r8 #4: an in-memory duckdb has NO temp_directory, so big
     # hash joins/aggregations die with "failed to allocate block" instead
     # of spilling (16 of 41 rows at the 30x point had no ratio). A spill
     # dir plus an explicit memory_limit makes the oracle complete (or hit
     # the wall cap) instead of erroring — the fair single-node baseline.
-    # And an INTERRUPTED query can leave its buffer reservations pinned
-    # on the connection (observed: the next query dies failing to
-    # allocate 2 KB), so after any capped/errored row the connection is
-    # rebuilt — views are cheap to re-register.
+    # Round 9 follow-up: even a REBUILT connection was not enough — a
+    # capped query's buffer pool survives con.close() inside the host
+    # process, and after 5 capped rows malloc failed on a 573-byte block
+    # and killed the run — so every oracle query now runs in its own
+    # subprocess (run_oracle_capped) and the OS reclaims its memory.
     oracle_mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "64GB")
-    duck_tmp = os.path.join(out_dir, "_duck_tmp")
-    os.makedirs(duck_tmp, exist_ok=True)
 
-    def fresh_con():
-        c = duckdb.connect()
-        c.execute(f"SET memory_limit='{oracle_mem}'")
-        c.execute(f"SET temp_directory='{duck_tmp}'")
-        c.execute("SET preserve_insertion_order=false")
-        for t in TABLES:
-            c.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"'{out_dir}/{t}.parquet/*.parquet'"
-            )
-        return c
-
-    con = fresh_con()
     for name in sorted(ORACLE):
         if f"oracle:{name}" in done:
             continue
-        secs, was_capped, err = run_oracle_capped(con, ORACLE[name], cap)
+        secs, was_capped, err = run_oracle_capped(
+            ORACLE[name], cap, out_dir, oracle_mem
+        )
         journal("oracle", name, s=round(secs, 3), capped=was_capped, err=err)
-        if was_capped or err:
-            try:
-                con.close()
-            except Exception:
-                pass
-            con = fresh_con()
 
     with open(journal_path) as fh:
         for line in fh:
