@@ -401,21 +401,26 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage order matters and is pinned by the oracle: dedup runs AFTER the
     quality gate (so a high-quality duplicate of a rejected doc survives),
     quota runs last (so dedup can't resurrect an over-quota source). Scale
-    shape: the gate is map-side; dedup is one hash aggregation + a
-    broadcast-or-shuffle join on the kept ids; the quota window partitions
-    by source. Composing in one plan lets Catalyst pipeline the stages —
-    no intermediate materialization, columns pruned to what each stage
-    needs."""
+    shape: the gate is map-side and the content hash is computed THERE,
+    so `text` never crosses a shuffle; dedup is one row_number window
+    over the hash (keep-min-doc_id ≡ the oracle's MIN() + self-join, but
+    one scan instead of two — the join form re-ran the regex quality
+    score on both branches, 6.3 s vs ~2 s at the 30× corpus); the quota
+    window partitions by source. Composing in one plan lets Catalyst
+    pipeline the stages — no intermediate materialization, columns pruned
+    to what each stage needs."""
     from event_store_spark.functions.text import quality_score
 
     docs = _docs(spark, sf_dir)
     score = quality_score()
     q = docs.where(
         (score >= 0.55) & F.col("n_chars").between(100, 20000)
-    ).select("doc_id", "lang", "source", "n_chars", "text")
-    keep = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
-    s = q.join(keep, q.doc_id == keep.keep_id).select(
-        "doc_id", "lang", "source", "n_chars"
+    ).select("doc_id", "lang", "source", "n_chars", F.md5("text").alias("h"))
+    dedup_w = W.partitionBy("h").orderBy("doc_id")
+    s = (
+        q.withColumn("rk", F.row_number().over(dedup_w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
     )
     quota_w = W.partitionBy("source").orderBy(_hash_key(), "doc_id")
     return (
