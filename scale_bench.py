@@ -205,14 +205,24 @@ def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
         stderr=subprocess.PIPE,
         text=True,
     )
+    import shutil
+
+    def _clean_spill() -> None:
+        # a killed child leaks its spill files (26 GB observed after one
+        # capped suite); queries run one-at-a-time so this is race-free
+        shutil.rmtree(duck_tmp, ignore_errors=True)
+        os.makedirs(duck_tmp, exist_ok=True)
+
     try:
         stdout, stderr = proc.communicate(timeout=cap_s)
     except subprocess.TimeoutExpired:
         proc.kill()
         proc.communicate()
         os.unlink(cfg_path)
+        _clean_spill()
         return time.perf_counter() - t0, True, None
     os.unlink(cfg_path)
+    _clean_spill()
     secs = time.perf_counter() - t0
     for line in reversed(stdout.strip().splitlines() or [""]):
         try:
