@@ -42,6 +42,19 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE pick each shuffle's width between 1 and 8×cores from the
+        # ACTUAL exchange size instead of pinning every reduce stage to the
+        # core count: small stages coalesce to a handful of partitions as
+        # before, while a 100×-corpus exchange (triangle_count's adjacency
+        # shuffle moves ~57 GB) fans out instead of pushing gigabytes
+        # through each of 32 reducers. This is the cluster-idiomatic AQE
+        # posture — high initial width, runtime coalesce — and makes the
+        # "shuffle width must ride the input" note above real without env
+        # plumbing.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * cpus),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
