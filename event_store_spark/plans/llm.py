@@ -364,6 +364,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_minhash",
+    oracle=f"""
+    WITH {MINHASH_CAND_CTE},
+    src AS (SELECT doc_id, source FROM documents),
+    bench AS (SELECT DISTINCT band, bandkey
+              FROM sig JOIN src USING (doc_id) WHERE source = 'src0'),
+    cont AS (SELECT DISTINCT s.doc_id, src.source
+             FROM sig s JOIN src ON s.doc_id = src.doc_id
+             JOIN bench b ON s.band = b.band AND s.bandkey = b.bandkey
+             WHERE src.source <> 'src0')
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM cont GROUP BY source ORDER BY source
+    """,
+)
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: training docs that are MinHash-LSH
+    near-dup candidates of any held-out benchmark doc (source 'src0' —
+    the same eval-side convention as contamination_ngram), counted per
+    training source. Completes the contamination family: the n-gram
+    probes catch verbatim leakage, this catches paraphrased/reformatted
+    leakage the exact 5-gram join misses — the pairing real curation
+    pipelines run (exact spans + near-dup signatures over the same
+    corpus).
+
+    Plan: the SHARED cached signature table (`_minhash_signatures` — the
+    same build every minhash dedup query consumes; contamination adds no
+    new corpus pass) split by source; the benchmark side collapses to
+    DISTINCT (band, bandkey) — bounded by benchmark size, small by
+    nature, same defense as contamination_broadcast — and broadcasts
+    into a left-semi probe of the training side, so the training corpus
+    never crosses the network. Survivors (tiny by construction) are
+    dedup'd per doc and counted per source. The oracle mirrors the exact
+    signature scheme via the shared MINHASH_CAND_CTE prefix (its `cand`
+    self-join CTE goes unreferenced and unexecuted here).
+
+    At 100 TB: signature build amortized across the dedup family (or
+    read from the persisted DedupIndex), probe is map-side; the
+    benchmark-key broadcast is the runtime-filter pattern with exact
+    semantics."""
+    sig = _minhash_signatures(spark, sf_dir)
+    bench = (
+        sig.where(F.col("source") == "src0")
+        .select("band", "bandkey")
+        .distinct()
+    )
+    cont = (
+        sig.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), ["band", "bandkey"], "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return (
+        cont.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+        .orderBy("source")
+    )
+
+
+@register(
     "dedup_simhash",
     oracle="""
     WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
