@@ -807,3 +807,21 @@ def test_bm25_postings_probe_prunes_partitions(spark, sf_correct):
         line for line in plan.splitlines() if "PartitionFilters" in line
     )
     assert "bucket" in scan
+
+
+def test_contamination_minhash_broadcasts_bench_keys(spark, sf_correct):
+    """The fuzzy decontamination probe: the benchmark's distinct band
+    keys ride a BroadcastExchange into a left-semi join — the training
+    side's signatures never shuffle for the probe."""
+    plan = _plan(spark, sf_correct, "contamination_minhash")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_blas_single_bucket_exchange(spark, sf_correct):
+    """knn_graph_blas: ONE hash exchange on the bucket feeding the
+    Arrow applyInPandas kernel; no pair self-join anywhere in the plan
+    (the fold twin's bucket equi-join shape must NOT appear)."""
+    plan = _plan(spark, sf_correct, "knn_graph_blas")
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
