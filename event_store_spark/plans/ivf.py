@@ -244,6 +244,75 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_filtered",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id - 1 AS cell, v AS c FROM e WHERE vec_id BETWEEN 1 AND 8),
+    a0 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c0 c) WHERE rn = 1),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, t.i, ROUND(AVG(e.v[t.i]), 6) AS m
+        FROM a0 a JOIN e USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, t.i) GROUP BY cell),
+    a1 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c1 c) WHERE rn = 1),
+    q AS (SELECT e.v AS qv, a.cell FROM e JOIN a1 a USING (vec_id) WHERE e.vec_id = 0),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+         * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+            AS sim
+        FROM e JOIN a1 a USING (vec_id) JOIN q ON a.cell = q.cell
+        WHERE e.vec_id <> 0 AND e.label % 3 = 0)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — IVF top-5 for vec_id=0 restricted to
+    vectors whose metadata passes a predicate (label % 3 = 0): the
+    production retrieval shape (tenant / language / license filters over
+    a vector index) every serving stack special-cases.
+
+    This is the PRE-FILTER formulation: the predicate lands on the
+    assigned-index rows BEFORE the cell probe, so the scored candidate
+    set is (query's cell ∩ filter) — semantics the oracle mirrors
+    exactly. The label rides a vec_id equi-join against the embeddings
+    table pruned to (vec_id, label); on a persisted index (`save_ivf_
+    index` stores cell-partitioned parquet) the same predicate pushes
+    into the parquet scan of the index itself and cell pruning +
+    row-group filter stats compose. At 100 TB the documented trade-off
+    applies: a highly selective filter empties cells, and a serving
+    deployment raises nprobe (`ann_ivf_nprobe`'s knob) as selectivity
+    rises — this query pins the exact pre-filter semantics those
+    variants share. Shares the memoized IVF build with the whole
+    ann_ivf family (one Lloyd refinement per session, never per query).
+    """
+    _, assigned = _ivf_index(spark, sf_dir, "full")
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    query = assigned.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        assigned.where(F.col("vec_id") != 0)
+        .join(labels, "vec_id")
+        .where(F.col("label") % 3 == 0)
+        .join(F.broadcast(query), F.col("cell") == F.col("qcell"))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
     "ann_ivf_sampled",
     oracle=f"""
     WITH e AS (SELECT vec_id,
