@@ -240,7 +240,14 @@ def _knn_blas_bucket_topk(pdf):
     S = Xn @ Xn.T
     np.fill_diagonal(S, -np.inf)
     c = min(KNN_BLAS_CAND, n - 1)
-    idx = np.argpartition(S, -c, axis=1)[:, -c:]  # (n, c) candidate cols
+    # candidate selection must honor the (sim DESC, nbr ASC) rank rule even
+    # under EXACT ties (duplicate embeddings yield bitwise-equal GEMM rows):
+    # if more than c sims tie at the boundary, argpartition would keep an
+    # arbitrary subset, possibly excluding the low nbr ids the exact re-rank
+    # (and the fold plan) would rank first. lexsort by (-sim, nbr) keeps the
+    # lowest-nbr members of any boundary tie, so tie membership matches.
+    nbr_key = np.broadcast_to(ids, S.shape)
+    idx = np.lexsort((nbr_key, -S), axis=1)[:, :c]  # (n, c) candidate cols
 
     # exact re-rank: left-to-right fold over the candidate pairs
     B = X[idx]  # (n, c, d)

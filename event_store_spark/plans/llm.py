@@ -549,8 +549,11 @@ def _simhash_sig(
     O(tokens) rows regardless of width. The explode-by-position build
     this replaced inflated the token shuffle ``bits``× and measured 50 s
     (64-bit) / 25 s (32-bit) at the 10× corpus vs 12.6 s for this form
-    (PERF.md round 8). ``on(p)`` is the bit-p predicate over the md5 hex
-    column ``h`` — the only thing the 32- and 64-bit forms differ in.
+    (PERF.md round 8). ``on(p)`` is the bit-p predicate over the
+    pre-parsed integer chunk columns (``c1``/``c2`` — or ``c1``..``c4``
+    for the 32-bit form; see `_simhash64_chunks`) carried by the input
+    frame, which no longer carries the md5 hex column ``h`` itself — the
+    chunk layout is the only thing the 32- and 64-bit forms differ in.
     ``extra_cols`` ride the grouping (doc_id-functional columns like
     ``source``, for the incremental probe's index/batch split)."""
     sums = token_hashes.groupBy("doc_id", *extra_cols).agg(

@@ -143,7 +143,7 @@ def build_fixtures(spark, src_dir: str, out_dir: str) -> None:
 
 
 _ORACLE_CHILD = r"""
-import json, sys, time
+import json, sys, threading, time
 import duckdb
 cfg = json.load(open(sys.argv[1]))
 con = duckdb.connect()
@@ -155,21 +155,38 @@ for t in cfg["tables"]:
         "CREATE VIEW " + t + " AS SELECT * FROM '"
         + cfg["dir"] + "/" + t + ".parquet/*.parquet'"
     )
+# the cap is enforced HERE, on post-setup query time only, so a capped row's
+# lower bound and a successful row's rec["s"] share one timebase — the parent
+# kill is just a backstop for a child that hangs before/through the interrupt
 t0 = time.perf_counter()
+hit = threading.Event()
+def _watchdog():
+    time.sleep(cfg["cap"])
+    hit.set()
+    try:
+        con.interrupt()
+    except Exception:
+        pass
+threading.Thread(target=_watchdog, daemon=True).start()
 try:
     con.execute(cfg["sql"]).fetchall()
-    out = {"s": time.perf_counter() - t0, "err": None}
+    out = {"s": time.perf_counter() - t0, "capped": False, "err": None}
 except Exception as e:
-    out = {
-        "s": time.perf_counter() - t0,
-        "err": (type(e).__name__ + ": " + str(e))[:400],
-    }
+    s = time.perf_counter() - t0
+    if hit.is_set():
+        out = {"s": s, "capped": True, "err": None}
+    else:
+        out = {
+            "s": s,
+            "capped": False,
+            "err": (type(e).__name__ + ": " + str(e))[:400],
+        }
 print(json.dumps(out))
 """
 
 
 def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
-    """Run one oracle query in its OWN subprocess; kill at the cap.
+    """Run one oracle query in its OWN subprocess; cap at cap_s.
 
     Returns (seconds, capped, err). Process isolation replaces the
     round-9 in-process interrupt scheme: a 90 s-capped DuckDB query
@@ -177,10 +194,16 @@ def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
     con.close() (observed: after 5 capped rows at the 30x point, malloc
     failed on a 573-BYTE block with 120 GB of host memory free, killing
     the run mid-suite), so each query now gets a fresh process whose
-    memory the OS reclaims unconditionally. A killed child records the
-    cap as a LOWER BOUND (same semantics as the interrupt form); a
-    child that dies on its own records the error. View registration per
-    child is ~100 ms against OS-cached parquet footers."""
+    memory the OS reclaims unconditionally.
+
+    Timebase (ADVICE r9): the cap is enforced INSIDE the child on
+    post-setup query time (watchdog thread → con.interrupt()), so both
+    successful and capped rows report query-only seconds — a capped row
+    records ≥cap_s of pure SQL as a LOWER BOUND, never inflated by the
+    ~100 ms interpreter startup + view registration. The parent's
+    kill-at-(cap+grace) remains only as a backstop for a child that
+    hangs in setup or ignores the interrupt; that rare path records
+    host wall time, flagged in the err field."""
     import subprocess
     import tempfile
 
@@ -192,6 +215,7 @@ def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
         "tmp": duck_tmp,
         "dir": out_dir,
         "tables": TABLES,
+        "cap": cap_s,
     }
     with tempfile.NamedTemporaryFile(
         "w", suffix=".json", delete=False
@@ -214,20 +238,26 @@ def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
         os.makedirs(duck_tmp, exist_ok=True)
 
     try:
-        stdout, stderr = proc.communicate(timeout=cap_s)
+        # backstop only: the child self-caps post-setup; grace covers
+        # setup + interrupt latency for a well-behaved child
+        stdout, stderr = proc.communicate(timeout=cap_s + 60.0)
     except subprocess.TimeoutExpired:
         proc.kill()
         proc.communicate()
         os.unlink(cfg_path)
         _clean_spill()
-        return time.perf_counter() - t0, True, None
+        return (
+            time.perf_counter() - t0,
+            True,
+            "backstop kill: host wall time, child ignored in-process cap",
+        )
     os.unlink(cfg_path)
     _clean_spill()
     secs = time.perf_counter() - t0
     for line in reversed(stdout.strip().splitlines() or [""]):
         try:
             rec = json.loads(line)
-            return rec["s"], False, rec["err"]
+            return rec["s"], rec.get("capped", False), rec["err"]
         except (json.JSONDecodeError, KeyError, TypeError):
             continue
     err = f"oracle child exited {proc.returncode}: {stderr.strip()[-300:]}"

@@ -106,3 +106,40 @@ def test_duplicate_vectors_tiebreak_by_nbr():
     got = _knn_blas_bucket_topk(pdf)
     ref = _kernel_reference(pdf)
     assert set(got.itertuples(index=False, name=None)) == ref
+
+
+def test_tie_group_wider_than_candidate_set():
+    # More identical vectors than KNN_BLAS_CAND in ONE bucket: every
+    # pairwise sim among the duplicates ties EXACTLY (bitwise-equal GEMM
+    # rows), so the candidate boundary falls INSIDE the tie group. The
+    # selection must keep the LOWEST nbr ids of the tie (the ones the
+    # (sim DESC, nbr ASC) rank rule puts first), not an argpartition-
+    # arbitrary subset — this is the plausible dedup-corpus shape where
+    # the bug class surfaces.
+    n = graphq.KNN_BLAS_CAND + 4  # tie group alone exceeds the width
+    pdf = _mk_bucket(n, seed=13)
+    v = pdf["v"][0]
+    for i in range(1, n):
+        pdf.at[i, "v"] = v.copy()
+    got = _knn_blas_bucket_topk(pdf)
+    ref = _kernel_reference(pdf)
+    assert set(got.itertuples(index=False, name=None)) == ref
+    # each vector's neighbors must be the lowest-id OTHER duplicates
+    by_vec = got.sort_values(["vec_id", "pos"]).groupby("vec_id")["nbr"].agg(list)
+    for vec_id, nbrs in by_vec.items():
+        expect = [i for i in range(100, 100 + n) if i != vec_id][:KNN_K]
+        assert nbrs == expect
+
+
+def test_mixed_tie_and_distinct_vectors():
+    # tie group (> candidate width) PLUS genuinely distinct vectors:
+    # selection must still rank real near-neighbors above tie members
+    # when their sims differ, and use nbr order only within exact ties.
+    n = graphq.KNN_BLAS_CAND + 6
+    pdf = _mk_bucket(n, seed=29)
+    v = pdf["v"][0]
+    for i in range(1, n - 3):
+        pdf.at[i, "v"] = v.copy()
+    got = _knn_blas_bucket_topk(pdf)
+    ref = _kernel_reference(pdf)
+    assert set(got.itertuples(index=False, name=None)) == ref
