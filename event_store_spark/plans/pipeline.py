@@ -187,15 +187,16 @@ def contamination_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grams travel as xxhash64 longs, not strings (`word_ngram_hashes`):
     the gram is only the shuffle key here, never output, so hashing is
     invisible to the result (2^-64 collisions) and the explode+shuffle
-    moves 8-byte keys instead of ~40-byte strings."""
-    from event_store_spark.functions.text import (
-        whitespace_tokens,
-        word_ngram_hashes,
-    )
+    moves 8-byte keys instead of ~40-byte strings. Token arrays come
+    from the ingest-tokenized side table (plans/tokenized.py) — the
+    5-gram hashes are built from the materialized `w`, no query-time
+    split."""
+    from event_store_spark.functions.text import word_ngram_hashes
+    from event_store_spark.plans.tokenized import tokenized_docs
 
     sh = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source", whitespace_tokens("text").alias("w"))
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", "source", "w")
         .select(
             "doc_id", "source", F.explode(word_ngram_hashes("w", 5)).alias("g")
         )

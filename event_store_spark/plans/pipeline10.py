@@ -76,11 +76,16 @@ def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram space plus the join itself. Local 10× wall-clock moves only
     5.8 → 5.2 s (the tokenize+explode+distinct dominates a 32-core box),
     but the removed stage is the one that grows with the gram space, so
-    the gap widens with the corpus."""
+    the gap widens with the corpus.
+
+    Serves from the ingest-tokenized side table (plans/tokenized.py,
+    VERDICT r9 #3): a pruned (source, g3) scan — no string ever enters
+    the plan at query time."""
+    from event_store_spark.plans.tokenized import tokenized_docs
+
     sh = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", whitespace_tokens("text").alias("w"))
-        .select("source", F.explode(word_ngram_hashes("w", 3)).alias("g"))
+        tokenized_docs(spark, sf_dir)
+        .select("source", F.explode("g3").alias("g"))
         .distinct()
     )
     per_source = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))

@@ -102,24 +102,26 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     count). Compare the reference dedup's single-node suffix automaton
     (SURVEY §2 — reference has no substring dedup at all; this is part
     of the LLM-pipeline surface)."""
-    docs = load_table(spark, sf_dir, "documents")
     # pre-hash each token ONCE, then combine 8 longs per position —
     # word_ngram_hashes' direct form re-hashes every token string ~8
     # times across the overlapping grams (measured 2.3 s vs 1.95 s for
     # the gram scan at the 10× corpus); same key semantics (xxhash64
-    # folds its args, so token boundaries stay encoded)
+    # folds its args, so token boundaries stay encoded). The per-token
+    # hashes are served from the ingest-tokenized side table
+    # (plans/tokenized.py, VERDICT r9 #5 — this query re-tokenized the
+    # full corpus per run, 15.2 s at the 100× dossier): a pruned
+    # (doc_id, th) scan, no strings in the plan at query time.
+    from event_store_spark.plans.tokenized import tokenized_docs
+
     slots = ", ".join(f"th[i + {j}]" for j in range(SPAN_TOKENS))
     gram_hashes = F.expr(
         f"transform(sequence(0, size(th) - {SPAN_TOKENS}), i -> xxhash64({slots}))"
     )
     grams = (
-        docs.select("doc_id", whitespace_tokens("text").alias("w"))
-        .where(F.size("w") >= SPAN_TOKENS)
-        .select(
-            "doc_id",
-            F.size("w").alias("n"),
-            F.expr("transform(w, t -> xxhash64(t))").alias("th"),
-        )
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", "th")
+        .where(F.size("th") >= SPAN_TOKENS)
+        .select("doc_id", F.size("th").alias("n"), "th")
         .select("doc_id", "n", F.posexplode(gram_hashes).alias("p", "g"))
     )
     hits = (

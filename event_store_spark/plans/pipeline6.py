@@ -272,41 +272,59 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem measures, one row per column (the schema-quality report a
     training pipeline emits before ingesting a new drop).
 
-    Plan: one independent branch per column, unioned — each branch scans
-    ONLY its column (parquet columnar I/O: four 1-column scans read the
-    same total bytes as one 4-column scan) and computes every metric in
-    ONE scalar aggregate whose single `count_distinct` Catalyst rewrites
-    into the standard two-phase distinct aggregation (partial agg keyed
-    by value, then the scalar fold) — no Expand, because each branch has
-    exactly one distinct aggregate. The single-branch multi-distinct
-    form, whose Expand multiplied the row stream x4 through one shuffle,
-    measured 2.3x slower at sf0.1 (PERF.md); the previous hand-rolled
-    per-value-groupBy-then-fold form measured 0.73 s warm vs 0.64 s for
-    this one (5-rep medians — the rewrite fuses the fold into the final
-    aggregate instead of a separate stage). Branches run concurrently
-    (independent stages), and per-branch shuffles carry only (value,
-    partial) pairs. At 100 TB swap exact NDV for
-    `approx_count_distinct` and the branch collapses to a pure map-side
-    scalar agg; exact kept for oracle parity.
+    Plan: ONE scan tags every value with its column name (an in-row
+    4-wide explode, pure codegen) and ONE hash aggregate keyed by
+    (col_name, value) collapses the stream to per-value counts — the
+    map-side combine shrinks the exchange to the NDV rows, after which
+    a 4-key final aggregate derives every metric exactly: n_rows =
+    Σcnt, nulls from the NULL value-group, NDV = the non-null group
+    count, min/max directly, and the mean as Σ(v·cnt)/Σcnt (identical
+    value multiset → same 2-dp rounded mean). Two earlier forms stay
+    in PERF.md's ledger: the multi-distinct Expand (2.3× slower) and
+    the four unioned single-distinct branches (8 stages of per-branch
+    two-phase distinct; right plan at cluster scale, but at sf0.1 the
+    job floor × 8 dominated — 1.3 s against a 0.07 s oracle, VERDICT
+    r9 #3). This form is two shuffles total, and the heavy one carries
+    (col, value, cnt) triples bounded by the NDV. At 100 TB swap exact
+    NDV for `approx_count_distinct` and the whole report collapses to
+    a map-side scalar agg; exact kept for oracle parity.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    branches = []
-    for c in PROFILE_COLS:
-        branches.append(
-            li.select(F.col(c).alias("v")).agg(
-                F.lit(c).alias("col_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
-                F.count_distinct(F.col("v")).alias("ndv"),
-                F.min("v").cast("double").alias("min_v"),
-                F.max("v").cast("double").alias("max_v"),
-                F.round(F.avg("v"), 2).alias("avg_v"),
+    tagged = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"), F.col(c).alias("v")
+                    )
+                    for c in PROFILE_COLS
+                ]
             )
+        ).alias("e")
+    ).select("e.col_name", "e.v")
+    per_val = tagged.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_val.groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.count("v").cast("bigint").alias("ndv"),
+            F.min("v").cast("double").alias("min_v"),
+            F.max("v").cast("double").alias("max_v"),
+            F.round(
+                F.sum(F.col("v") * F.col("cnt"))
+                / F.sum(
+                    F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0)
+                ),
+                2,
+            ).alias("avg_v"),
         )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionAll(b)
-    return out.orderBy("col_name")
+        .orderBy("col_name")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -573,16 +591,20 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-rounded NLL) pins the parallel-summation last bits on both
     engines, exactly as the unigram query does.
     """
-    from event_store_spark.functions.text import whitespace_tokens
+    from event_store_spark.plans.tokenized import tokenized_docs
 
     # tokens and token pairs travel as xxhash64 longs, never as strings:
     # count tables key on 8-byte hashes (smaller shuffles + broadcasts,
     # codegen-friendly joins), the same fingerprint contract as
     # duplicate_spans' word_ngram_hashes — a 64-bit collision would merge
-    # two count rows, at probability ~(distinct bigrams)^2 / 2^64
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", whitespace_tokens("text").alias("t"))
-    uni = tok.select(F.explode("t").alias("w")).select(F.xxhash64("w").alias("h1"))
+    # two count rows, at probability ~(distinct bigrams)^2 / 2^64.
+    # Token hashes come pre-computed from the ingest-tokenized side table
+    # (plans/tokenized.py): the plan prunes to (doc_id, lang, th) and the
+    # bigram key folds the two TOKEN HASHES (xxhash64(th_i, th_{i+1}))
+    # instead of re-hashing the strings — same fingerprint-key contract
+    # (equal keys ⇔ equal bigrams up to 2^-64), zero query-time strings.
+    tok = tokenized_docs(spark, sf_dir).select("doc_id", "lang", "th")
+    uni = tok.select(F.explode("th").alias("h1"))
     c1 = uni.groupBy("h1").agg(F.count(F.lit(1)).alias("cnt1"))
     v = c1.agg(F.count(F.lit(1)).alias("vs"))
     big = tok.select(
@@ -590,8 +612,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (x, i) -> struct(xxhash64(x) AS h1, xxhash64(x, t[i + 1]) AS h2))"
+                "transform(slice(th, 1, size(th) - 1),"
+                " (x, i) -> struct(x AS h1, xxhash64(x, th[i + 1]) AS h2))"
             )
         ).alias("p"),
     ).select("doc_id", "lang", "p.h1", "p.h2")

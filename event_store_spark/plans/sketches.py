@@ -373,9 +373,14 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("k"))
         .distinct()
         # TWO consumers (the filter build and the audit's membership
-        # join) — checkpoint so lineitem is scanned once, not twice;
-        # bounded: distinct keys ≤ |part| (measured 2.59 → 2.16 s at 10×)
-        .localCheckpoint(eager=True)
+        # join) — cache so lineitem is scanned once, not twice; bounded:
+        # distinct keys ≤ |part| (measured 2.59 → 2.16 s at 10× for the
+        # one-scan property). Lazy cache, not an eager localCheckpoint:
+        # the checkpoint spent a whole extra job + exchange before the
+        # query proper started (~40% of the query at sf0.1, where the
+        # job floor dominates); the InMemoryRelation materializes inside
+        # the first consuming stage instead and serves the second.
+        .cache()
     )
     filt = (
         build.select(F.explode(seeds).alias("seed"), "k")

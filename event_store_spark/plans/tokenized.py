@@ -1,0 +1,109 @@
+"""Tokenize-at-ingest documents — the shared token materialization.
+
+Every text operator in plans/ starts from the same projection:
+``whitespace_tokens(text)`` (and, for the fingerprint family, per-token
+xxhash64 and 3-gram xxhash64 arrays derived from it). At sf0.1 each query
+pays a ~job-floor re-tokenize; at the 100× corpus the repeated
+split+hash over ~3 GB of text IS the compute bill for the governance
+queries (VERDICT r9 #5: source_similarity_jaccard 21.0 s and
+duplicate_spans 15.2 s, both re-tokenizing the full corpus per query).
+
+The engine owns the write path, so the fix is the `typed_events` pattern
+(plans/typed_events.py — the parse-at-ingest precedent the round-7
+verdict accepted): tokenize ONCE per corpus into a column-pruned parquet
+side table and serve every consumer from it:
+
+- ``w``  — ``whitespace_tokens(text)`` verbatim (the Q32 contract);
+- ``th`` — per-token xxhash64 (duplicate_spans' pre-hash contract);
+- ``g3`` — 3-gram xxhash64 (``word_ngram_hashes(w, 3)``, duplicates
+  kept — consumers apply their own ``distinct``).
+
+A consumer that needs only ``g3`` (source_ngram_novelty,
+source_similarity_jaccard) scans ONE pruned bigint-array column — zero
+string work at query time. Queries keep their oracles unchanged: the
+oracle still tokenizes ``documents.text`` per query (DuckDB has no
+ingest path), which is exactly the comparison the scale story needs.
+
+Publication is atomic (staged dir + os.rename), keyed by a digest of the
+source parquet's identity so a regenerated fixture re-materializes —
+identical discipline to `_typed_dir`. bench.py / scale_bench.py
+materialize this in their warm/write-path section (the typed_events
+accounting), so the build is billed to ingest, not to the
+alphabetically-first text query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from weakref import WeakKeyDictionary
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_store_spark.functions.text import whitespace_tokens, word_ngram_hashes
+from event_store_spark.tables import load_table, table_path
+
+_TOK_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def _tok_dir(sf_dir: str) -> str:
+    """Per-corpus cache dir keyed by the documents parquet's identity."""
+    src = table_path(sf_dir, "documents")
+    st = os.stat(src)
+    ident = f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    digest = hashlib.md5(ident.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "event_store_spark_tok", digest, "documents_tok"
+    )
+
+
+def tokenized_projection(df: DataFrame) -> DataFrame:
+    """The one tokenize: documents → token/fingerprint columns. Kept as a
+    standalone projection (like `typed_events.typed_projection`) so a
+    streaming ingest maintainer and this batch backfill cannot drift."""
+    return df.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        whitespace_tokens("text").alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "w",
+        F.expr("transform(w, t -> xxhash64(t))").alias("th"),
+        word_ngram_hashes("w", 3).alias("g3"),
+    )
+
+
+def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-tokenized documents table. Materialized once per
+    corpus; a plain parquet scan thereafter, pruning to the consumer's
+    column (`g3`-only scans never touch a string)."""
+    memo = _TOK_MEMO.setdefault(spark, {})
+    got = memo.get(sf_dir)
+    if got is not None:
+        return got
+
+    final = _tok_dir(sf_dir)
+    if not os.path.isdir(final):
+        tok = tokenized_projection(load_table(spark, sf_dir, "documents"))
+        staged = f"{final}.staged-{os.getpid()}"
+        # 8 files: same local scan-parallelism sweet spot as typed_events
+        tok.repartition(8).write.mode("overwrite").parquet(staged)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        try:
+            os.rename(staged, final)  # atomic publish
+        except OSError:
+            shutil.rmtree(staged, ignore_errors=True)
+
+    df = spark.read.parquet(final)
+    memo[sf_dir] = df
+    return df

@@ -323,6 +323,11 @@ def main() -> None:
 
     _minhash_signatures(spark, out_dir).count()
 
+    # tokenize-at-ingest side table: same write-path accounting
+    from event_store_spark.plans.tokenized import tokenized_docs
+
+    tokenized_docs(spark, out_dir)
+
     # resumable progress journal: one JSON line per timed query, so a run
     # killed by an external wall-clock cap loses at most one query's work
     journal_path = os.path.join(out_dir, "_progress.jsonl")
