@@ -195,7 +195,9 @@ def contamination_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_store_spark.plans.tokenized import tokenized_docs
 
     sh = (
-        tokenized_docs(spark, sf_dir)
+        tokenized_docs(
+            spark, sf_dir, docs_fn=lambda: _docs(spark, sf_dir)
+        )
         .select("doc_id", "source", "w")
         .select(
             "doc_id", "source", F.explode(word_ngram_hashes("w", 5)).alias("g")

@@ -84,7 +84,10 @@ def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_store_spark.plans.tokenized import tokenized_docs
 
     sh = (
-        tokenized_docs(spark, sf_dir)
+        tokenized_docs(
+            spark, sf_dir,
+            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+        )
         .select("source", F.explode("g3").alias("g"))
         .distinct()
     )

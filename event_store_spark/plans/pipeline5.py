@@ -118,7 +118,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, size(th) - {SPAN_TOKENS}), i -> xxhash64({slots}))"
     )
     grams = (
-        tokenized_docs(spark, sf_dir)
+        tokenized_docs(
+            spark, sf_dir,
+            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+        )
         .select("doc_id", "th")
         .where(F.size("th") >= SPAN_TOKENS)
         .select("doc_id", F.size("th").alias("n"), "th")

@@ -603,7 +603,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram key folds the two TOKEN HASHES (xxhash64(th_i, th_{i+1}))
     # instead of re-hashing the strings — same fingerprint-key contract
     # (equal keys ⇔ equal bigrams up to 2^-64), zero query-time strings.
-    tok = tokenized_docs(spark, sf_dir).select("doc_id", "lang", "th")
+    tok = tokenized_docs(
+        spark, sf_dir,
+        docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+    ).select("doc_id", "lang", "th")
     uni = tok.select(F.explode("th").alias("h1"))
     c1 = uni.groupBy("h1").agg(F.count(F.lit(1)).alias("cnt1"))
     v = c1.agg(F.count(F.lit(1)).alias("vs"))

@@ -65,34 +65,40 @@ def _tok_dir(sf_dir: str) -> str:
 def tokenized_projection(df: DataFrame) -> DataFrame:
     """The one tokenize: documents → token/fingerprint columns. Kept as a
     standalone projection (like `typed_events.typed_projection`) so a
-    streaming ingest maintainer and this batch backfill cannot drift."""
+    streaming ingest maintainer and this batch backfill cannot drift.
+    Envelope columns beyond doc_id/text are carried when present —
+    injected test corpora may be (doc_id, text) only."""
+    meta = [c for c in ("source", "lang", "n_chars") if c in df.columns]
     return df.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        whitespace_tokens("text").alias("w"),
+        "doc_id", *meta, whitespace_tokens("text").alias("w")
     ).select(
         "doc_id",
-        "source",
-        "lang",
-        "n_chars",
+        *meta,
         "w",
         F.expr("transform(w, t -> xxhash64(t))").alias("th"),
         word_ngram_hashes("w", 3).alias("g3"),
     )
 
 
-def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenized_docs(spark: SparkSession, sf_dir: str, docs_fn=None) -> DataFrame:
     """The ingest-tokenized documents table. Materialized once per
     corpus; a plain parquet scan thereafter, pruning to the consumer's
-    column (`g3`-only scans never touch a string)."""
+    column (`g3`-only scans never touch a string).
+
+    ``docs_fn``: zero-arg thunk returning the documents DataFrame — used
+    ONLY when ``sf_dir`` has no documents parquet (unit tests inject an
+    in-memory corpus by patching the CALLER's ``load_table``); the
+    projection then runs inline, unmaterialized and unmemoized."""
     memo = _TOK_MEMO.setdefault(spark, {})
     got = memo.get(sf_dir)
     if got is not None:
         return got
 
-    final = _tok_dir(sf_dir)
+    try:
+        final = _tok_dir(sf_dir)
+    except OSError:
+        src = docs_fn() if docs_fn else load_table(spark, sf_dir, "documents")
+        return tokenized_projection(src)
     if not os.path.isdir(final):
         tok = tokenized_projection(load_table(spark, sf_dir, "documents"))
         staged = f"{final}.staged-{os.getpid()}"
