@@ -33,6 +33,7 @@ from event_store_spark.plans.registry import ORACLE, QUERIES, register
 
 #: method label → registered query whose top-5 ids to score
 ANN_METHODS = {
+    "hnsw": "ann_hnsw_topk",
     "ivf": "ann_ivf_topk",
     "ivfpq": "ann_ivfpq_topk",
     "lsh": "ann_lsh_topk",

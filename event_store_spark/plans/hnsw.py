@@ -1,0 +1,282 @@
+"""HNSW-per-cell graph ANN — the industry-default high-recall search
+path, partitioned Spark-first inside the IVF layout (VERDICT r9 #8).
+
+A monolithic HNSW graph is a single-machine structure (hot entry point,
+pointer-chasing traversal) — it does NOT shard. The cluster-idiomatic
+form, used by every distributed vector store (Milvus segments,
+Vespa/ES per-shard HNSW, Turbopuffer), is a PARTITIONED graph: the
+corpus is split by the learned IVF cells (`plans.ivf._ivf_index` — the
+same memoized build every IVF variant shares), and each cell carries
+its own small-world graph built and searched INSIDE one task
+(`applyInPandas` keyed by cell). Search probes the query's cell(s) like
+any IVF plan, then walks that cell's graph instead of scanning the
+cell — O(ef·log n_cell) sims instead of O(n_cell).
+
+Determinism (the oracle contract): node levels derive from
+md5(vec_id); inserts run in vec_id order; every neighbor selection and
+search tie breaks on (sim DESC, vec_id ASC); the FINAL candidates are
+re-ranked with the engine's exact left-to-right fold (the
+`_knn_blas_bucket_topk` discipline — identical operand order to the
+oracle's list_sum, so the emitted ROUND(sim, 4) values hash-match).
+The oracle is the EXACT top-k over the probed cell — same string as
+`ann_ivf_topk` — so the driver's hash check fails loudly if the graph
+search ever misses a true neighbor (recall is also reported as a row
+in `ann_recall_report`).
+
+Scale shape: the graph table is (cell, vec_id, level, per-level
+adjacency), built once per corpus (memoized; in production it is the
+persisted per-segment index), partitioned by cell — bounded per task
+by the IVF occupancy contract. A search moves only the probed cells'
+rows; nothing corpus-global exists anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from weakref import WeakKeyDictionary
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_store_spark.plans.ivf import _ivf_index
+from event_store_spark.plans.registry import ORACLE, register
+
+#: max neighbors per node per level (HNSW "M"); level-0 gets 2M as usual
+HNSW_M = 8
+#: construction beam width
+HNSW_EF_C = 32
+#: search beam width at layer 0 — sized so the beam provably dominates
+#: the top-5 on the fixture cells (the oracle hash check enforces it)
+HNSW_EF = 64
+TOPK = 5
+
+
+def _level_of(vec_id: int, m_l: float) -> int:
+    """Deterministic geometric level draw from md5(vec_id)."""
+    h = hashlib.md5(str(int(vec_id)).encode()).hexdigest()
+    u = (int(h[:8], 16) + 1) / 4294967296.0
+    return int(-math.log(u) * m_l)
+
+
+def _exact_fold_sims(X, q):
+    """Cosine of each row of X against q with the engine's exact
+    left-to-right accumulation order (bit-identical to the oracle's
+    list_sum fold): acc = (acc + a_d * b_d), per dimension."""
+    import numpy as np
+
+    n, d = X.shape
+    accd = np.zeros(n)
+    acca = np.zeros(n)
+    accq = 0.0
+    for dd in range(d):
+        accd = accd + X[:, dd] * q[dd]
+        acca = acca + X[:, dd] * X[:, dd]
+        accq = accq + q[dd] * q[dd]
+    return accd / (np.sqrt(acca) * np.sqrt(accq))
+
+
+def _build_cell_graph(pdf):
+    """Build one cell's HNSW graph: standard insert (greedy descent to
+    the node's level, beam-ef candidate search per level, top-M
+    bidirectional links with prune). All float work is numpy float64 —
+    the graph steers search only, so build arithmetic needs determinism,
+    not oracle bit-parity."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)  # insert in vec_id order — deterministic
+    ids = ids[order]
+    X = np.stack(pdf["v"].to_numpy())[order].astype(np.float64, copy=False)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    n = len(ids)
+    cell = int(pdf["cell"].iloc[0])
+    m_l = 1.0 / math.log(HNSW_M)
+    levels = [_level_of(v, m_l) for v in ids]
+    # nbrs[node][lvl] = list of local indices
+    nbrs: list[list[list[int]]] = [
+        [[] for _ in range(levels[i] + 1)] for i in range(n)
+    ]
+    cap = lambda lvl: (2 * HNSW_M) if lvl == 0 else HNSW_M
+
+    def _search_layer(q, entries, ef, lvl):
+        """Beam search on one layer → list of (negsim, idx) best-first."""
+        import heapq
+
+        visited = set(entries)
+        cand = [(-float(Xn[e] @ q), e) for e in entries]
+        heapq.heapify(cand)
+        best = sorted(cand)
+        while cand:
+            negsim, u = heapq.heappop(cand)
+            if negsim > best[min(ef, len(best)) - 1][0] and len(best) >= ef:
+                break
+            for w in nbrs[u][lvl]:
+                if w in visited:
+                    continue
+                visited.add(w)
+                s = float(Xn[w] @ q)
+                entry = (-s, w)
+                if len(best) < ef or entry < best[ef - 1]:
+                    heapq.heappush(cand, entry)
+                    best.append(entry)
+                    best.sort()
+                    del best[ef:]
+        return best
+
+    entry_pt = 0
+    max_lvl = levels[0]
+    for i in range(1, n):
+        q = Xn[i]
+        lvl = levels[i]
+        ep = [entry_pt]
+        for l in range(max_lvl, lvl, -1):
+            ep = [_search_layer(q, ep, 1, l)[0][1]]
+        for l in range(min(lvl, max_lvl), -1, -1):
+            found = _search_layer(q, ep, HNSW_EF_C, l)
+            picks = [w for _, w in found[: cap(l)]]
+            nbrs[i][l] = picks
+            for w in picks:
+                lst = nbrs[w][l]
+                lst.append(i)
+                if len(lst) > cap(l):
+                    # prune to the cap by (sim to w desc, id asc)
+                    sims = [
+                        (-float(Xn[x] @ Xn[w]), ids[x], x) for x in lst
+                    ]
+                    sims.sort()
+                    nbrs[w][l] = [x for _, _, x in sims[: cap(l)]]
+            ep = [w for _, w in found[:1]] or ep
+        if lvl > max_lvl:
+            max_lvl = lvl
+            entry_pt = i
+    return pd.DataFrame(
+        {
+            "cell": cell,
+            "vec_id": ids,
+            "level": [np.int32(levels[i]) for i in range(n)],
+            "nbrs": [
+                [[int(ids[w]) for w in lvl_list] for lvl_list in nbrs[i]]
+                for i in range(n)
+            ],
+        }
+    )
+
+
+_HNSW_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def _hnsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, vec_id, v, level, nbrs) — the per-cell graphs plus vectors,
+    built once per (session, corpus) and cached; production writes this
+    table out partitioned by cell (the Milvus-segment layout)."""
+    memo = _HNSW_MEMO.setdefault(spark, {})
+    got = memo.get(sf_dir)
+    if got is not None:
+        return got
+    from event_store_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    _, assigned = _ivf_index(spark, sf_dir, "full")
+    graph = assigned.groupBy("cell").applyInPandas(
+        _build_cell_graph,
+        "cell int, vec_id bigint, level int, nbrs array<array<bigint>>",
+    )
+    out = assigned.join(graph, ["cell", "vec_id"]).cache()
+    memo[sf_dir] = out
+    return out
+
+
+def _search_cell(pdf):
+    """Search one probed cell's graph for the query vector riding the
+    rows: greedy descent from the top level, beam HNSW_EF at layer 0,
+    exact-fold re-rank of the beam → top-K (sim DESC, vec_id ASC)."""
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    cols = ["vec_id", "sim"]
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    X = np.stack(pdf["v"].to_numpy())[order].astype(np.float64, copy=False)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    levels = pdf["level"].to_numpy()[order]
+    raw_nbrs = pdf["nbrs"].to_numpy()[order]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    nbrs = [
+        [[pos[int(w)] for w in lvl_list] for lvl_list in node_lists]
+        for node_lists in raw_nbrs
+    ]
+    q = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-300)
+    q_id = int(pdf["q_id"].iloc[0])
+
+    entry = int(np.lexsort((ids, -levels))[0])  # max level, lowest id
+    ep = [entry]
+    for l in range(int(levels[entry]), 0, -1):
+        # greedy: single best at this level
+        cur = ep[0]
+        improved = True
+        while improved:
+            improved = False
+            for w in nbrs[cur][l] if l < len(nbrs[cur]) else []:
+                if float(Xn[w] @ qn) > float(Xn[cur] @ qn):
+                    cur = w
+                    improved = True
+        ep = [cur]
+    # layer-0 beam
+    visited = set(ep)
+    cand = [(-float(Xn[e] @ qn), e) for e in ep]
+    heapq.heapify(cand)
+    best = sorted(cand)
+    while cand:
+        negsim, u = heapq.heappop(cand)
+        if len(best) >= HNSW_EF and negsim > best[HNSW_EF - 1][0]:
+            break
+        for w in nbrs[u][0]:
+            if w in visited:
+                continue
+            visited.add(w)
+            s = float(Xn[w] @ qn)
+            entry_w = (-s, w)
+            if len(best) < HNSW_EF or entry_w < best[HNSW_EF - 1]:
+                heapq.heappush(cand, entry_w)
+                best.append(entry_w)
+                best.sort()
+                del best[HNSW_EF:]
+    beam = [w for _, w in best[:HNSW_EF] if int(ids[w]) != q_id]
+    if not beam:
+        return pd.DataFrame(columns=cols)
+    sims = _exact_fold_sims(X[beam], q)  # oracle-exact values
+    nbr_ids = ids[beam]
+    sel = np.lexsort((nbr_ids, -sims))[:TOPK]
+    return pd.DataFrame({"vec_id": nbr_ids[sel], "sim": sims[sel]})
+
+
+@register("ann_hnsw_topk", oracle=ORACLE["ann_ivf_topk"])
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-5 for vec_id=0: probe the query's IVF cell, walk
+    that cell's HNSW graph (one Arrow task), exact-fold re-rank the
+    beam. SAME ORACLE as `ann_ivf_topk` — exact top-5 over the probed
+    cell — so the hash check IS the recall guarantee: a graph-search
+    miss of any true neighbor fails the driver gate, not a dashboard."""
+    graph = _hnsw_graph(spark, sf_dir)
+    query = graph.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.col("vec_id").alias("q_id"),
+        F.col("cell").alias("qcell"),
+    )
+    probed = graph.join(F.broadcast(query), F.col("cell") == F.col("qcell"))
+    found = probed.groupBy("cell").applyInPandas(
+        _search_cell, "vec_id bigint, sim double"
+    )
+    return (
+        found.select("vec_id", F.round("sim", 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOPK)
+    )

@@ -1,0 +1,135 @@
+"""ann_hnsw_topk: per-cell HNSW graph search inside the IVF layout.
+
+The oracle is the EXACT top-5 over the probed cell (ann_ivf_topk's
+string), so the registered parity suite already enforces recall = 1.0 on
+the fixtures; these tests pin the graph kernel itself — exactness of the
+search against brute force on constructed cells, degree caps, and the
+twin equality with the IVF scan plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from event_store_spark.plans.hnsw import (
+    HNSW_EF,
+    HNSW_M,
+    TOPK,
+    _build_cell_graph,
+    _exact_fold_sims,
+    _search_cell,
+    ann_hnsw_topk,
+)
+from event_store_spark.plans.ivf import ann_ivf_topk
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_hnsw_twin_equals_ivf_scan_plan(spark, sf):
+    """Same probed cell, same exact-fold sims — the graph search must
+    reproduce the full-cell scan's top-5 row for row."""
+    assert _rows(ann_hnsw_topk(spark, sf)) == _rows(ann_ivf_topk(spark, sf))
+
+
+def _mk_cell(n, d=16, seed=7, cell=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d))
+    return pd.DataFrame(
+        {
+            "cell": cell,
+            "vec_id": np.arange(n, dtype=np.int64) * 3,  # non-contiguous ids
+            "v": list(X),
+        }
+    )
+
+
+def _with_graph(pdf):
+    g = _build_cell_graph(pdf)
+    out = pdf.merge(g[["vec_id", "level", "nbrs"]], on="vec_id")
+    return out
+
+
+def test_build_respects_degree_caps_and_is_deterministic():
+    pdf = _mk_cell(120)
+    g1 = _build_cell_graph(pdf)
+    g2 = _build_cell_graph(pdf.sample(frac=1.0, random_state=3))  # any input order
+    m1 = {int(r.vec_id): r.nbrs for r in g1.itertuples()}
+    m2 = {int(r.vec_id): r.nbrs for r in g2.itertuples()}
+    assert m1 == m2  # insert order is pinned to vec_id order internally
+    for r in g1.itertuples():
+        for lvl, lst in enumerate(r.nbrs):
+            cap = 2 * HNSW_M if lvl == 0 else HNSW_M
+            assert len(lst) <= cap
+            assert len(set(lst)) == len(lst)
+
+
+def test_search_matches_brute_force_exact_topk():
+    """Beam width >= cell size: the search is exhaustive by construction,
+    so the result must equal the brute-force exact top-K under the
+    (sim DESC, vec_id ASC) rule with the engine's fold arithmetic."""
+    pdf = _mk_cell(40, seed=11)
+    enriched = _with_graph(pdf)
+    q = pdf["v"].iloc[0]
+    enriched["qv"] = [np.asarray(q)] * len(enriched)
+    enriched["q_id"] = int(pdf["vec_id"].iloc[0])
+    got = _search_cell(enriched)
+    X = np.stack(pdf["v"].to_numpy())
+    sims = _exact_fold_sims(X, np.asarray(q))
+    ids = pdf["vec_id"].to_numpy()
+    mask = ids != int(pdf["vec_id"].iloc[0])
+    order = np.lexsort((ids[mask], -sims[mask]))[:TOPK]
+    expect = list(zip(ids[mask][order], sims[mask][order]))
+    assert list(zip(got["vec_id"], got["sim"])) == expect
+
+
+def test_search_beam_smaller_than_cell_still_exact_on_gaussian():
+    """Cell larger than the beam (the realistic regime): HNSW with
+    ef=HNSW_EF must still surface the exact top-5 on gaussian data —
+    the same property the registered oracle enforces on the fixtures."""
+    n = 4 * HNSW_EF
+    pdf = _mk_cell(n, d=32, seed=23)
+    enriched = _with_graph(pdf)
+    q_id = int(pdf["vec_id"].iloc[5])
+    q = pdf["v"].iloc[5]
+    enriched["qv"] = [np.asarray(q)] * len(enriched)
+    enriched["q_id"] = q_id
+    got = _search_cell(enriched)
+    X = np.stack(pdf["v"].to_numpy())
+    sims = _exact_fold_sims(X, np.asarray(q))
+    ids = pdf["vec_id"].to_numpy()
+    mask = ids != q_id
+    order = np.lexsort((ids[mask], -sims[mask]))[:TOPK]
+    assert list(got["vec_id"]) == list(ids[mask][order])
+
+
+def test_duplicate_vectors_tiebreak_by_vec_id():
+    pdf = _mk_cell(30, seed=5)
+    v = pdf["v"].iloc[1]
+    for i in (4, 9, 14):
+        pdf.at[i, "v"] = np.asarray(v).copy()
+    enriched = _with_graph(pdf)
+    enriched["qv"] = [np.asarray(v)] * len(enriched)
+    enriched["q_id"] = -1  # not in the cell
+    got = _search_cell(enriched)
+    # the four exact-duplicate holders tie at sim 1.0 -> lowest ids first
+    dup_ids = sorted(int(pdf["vec_id"].iloc[i]) for i in (1, 4, 9, 14))
+    assert list(got["vec_id"][:4]) == dup_ids
+    assert all(abs(s - 1.0) < 1e-12 for s in got["sim"][:4])
+
+
+def test_levels_follow_md5_geometric_draw():
+    from event_store_spark.plans.hnsw import _level_of
+
+    m_l = 1.0 / math.log(HNSW_M)
+    levels = [_level_of(i, m_l) for i in range(2000)]
+    assert min(levels) == 0
+    # geometric with p ~ 1/M per level: level>=1 fraction near 1/M
+    frac = sum(1 for l in levels if l >= 1) / len(levels)
+    assert 0.5 / HNSW_M < frac < 2.5 / HNSW_M
