@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from event_store_spark.functions.text import whitespace_tokens, word_ngram_hashes
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 

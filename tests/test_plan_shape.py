@@ -361,8 +361,17 @@ def test_profile_columns_single_scan_single_heavy_exchange(spark, sf_correct):
     exchange by the NDV, and a 4-key final aggregate derives the report —
     no Expand (the multi-distinct rewrite), no join, no per-column
     branches (the prior union form paid 8 stages of job floor at sf0.1)."""
+    from event_store_spark.plans import pipeline6 as _p6
     from event_store_spark.plans.pipeline6 import PROFILE_COLS
 
+    # force the COLD plan: the (col, value) count table is memoized per
+    # session AND persisted — clearing the dict alone is not enough,
+    # because the CacheManager substitutes any still-persisted relation
+    # whose logical plan matches the rebuilt one
+    memo = _p6._PROFILE_MEMO.setdefault(spark, {})
+    for _df in memo.values():
+        _df.unpersist()
+    memo.clear()
     plan = _plan(spark, sf_correct, "profile_columns")
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
     assert "Expand" not in plan
@@ -700,9 +709,11 @@ def test_ann_recall_report_memoizes_plan_not_results(spark, sf_correct):
     df1 = ann_recall_report(spark, sf_correct)
     df2 = ann_recall_report(spark, sf_correct)
     assert df2 is df1  # plan memo hit
+    from event_store_spark.plans.evalq import ANN_METHODS
+
     r1 = sorted((r.method, r.hits) for r in df1.collect())
     r2 = sorted((r.method, r.hits) for r in df2.collect())
-    assert r1 == r2 and len(r1) == 6
+    assert r1 == r2 and len(r1) == len(ANN_METHODS)
     plan = df1._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
