@@ -150,6 +150,9 @@ con = duckdb.connect()
 con.execute("SET memory_limit='" + cfg["mem"] + "'")
 con.execute("SET temp_directory='" + cfg["tmp"] + "'")
 con.execute("SET preserve_insertion_order=false")
+# the progress bar writes to STDOUT on long queries and can glue itself
+# to the front of the result JSON line, breaking the parent's parse
+con.execute("SET enable_progress_bar=false")
 for t in cfg["tables"]:
     con.execute(
         "CREATE VIEW " + t + " AS SELECT * FROM '"
@@ -255,8 +258,13 @@ def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
     _clean_spill()
     secs = time.perf_counter() - t0
     for line in reversed(stdout.strip().splitlines() or [""]):
+        # tolerate control-sequence prefixes (a progress bar that slipped
+        # through can glue itself to the front of the JSON line)
+        brace = line.find("{")
+        if brace < 0:
+            continue
         try:
-            rec = json.loads(line)
+            rec = json.loads(line[brace:])
             return rec["s"], rec.get("capped", False), rec["err"]
         except (json.JSONDecodeError, KeyError, TypeError):
             continue
