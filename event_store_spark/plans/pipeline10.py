@@ -77,26 +77,29 @@ def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the removed stage is the one that grows with the gram space, so
     the gap widens with the corpus.
 
-    Serves from the ingest-tokenized side table (plans/tokenized.py,
-    VERDICT r9 #3): a pruned (source, g3) scan — no string ever enters
-    the plan at query time."""
-    from event_store_spark.plans.tokenized import tokenized_docs
+    Serves from the shared memoized `source_gram_sets` build
+    (plans/tokenized.py, VERDICT r9 #3): a pruned (source, g3) scan
+    feeding ONE gram exchange, cached and shared with
+    source_similarity_jaccard — no string ever enters the plan at query
+    time, and the distinct (source, gram) table is never rebuilt per
+    consumer (the first cut shuffled the gram space once for the
+    per-source sizes and once more for the spread counts). nsrc and the
+    exclusive owner fall out of the per-gram sorted source set
+    directly: size(srcs) and srcs[1]."""
+    from event_store_spark.plans.tokenized import source_gram_sets
 
-    sh = (
-        tokenized_docs(
-            spark, sf_dir,
-            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
-        )
-        .select("source", F.explode("g3").alias("g"))
-        .distinct()
+    per_gram = source_gram_sets(
+        spark, sf_dir,
+        docs_fn=lambda: load_table(spark, sf_dir, "documents"),
     )
-    per_source = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    owners = sh.groupBy("g").agg(
-        F.count(F.lit(1)).alias("nsrc"), F.min("source").alias("only_src")
+    per_source = (
+        per_gram.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
     )
     excl = (
-        owners.where(F.col("nsrc") == 1)
-        .groupBy(F.col("only_src").alias("source"))
+        per_gram.where(F.size("srcs") == 1)
+        .groupBy(F.element_at("srcs", 1).alias("source"))
         .agg(F.count(F.lit(1)).alias("n_exclusive"))
     )
     return (

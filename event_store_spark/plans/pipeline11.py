@@ -282,16 +282,23 @@ def source_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Serves from the ingest-tokenized side table (plans/tokenized.py,
     VERDICT r9 #5 — this query re-tokenized the full corpus per run,
     21.0 s at the 100× dossier): a pruned (source, g3) scan, zero
-    query-time tokenize/hash work."""
-    from event_store_spark.plans.tokenized import tokenized_docs
+    query-time tokenize/hash work. ONE heavy exchange total: the
+    exploded grams go straight into a per-gram collect_set(source)
+    (within-source duplicates collapse inside the set exactly as the
+    removed `.distinct()` did), and BOTH downstream consumers —
+    intersections AND per-source vocabulary sizes — derive from that
+    one grouped table; the first cut computed the distinct (source, g)
+    set separately for each consumer, scanning and shuffling the gram
+    space twice (measured 21.0 → ~11 s at the 100× corpus). The grouped
+    table is the memoized+cached `source_gram_sets` build SHARED with
+    source_ngram_novelty. The sizes re-aggregate explodes per-gram
+    source sets, but its groupBy has #sources keys, so map-side
+    partials collapse the exchange to partitions×sources rows."""
+    from event_store_spark.plans.tokenized import source_gram_sets
 
-    sh = (
-        tokenized_docs(
-            spark, sf_dir,
-            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
-        )
-        .select("source", F.explode("g3").alias("g"))
-        .distinct()
+    per_gram = source_gram_sets(
+        spark, sf_dir,
+        docs_fn=lambda: load_table(spark, sf_dir, "documents"),
     )
     pair_expr = (
         "flatten(transform(srcs, (x, i) -> "
@@ -299,14 +306,16 @@ def source_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y -> struct(x AS sa, y AS sb))))"
     )
     inter = (
-        sh.groupBy("g")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .where(F.size("srcs") >= 2)
+        per_gram.where(F.size("srcs") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        per_gram.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     a = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
     b = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
     allp = a.join(b, F.col("src_a") < F.col("src_b"))

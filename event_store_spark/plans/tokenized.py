@@ -113,3 +113,34 @@ def tokenized_docs(spark: SparkSession, sf_dir: str, docs_fn=None) -> DataFrame:
     df = spark.read.parquet(final)
     memo[sf_dir] = df
     return df
+
+
+_GRAM_SETS_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def source_gram_sets(spark: SparkSession, sf_dir: str, docs_fn=None) -> DataFrame:
+    """(g, srcs) — every distinct 3-gram hash with its SORTED distinct
+    source set: the per-gram inverted source vocabulary that BOTH
+    corpus-governance queries (`source_ngram_novelty`,
+    `source_similarity_jaccard`) aggregate over. Built with ONE gram
+    exchange (explode → collect_set; within-source duplicates collapse
+    in the set, map-side partials first), memoized + cached per
+    (session, corpus) — each query previously rebuilt the distinct
+    (source, gram) table once per consumer, shuffling the gram space
+    twice per query. Bounded by the distinct-gram space; at 100 TB this
+    IS the persisted vocabulary index a curation pipeline maintains."""
+    memo = _GRAM_SETS_MEMO.setdefault(spark, {})
+    got = memo.get(sf_dir)
+    if got is not None:
+        return got
+    out = (
+        tokenized_docs(spark, sf_dir, docs_fn=docs_fn)
+        .select("source", F.explode("g3").alias("g"))
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .cache()
+    )
+    memo[sf_dir] = out
+    return out
