@@ -99,9 +99,16 @@ def main() -> None:
     # tokenize-at-ingest side table (plans/tokenized.py): the shared
     # token/fingerprint materialization the governance + dedup-span
     # queries serve from — same write-path accounting as typed_events
-    from event_store_spark.plans.tokenized import tokenized_docs
+    from event_store_spark.plans.tokenized import (
+        source_gram_sets,
+        tokenized_docs,
+    )
 
     tokenized_docs(spark, sf_dir)
+    # the per-gram source-set vocabulary (the governance pair's shared
+    # index artifact) — same memoized-build accounting as the minhash
+    # signature table above
+    source_gram_sets(spark, sf_dir).count()
 
     # engine: interleaved reps (rep-major) so a transient contention spike
     # lands on ONE rep of many queries, not all reps of one query

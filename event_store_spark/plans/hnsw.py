@@ -258,6 +258,150 @@ def _search_cell(pdf):
     return pd.DataFrame({"vec_id": nbr_ids[sel], "sim": sims[sel]})
 
 
+# ------------------------------------------------- index persistence API
+
+def save_hnsw_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the per-cell HNSW index: `graph/` (parquet PARTITIONED BY
+    cell — vec_id, v, level, per-level adjacency; a cell probe lists
+    exactly `cell=c/`) + `hnsw.json` (the IVF centroids the cells were
+    trained by, plus the graph parameters). Retrains publish behind the
+    repo-wide `GenerationPair` pointer flip — readers never observe a
+    graph under foreign centroids."""
+    import json as _json
+    import os as _os
+
+    from event_store_spark.plans.generations import GenerationPair
+
+    centroids, _ = _ivf_index(spark, sf_dir, "full")
+    graph = _hnsw_graph(spark, sf_dir)
+    gp = GenerationPair(path, "graph", "hnsw.json")
+    _os.makedirs(path, exist_ok=True)
+    new_dir, new_meta = gp.next_names()
+    graph.write.mode("overwrite").partitionBy("cell").parquet(
+        _os.path.join(path, new_dir)
+    )
+    meta = {
+        "centroids": [[cell, list(c)] for cell, c in centroids],
+        "m": HNSW_M,
+        "ef": HNSW_EF,
+    }
+    # meta written AFTER the bulk dir: on a fresh build its presence marks
+    # the index complete; on a retrain the pointer flip publishes the pair
+    with open(_os.path.join(path, new_meta), "w") as fh:
+        _json.dump(meta, fh)
+    if (new_dir, new_meta) != ("graph", "hnsw.json"):
+        gp.flip(new_dir, new_meta)
+
+
+def load_hnsw_index(spark: SparkSession, path: str):
+    """(centroids, graph DataFrame) — lazy, cell-pruned reads."""
+    import json as _json
+    import os as _os
+
+    from event_store_spark.plans.generations import GenerationPair
+
+    gp = GenerationPair(path, "graph", "hnsw.json")
+    d, m = gp.live()
+    with open(_os.path.join(path, m)) as fh:
+        meta = _json.load(fh)
+    centroids = [
+        (int(cell), [float(x) for x in c]) for cell, c in meta["centroids"]
+    ]
+    return centroids, spark.read.parquet(_os.path.join(path, d))
+
+
+def hnsw_search(
+    spark: SparkSession,
+    path: str,
+    query_v: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    additions_path: str | None = None,
+) -> DataFrame:
+    """Top-k over the persisted graph: rank the broadcast centroid matrix
+    driver-side (the query is a literal), walk the nprobe nearest cells'
+    graphs (one Arrow task each, partition-pruned reads), and — the
+    base+segment serving split shared with IVF — brute-force the (small)
+    live-additions segment's rows in the probed cells exactly, since
+    streamed vectors are not linked into the graph until `compact`.
+    Both paths emit sims in the engine's exact fold order, so the union
+    ranks consistently."""
+    import numpy as np
+
+    from event_store_spark.functions.vectors import cosine
+
+    centroids, graph = load_hnsw_index(spark, path)
+    q = np.asarray(query_v, dtype=np.float64)
+    ranked = sorted(
+        (float(((q - np.asarray(c)) ** 2).sum()), cell) for cell, c in centroids
+    )
+    cells = [cell for _, cell in ranked[:nprobe]]
+    probed = (
+        graph.where(F.col("cell").isin(cells))
+        .withColumn("qv", F.lit([float(x) for x in query_v]))
+        .withColumn("q_id", F.lit(-1).cast("bigint"))
+    )
+    found = probed.groupBy("cell").applyInPandas(
+        _search_cell, "vec_id bigint, sim double"
+    )
+    if additions_path is not None:
+        adds = (
+            spark.read.parquet(additions_path)
+            .where(F.col("cell").isin(cells))
+            .select(
+                "vec_id",
+                cosine(
+                    F.col("v"), F.lit([float(x) for x in query_v])
+                ).alias("sim"),
+            )
+        )
+        found = found.unionByName(adds)
+    return found.orderBy(F.col("sim").desc(), "vec_id").limit(k)
+
+
+def compact_hnsw_index(
+    spark: SparkSession, path: str, additions_path: str
+) -> None:
+    """Fold a streamed additions segment (an `ivf_assign_stream` target —
+    the segment layout is SHARED with IVF) into the graph: only the
+    TOUCHED cells re-link (their base vectors + the segment's, one
+    `_build_cell_graph` task per cell); untouched cells' graph rows carry
+    over unchanged. Published behind the same GenerationPair flip as
+    `save_hnsw_index` — a reader mid-scan on the previous generation
+    finishes (deferred GC)."""
+    import json as _json
+    import os as _os
+
+    from event_store_spark.plans.generations import GenerationPair
+
+    gp = GenerationPair(path, "graph", "hnsw.json")
+    d, m = gp.live()
+    base = spark.read.parquet(_os.path.join(path, d))
+    adds = spark.read.parquet(additions_path).select("cell", "vec_id", "v")
+    touched = [r["cell"] for r in adds.select("cell").distinct().collect()]
+    untouched = base.where(~F.col("cell").isin(touched))
+    relink_src = (
+        base.where(F.col("cell").isin(touched)).select("cell", "vec_id", "v")
+        .unionByName(adds)
+    )
+    relinked = relink_src.groupBy("cell").applyInPandas(
+        _build_cell_graph,
+        "cell int, vec_id bigint, level int, nbrs array<array<bigint>>",
+    )
+    relinked = relink_src.join(relinked, ["cell", "vec_id"]).select(
+        *untouched.columns
+    )
+    new_dir, new_meta = gp.next_names()
+    untouched.unionByName(relinked).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(_os.path.join(path, new_dir))
+    with open(_os.path.join(path, m)) as fh:
+        meta_body = fh.read()
+    with open(_os.path.join(path, new_meta), "w") as fh:
+        fh.write(meta_body)
+    gp.flip(new_dir, new_meta)
+
+
 @register("ann_hnsw_topk", oracle=ORACLE["ann_ivf_topk"])
 def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-ANN top-5 for vec_id=0: probe the query's IVF cell, walk

@@ -1,4 +1,5 @@
-"""One facade over the three ANN index persistence APIs (VERDICT r6 #7).
+"""One facade over the four ANN index persistence APIs (VERDICT r6 #7;
+the HNSW-per-cell kind joined in round 10 — VERDICT r9 #8).
 
 `save_ivf_index`/`save_pq_index`/`save_sq8_index` grew independently with
 parallel save/load/search triples; :class:`VectorIndex` unifies them
@@ -29,11 +30,16 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-KINDS = ("ivf", "pq", "sq8")
+KINDS = ("ivf", "pq", "sq8", "hnsw")
 
 #: per-kind completeness marker written by the underlying save (also the
 #: sniff key for pre-facade indexes)
-_MARKERS = {"ivf": "centroids.json", "pq": "codebook.json", "sq8": "limits.json"}
+_MARKERS = {
+    "ivf": "centroids.json",
+    "pq": "codebook.json",
+    "sq8": "limits.json",
+    "hnsw": "hnsw.json",
+}
 
 
 class VectorIndex:
@@ -65,6 +71,10 @@ class VectorIndex:
             from event_store_spark.plans.ivf import save_ivf_index
 
             save_ivf_index(spark, sf_dir, path, variant)
+        elif kind == "hnsw":
+            from event_store_spark.plans.hnsw import save_hnsw_index
+
+            save_hnsw_index(spark, sf_dir, path)
         elif kind == "pq":
             from event_store_spark.plans.pq import save_pq_index
 
@@ -101,9 +111,9 @@ class VectorIndex:
         additions_path: str | None = None,
     ) -> DataFrame:
         """Top-k under the kind's native plan. ``nprobe``/
-        ``additions_path`` are IVF knobs (cell fan-out; live-additions
-        segment union) and rejected for the flat-scan kinds, where they
-        cannot mean anything."""
+        ``additions_path`` are cell-probing knobs (cell fan-out;
+        live-additions segment union — ivf and hnsw) and rejected for
+        the flat-scan kinds, where they cannot mean anything."""
         if self.kind == "ivf":
             from event_store_spark.plans.ivf import ivf_search, load_ivf_index
 
@@ -111,10 +121,17 @@ class VectorIndex:
                 self.spark, self.path, additions_path
             )
             return ivf_search(assigned, centroids, query_v, k=k, nprobe=nprobe)
+        if self.kind == "hnsw":
+            from event_store_spark.plans.hnsw import hnsw_search
+
+            return hnsw_search(
+                self.spark, self.path, query_v, k=k, nprobe=nprobe,
+                additions_path=additions_path,
+            )
         if additions_path is not None or nprobe != 1:
             raise ValueError(
                 f"{self.kind} is a flat-scan index: nprobe/additions_path "
-                "do not apply (IVF-only knobs)"
+                "do not apply (cell-probing-kind knobs: ivf/hnsw)"
             )
         if self.kind == "pq":
             from event_store_spark.plans.pq import load_pq_index, pq_search
@@ -143,6 +160,18 @@ class VectorIndex:
             from event_store_spark.streaming.index import ivf_assign_stream
 
             centroids, _ = load_ivf_index(self.spark, self.path)
+            return ivf_assign_stream(
+                embeddings_stream, centroids, segment_path, checkpoint
+            )
+        if self.kind == "hnsw":
+            # the segment layout is SHARED with IVF (cell-partitioned flat
+            # rows): arriving vectors are cell-assigned map-side under the
+            # graph's OWN centroids; search brute-forces the segment's
+            # probed cells exactly until `compact` re-links them
+            from event_store_spark.plans.hnsw import load_hnsw_index
+            from event_store_spark.streaming.index import ivf_assign_stream
+
+            centroids, _ = load_hnsw_index(self.spark, self.path)
             return ivf_assign_stream(
                 embeddings_stream, centroids, segment_path, checkpoint
             )
@@ -175,6 +204,10 @@ class VectorIndex:
             from event_store_spark.plans.ivf import compact_ivf_index
 
             compact_ivf_index(self.spark, self.path, additions_path)
+        elif self.kind == "hnsw":
+            from event_store_spark.plans.hnsw import compact_hnsw_index
+
+            compact_hnsw_index(self.spark, self.path, additions_path)
         elif self.kind == "pq":
             from event_store_spark.plans.pq import compact_pq_index
 

@@ -332,9 +332,16 @@ def main() -> None:
     _minhash_signatures(spark, out_dir).count()
 
     # tokenize-at-ingest side table: same write-path accounting
-    from event_store_spark.plans.tokenized import tokenized_docs
+    from event_store_spark.plans.tokenized import (
+        source_gram_sets,
+        tokenized_docs,
+    )
 
     tokenized_docs(spark, out_dir)
+    # the per-gram source-set vocabulary (the governance pair's shared
+    # index artifact) — same memoized-build accounting as the minhash
+    # signature table above
+    source_gram_sets(spark, out_dir).count()
 
     # resumable progress journal: one JSON line per timed query, so a run
     # killed by an external wall-clock cap loses at most one query's work

@@ -133,3 +133,128 @@ def test_levels_follow_md5_geometric_draw():
     # geometric with p ~ 1/M per level: level>=1 fraction near 1/M
     frac = sum(1 for l in levels if l >= 1) / len(levels)
     assert 0.5 / HNSW_M < frac < 2.5 / HNSW_M
+
+
+# ----------------------------------------------------- persistence / facade
+
+
+def _exact_topk_over_cells(spark, index_path, qv, cells, k=5, extra=None):
+    """Brute-force exact top-k (engine fold arithmetic via the cosine
+    Column) over the index's probed cells + an optional additions frame."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.functions.vectors import cosine
+    from event_store_spark.plans.hnsw import load_hnsw_index
+
+    _, graph = load_hnsw_index(spark, index_path)
+    side = graph.where(F.col("cell").isin(cells)).select("vec_id", "v")
+    if extra is not None:
+        side = side.unionByName(extra.select("vec_id", "v"))
+    return [
+        (r.vec_id, r.sim)
+        for r in side.select(
+            "vec_id", cosine(F.col("v"), F.lit([float(x) for x in qv])).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_persisted_hnsw_build_open_search_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.hnsw import hnsw_search, load_hnsw_index
+    from event_store_spark.plans.vector_index import VectorIndex
+    from event_store_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "hnsw_idx")
+    idx = VectorIndex.build(spark, sf, path, kind="hnsw")
+    # open sniffs the kind from the manifest
+    reopened = VectorIndex.open(spark, path)
+    assert reopened.kind == "hnsw"
+
+    qv = [
+        float(x)
+        for x in load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    centroids, _ = load_hnsw_index(spark, path)
+    import numpy as np
+
+    q = np.asarray(qv)
+    cells = [c for _, c in sorted(
+        (float(((q - np.asarray(v)) ** 2).sum()), c) for c, v in centroids
+    )][:1]
+    got = [(r.vec_id, r.sim) for r in reopened.search(qv, k=5).collect()]
+    assert got == _exact_topk_over_cells(spark, path, qv, cells, k=5)
+
+    # additions segment: a planted vector almost identical to the query,
+    # assigned to the probed cell — base+segment serving must surface it
+    planted_id = 999_999
+    adds = spark.createDataFrame(
+        [(planted_id, [x + 1e-7 for x in qv], cells[0])],
+        "vec_id bigint, v array<double>, cell int",
+    )
+    seg = str(tmp_path / "seg")
+    adds.write.partitionBy("cell").parquet(seg)
+    with_seg = [
+        (r.vec_id, r.sim)
+        for r in reopened.search(qv, k=5, additions_path=seg).collect()
+    ]
+    # vec 0 itself sits in the graph at sim exactly 1.0 (q_id=-1 for an
+    # external query), so the planted near-duplicate ranks right after it
+    assert planted_id in [v for v, _ in with_seg]
+    assert with_seg == _exact_topk_over_cells(
+        spark, path, qv, cells, k=5, extra=adds
+    )
+
+    # compact folds the segment INTO the graph: the planted vector is now
+    # found via the graph walk alone, and untouched cells are unchanged
+    reopened.compact(seg)
+    after = [(r.vec_id, r.sim) for r in reopened.search(qv, k=5).collect()]
+    assert planted_id in [v for v, _ in after]
+    assert after == with_seg
+    # a query into an untouched cell returns the same rows as pre-compact
+    other_qv = [
+        float(x)
+        for x in load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .collect()[0]["embedding"]
+    ]
+    pre = got  # sanity anchor only; full equality checked via exact topk
+    other = [(r.vec_id, r.sim) for r in reopened.search(other_qv, k=5).collect()]
+    oq = np.asarray(other_qv)
+    ocells = [c for _, c in sorted(
+        (float(((oq - np.asarray(v)) ** 2).sum()), c) for c, v in centroids
+    )][:1]
+    assert other == _exact_topk_over_cells(spark, path, other_qv, ocells, k=5)
+
+
+def test_persisted_hnsw_nprobe_unions_cells(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.hnsw import load_hnsw_index
+    from event_store_spark.plans.vector_index import VectorIndex
+    from event_store_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "hnsw_idx2")
+    idx = VectorIndex.build(spark, sf, path, kind="hnsw")
+    qv = [
+        float(x)
+        for x in load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 3)
+        .collect()[0]["embedding"]
+    ]
+    import numpy as np
+
+    centroids, _ = load_hnsw_index(spark, path)
+    q = np.asarray(qv)
+    cells2 = [c for _, c in sorted(
+        (float(((q - np.asarray(v)) ** 2).sum()), c) for c, v in centroids
+    )][:2]
+    got = [(r.vec_id, r.sim) for r in idx.search(qv, k=5, nprobe=2).collect()]
+    assert got == _exact_topk_over_cells(spark, path, qv, cells2, k=5)

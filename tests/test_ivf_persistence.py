@@ -410,7 +410,7 @@ def test_vector_index_facade_unifies_three_kinds(spark, sf_smoke, tmp_path):
     os.remove(str(tmp_path / "pq" / "index.json"))
     assert VectorIndex.open(spark, str(tmp_path / "pq")).kind == "pq"
 
-    with pytest.raises(ValueError, match="IVF-only"):
+    with pytest.raises(ValueError, match="cell-probing"):
         VectorIndex.open(spark, str(tmp_path / "sq8")).search(qv, nprobe=2)
 
 
