@@ -242,12 +242,21 @@ def _knn_blas_bucket_topk(pdf):
     c = min(KNN_BLAS_CAND, n - 1)
     # candidate selection must honor the (sim DESC, nbr ASC) rank rule even
     # under EXACT ties (duplicate embeddings yield bitwise-equal GEMM rows):
-    # if more than c sims tie at the boundary, argpartition would keep an
-    # arbitrary subset, possibly excluding the low nbr ids the exact re-rank
-    # (and the fold plan) would rank first. lexsort by (-sim, nbr) keeps the
-    # lowest-nbr members of any boundary tie, so tie membership matches.
-    nbr_key = np.broadcast_to(ids, S.shape)
-    idx = np.lexsort((nbr_key, -S), axis=1)[:, :c]  # (n, c) candidate cols
+    # if more than c sims tie at the boundary, an unrefined argpartition
+    # would keep an arbitrary subset, possibly excluding the low nbr ids
+    # the exact re-rank (and the fold plan) would rank first. Bulk cut with
+    # O(n) argpartition per row; ONLY rows whose boundary value also occurs
+    # outside the kept set get a full (-sim, nbr) lexsort — ties at the cut
+    # are rare, so the O(n log n) refinement almost never runs (ADVICE r10:
+    # the unconditional full-matrix lexsort was an O(n^2 log n) hot path).
+    idx = np.argpartition(-S, c - 1, axis=1)[:, :c]  # (n, c), unordered
+    kept = np.take_along_axis(S, idx, axis=1)
+    bvals = kept.min(axis=1)  # c-th largest sim per row
+    straddles = (S == bvals[:, None]).sum(axis=1) > (
+        kept == bvals[:, None]
+    ).sum(axis=1)
+    for r in np.nonzero(straddles)[0]:
+        idx[r] = np.lexsort((ids, -S[r]))[:c]
 
     # exact re-rank: left-to-right fold over the candidate pairs
     B = X[idx]  # (n, c, d)

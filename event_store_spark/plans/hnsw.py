@@ -215,6 +215,9 @@ def _search_cell(pdf):
     q = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-300)
     q_id = int(pdf["q_id"].iloc[0])
+    # caller's k rides the rows like qv/q_id (ADVICE r10: a hardcoded
+    # TOPK=5 silently truncated hnsw_search(k>5)); beam covers it below
+    k = int(pdf["k"].iloc[0]) if "k" in pdf.columns else TOPK
 
     entry = int(np.lexsort((ids, -levels))[0])  # max level, lowest id
     ep = [entry]
@@ -229,14 +232,16 @@ def _search_cell(pdf):
                     cur = w
                     improved = True
         ep = [cur]
-    # layer-0 beam
+    # layer-0 beam — width covers the caller's k (plus one slot for the
+    # query's own row, excluded below) so k > HNSW_EF still returns k rows
+    ef = max(HNSW_EF, k + 1)
     visited = set(ep)
     cand = [(-float(Xn[e] @ qn), e) for e in ep]
     heapq.heapify(cand)
     best = sorted(cand)
     while cand:
         negsim, u = heapq.heappop(cand)
-        if len(best) >= HNSW_EF and negsim > best[HNSW_EF - 1][0]:
+        if len(best) >= ef and negsim > best[ef - 1][0]:
             break
         for w in nbrs[u][0]:
             if w in visited:
@@ -244,17 +249,17 @@ def _search_cell(pdf):
             visited.add(w)
             s = float(Xn[w] @ qn)
             entry_w = (-s, w)
-            if len(best) < HNSW_EF or entry_w < best[HNSW_EF - 1]:
+            if len(best) < ef or entry_w < best[ef - 1]:
                 heapq.heappush(cand, entry_w)
                 best.append(entry_w)
                 best.sort()
-                del best[HNSW_EF:]
-    beam = [w for _, w in best[:HNSW_EF] if int(ids[w]) != q_id]
+                del best[ef:]
+    beam = [w for _, w in best[:ef] if int(ids[w]) != q_id]
     if not beam:
         return pd.DataFrame(columns=cols)
     sims = _exact_fold_sims(X[beam], q)  # oracle-exact values
     nbr_ids = ids[beam]
-    sel = np.lexsort((nbr_ids, -sims))[:TOPK]
+    sel = np.lexsort((nbr_ids, -sims))[:k]
     return pd.DataFrame({"vec_id": nbr_ids[sel], "sim": sims[sel]})
 
 
@@ -340,6 +345,7 @@ def hnsw_search(
         graph.where(F.col("cell").isin(cells))
         .withColumn("qv", F.lit([float(x) for x in query_v]))
         .withColumn("q_id", F.lit(-1).cast("bigint"))
+        .withColumn("k", F.lit(int(k)))
     )
     found = probed.groupBy("cell").applyInPandas(
         _search_cell, "vec_id bigint, sim double"
@@ -415,7 +421,9 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("cell").alias("qcell"),
     )
-    probed = graph.join(F.broadcast(query), F.col("cell") == F.col("qcell"))
+    probed = graph.join(
+        F.broadcast(query), F.col("cell") == F.col("qcell")
+    ).withColumn("k", F.lit(TOPK))
     found = probed.groupBy("cell").applyInPandas(
         _search_cell, "vec_id bigint, sim double"
     )

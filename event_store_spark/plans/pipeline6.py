@@ -312,7 +312,12 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(
                     *[
                         F.struct(
-                            F.lit(c).alias("col_name"), F.col(c).alias("v")
+                            F.lit(c).alias("col_name"),
+                            # explicit double pins the array element type:
+                            # PROFILE_COLS are all numeric today, but a
+                            # diverging column type must not become an
+                            # analysis error in the array() (ADVICE r10)
+                            F.col(c).cast("double").alias("v"),
                         )
                         for c in PROFILE_COLS
                     ]
@@ -325,23 +330,38 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
         memo[key] = per_val
+    agg = per_val.groupBy("col_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count("v").cast("bigint").alias("ndv"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+        F.round(
+            F.sum(F.col("v") * F.col("cnt"))
+            / F.sum(
+                F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0)
+            ),
+            2,
+        ).alias("avg_v"),
+    )
+    # left-join against the static column-name frame so an EMPTY table
+    # still reports one zero-count row per column, matching the oracle's
+    # per-branch scalar aggregates (ADVICE r10)
+    names = spark.createDataFrame(
+        [(c,) for c in PROFILE_COLS], "col_name string"
+    )
     return (
-        per_val.groupBy("col_name")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_rows"),
-            F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
-            .cast("bigint")
-            .alias("n_nulls"),
-            F.count("v").cast("bigint").alias("ndv"),
-            F.min("v").cast("double").alias("min_v"),
-            F.max("v").cast("double").alias("max_v"),
-            F.round(
-                F.sum(F.col("v") * F.col("cnt"))
-                / F.sum(
-                    F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0)
-                ),
-                2,
-            ).alias("avg_v"),
+        names.join(F.broadcast(agg), "col_name", "left")
+        .select(
+            "col_name",
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce("n_nulls", F.lit(0)).cast("bigint").alias("n_nulls"),
+            F.coalesce("ndv", F.lit(0)).cast("bigint").alias("ndv"),
+            "min_v",
+            "max_v",
+            "avg_v",
         )
         .orderBy("col_name")
     )

@@ -52,10 +52,25 @@ _TOK_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 
 
 def _tok_dir(sf_dir: str) -> str:
-    """Per-corpus cache dir keyed by the documents parquet's identity."""
+    """Per-corpus cache dir keyed by the documents parquet's identity.
+
+    The digest covers the PART-FILE LISTING (name, size, mtime of every
+    data file), not just the directory entry: replacing part files in
+    place (same names — e.g. `cp` over a fixture) leaves the directory
+    stat unchanged, and the r10 dir-stat key could silently serve stale
+    tokens for a regenerated corpus (ADVICE r10)."""
     src = table_path(sf_dir, "documents")
-    st = os.stat(src)
-    ident = f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    parts = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            if name.startswith((".", "_")):
+                continue
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}|{st.st_size}|{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}|{st.st_size}|{st.st_mtime_ns}")
+    ident = os.path.realpath(src) + "||" + ";".join(parts)
     digest = hashlib.md5(ident.encode()).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "event_store_spark_tok", digest, "documents_tok"
@@ -108,7 +123,13 @@ def tokenized_docs(spark: SparkSession, sf_dir: str, docs_fn=None) -> DataFrame:
         try:
             os.rename(staged, final)  # atomic publish
         except OSError:
+            # Losing the publish race is fine (final exists, drop ours);
+            # any other rename failure must surface, not turn into a
+            # confusing missing-path read after the staged dir is gone
+            # (ADVICE r10).
             shutil.rmtree(staged, ignore_errors=True)
+            if not os.path.isdir(final):
+                raise
 
     df = spark.read.parquet(final)
     memo[sf_dir] = df

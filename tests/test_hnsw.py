@@ -258,3 +258,34 @@ def test_persisted_hnsw_nprobe_unions_cells(spark, tmp_path):
     )][:2]
     got = [(r.vec_id, r.sim) for r in idx.search(qv, k=5, nprobe=2).collect()]
     assert got == _exact_topk_over_cells(spark, path, qv, cells2, k=5)
+
+
+def test_persisted_hnsw_search_k_above_topk(spark, tmp_path):
+    """k > TOPK (and > per-cell default truncation) must return k rows
+    matching the exact top-k — ADVICE r10: _search_cell hardcoded TOPK=5,
+    so hnsw_search(k=12) silently dropped true neighbors ranked 6..12."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.hnsw import load_hnsw_index
+    from event_store_spark.plans.vector_index import VectorIndex
+    from event_store_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "hnsw_idx_k")
+    idx = VectorIndex.build(spark, sf, path, kind="hnsw")
+    qv = [
+        float(x)
+        for x in load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    import numpy as np
+
+    centroids, _ = load_hnsw_index(spark, path)
+    q = np.asarray(qv)
+    cells = [c for _, c in sorted(
+        (float(((q - np.asarray(v)) ** 2).sum()), c) for c, v in centroids
+    )][:1]
+    got = [(r.vec_id, r.sim) for r in idx.search(qv, k=12).collect()]
+    assert len(got) == 12
+    assert got == _exact_topk_over_cells(spark, path, qv, cells, k=12)

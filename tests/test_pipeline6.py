@@ -416,3 +416,18 @@ def test_sample_weighted_stratified_topk_per_lang(spark):
 
 def _run_df(spark, fn):
     return fn(spark, "ignored").collect()
+
+
+def test_profile_columns_empty_table_reports_zero_rows_per_column(spark):
+    """Empty lineitem must still emit one row per profiled column with
+    zero counts and NULL min/max/avg — the oracle's per-branch scalar
+    aggregates never collapse to zero rows (ADVICE r10)."""
+    df = spark.createDataFrame([], "l_discount double, l_tax double")
+    with mock.patch.object(p6, "load_table", lambda s, d, n: df), mock.patch.object(
+        p6, "PROFILE_COLS", ["l_discount", "l_tax"]
+    ):
+        out = {r.col_name: r for r in p6.profile_columns(spark, "empty").collect()}
+    assert set(out) == {"l_discount", "l_tax"}
+    for r in out.values():
+        assert (r.n_rows, r.n_nulls, r.ndv) == (0, 0, 0)
+        assert r.min_v is None and r.max_v is None and r.avg_v is None
