@@ -344,7 +344,11 @@ def main() -> None:
     source_gram_sets(spark, out_dir).count()
 
     # resumable progress journal: one JSON line per timed query, so a run
-    # killed by an external wall-clock cap loses at most one query's work
+    # killed by an external wall-clock cap loses at most one query's work.
+    # Resume RETRIES rows that previously errored (last line per key wins),
+    # so a transient failure can never survive into the artifact alongside
+    # a later good number — the r10 artifact carried 6 rows listed in BOTH
+    # errored_* and per_query with successful numbers (VERDICT r10 #1b).
     journal_path = os.path.join(out_dir, "_progress.jsonl")
     done: dict[str, dict] = {}
     if os.path.exists(journal_path):
@@ -354,12 +358,45 @@ def main() -> None:
                 done[f"{rec['side']}:{rec['name']}"] = rec
 
     def journal(side: str, name: str, **kw) -> None:
+        rec = {"side": side, "name": name, **kw}
         with open(journal_path, "a") as fh:
-            fh.write(json.dumps({"side": side, "name": name, **kw}) + "\n")
+            fh.write(json.dumps(rec) + "\n")
+        done[f"{side}:{name}"] = rec
+
+    def settled(key: str) -> bool:
+        rec = done.get(key)
+        return rec is not None and not rec.get("err")
+
+    # memory fence (VERDICT r10 #1a): the in-suite run otherwise carries
+    # every earlier query's cached index in the same JVM, and the
+    # declared-heavy queries then measure memory pressure instead of their
+    # plans (triangle_count at 100x: 223.6 s in-suite vs 139.8 standalone).
+    # Snapshot the ingest-billed keep-set NOW; release everything newer
+    # before each heavy query runs.
+    from event_store_spark.plans.cache_release import (
+        memo_snapshot,
+        release_query_caches,
+    )
+
+    keep_snapshot = memo_snapshot(spark)
+    HEAVY_FENCE = {
+        "triangle_count",
+        "duplicate_spans",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_simhash64",
+        "bpe_encoded_stats",
+        "pagerank_events",
+    }
 
     for name in sorted(QUERIES):
-        if f"engine:{name}" in done:
+        if settled(f"engine:{name}"):
             continue
+        if name in HEAVY_FENCE:
+            n_rel = release_query_caches(spark, keep=keep_snapshot)
+            if n_rel:
+                print(f"[fence] released {n_rel} cached entries before {name}",
+                      file=sys.stderr)
         vals = []
         err = None
         for _ in range(reps):
@@ -388,37 +425,69 @@ def main() -> None:
     oracle_mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "64GB")
 
     for name in sorted(ORACLE):
-        if f"oracle:{name}" in done:
-            continue
+        if settled(f"oracle:{name}") or (
+            done.get(f"oracle:{name}", {}).get("capped")
+        ):
+            continue  # a clean finish or a true cap is settled; errors retry
         secs, was_capped, err = run_oracle_capped(
             ORACLE[name], cap, out_dir, oracle_mem
         )
         journal("oracle", name, s=round(secs, 3), capped=was_capped, err=err)
 
-    with open(journal_path) as fh:
-        for line in fh:
-            rec = json.loads(line)
-            done[f"{rec['side']}:{rec['name']}"] = rec
-    engine = {
-        r["name"]: r["s"] for k, r in done.items() if k.startswith("engine:")
+    # per-row classification — every journal row resolves to exactly ONE
+    # status, and the artifact's summary lists are derived FROM per_query
+    # so they can never contradict it (VERDICT r10 #1b: the r10 artifact
+    # listed 6 rows in errored_* that also carried successful numbers):
+    #   ok     — clean finish, seconds are a true measurement
+    #   capped — oracle hit the wall cap; seconds are a LOWER BOUND
+    #            (includes the rare backstop kill, noted in `note`)
+    #   error  — the side failed; seconds are time-to-failure, excluded
+    engine_rec = {
+        r["name"]: r for k, r in done.items() if k.startswith("engine:")
     }
-    oracle = {
-        r["name"]: r["s"] for k, r in done.items() if k.startswith("oracle:")
+    oracle_rec = {
+        r["name"]: r for k, r in done.items() if k.startswith("oracle:")
     }
-    capped = [
-        r["name"]
-        for k, r in done.items()
-        if k.startswith("oracle:") and r.get("capped")
-    ]
+
+    def _status(rec, side: str) -> str:
+        if rec is None:
+            return "absent"
+        if side == "oracle" and rec.get("capped"):
+            return "capped"
+        if rec.get("err"):
+            return "error"
+        return "ok"
+
+    per_query = {}
+    for n in sorted(set(engine_rec) | set(oracle_rec)):
+        er, orr = engine_rec.get(n), oracle_rec.get(n)
+        row = {
+            "engine": er["s"] if er else None,
+            "oracle": orr["s"] if orr else None,
+            "engine_status": _status(er, "engine"),
+            "oracle_status": _status(orr, "oracle"),
+        }
+        notes = {}
+        if er and er.get("err"):
+            notes["engine_err"] = er["err"]
+        if orr and orr.get("err"):
+            notes["oracle_note" if orr.get("capped") else "oracle_err"] = orr["err"]
+        if notes:
+            row["note"] = notes
+        per_query[n] = row
+
+    engine = {n: r["engine"] for n, r in per_query.items() if r["engine"] is not None}
+    oracle = {n: r["oracle"] for n, r in per_query.items() if r["oracle"] is not None}
+    capped = sorted(n for n, r in per_query.items() if r["oracle_status"] == "capped")
     errored = {
-        r["name"]: r["err"]
-        for k, r in done.items()
-        if k.startswith("oracle:") and r.get("err")
+        n: r["note"]["oracle_err"]
+        for n, r in per_query.items()
+        if r["oracle_status"] == "error"
     }
     engine_errored = {
-        r["name"]: r["err"]
-        for k, r in done.items()
-        if k.startswith("engine:") and r.get("err")
+        n: r["note"]["engine_err"]
+        for n, r in per_query.items()
+        if r["engine_status"] == "error"
     }
     engine_total = round(sum(engine.values()), 3)
     oracle_total = round(sum(oracle.values()), 3)
@@ -426,11 +495,8 @@ def main() -> None:
     # honest ratio: only queries where BOTH sides finished cleanly
     comparable = [
         n
-        for n in engine
-        if n in oracle
-        and n not in capped
-        and n not in errored
-        and n not in engine_errored
+        for n, r in per_query.items()
+        if r["engine_status"] == "ok" and r["oracle_status"] == "ok"
     ]
     eng_cmp = round(sum(engine[n] for n in comparable), 3)
     ora_cmp = round(sum(oracle[n] for n in comparable), 3)
@@ -448,14 +514,7 @@ def main() -> None:
         "comparable_engine_total": eng_cmp,
         "comparable_oracle_total": ora_cmp,
         "engine_vs_oracle_comparable": round(eng_cmp / ora_cmp, 3) if ora_cmp else None,
-        "per_query": {
-            n: {
-                "engine": engine.get(n),
-                "oracle": oracle.get(n),
-                "oracle_capped": n in capped,
-            }
-            for n in sorted(set(engine) | set(oracle))
-        },
+        "per_query": per_query,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
