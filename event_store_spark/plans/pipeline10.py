@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_store_spark.plans.registry import register
-from event_store_spark.tables import load_table
+from event_store_spark.tables import hot_table, load_table
 
 KS_HELD_OUT = "src0"
 
@@ -243,25 +243,44 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back onto the rows. Exact interpolated medians agree
     bit-for-bit cross-engine (the `quartiles_exact` dyadic-fraction pin);
     the final round(4) guards the subtraction's last bit."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
+    # hot pinned events (VERDICT r10 #4): this plan re-derives `dev` from
+    # the base relation twice (med pass, then the outlier pass) — a fresh
+    # parquet scan each time was 3x the actual aggregation work at sf0.1.
+    # The per-type median tables are O(#event_types) rows — a bounded
+    # driver fold (the k-centroids discipline), inlined as literal maps so
+    # neither pass pays a broadcast-exchange build job: three sequential
+    # aggregates over the cached projection and nothing else.
+    ev = hot_table(spark, sf_dir, "events").select("event_type", "value")
+    med_rows = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
+    ).collect()
+    med_map = F.create_map(
+        *[F.lit(x) for r in med_rows for x in (r["event_type"], r["med"])]
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    dev = ev.select(
+        "event_type",
+        F.abs(F.col("value") - med_map[F.col("event_type")]).alias("adev"),
     )
-    mad = dev.groupBy("event_type").agg(
+    mad_rows = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
+    ).collect()
+    mad_map = F.create_map(
+        *[F.lit(x) for r in mad_rows for x in (r["event_type"], r["mad"])]
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
+        dev.groupBy("event_type")
         .agg(
-            F.round(F.max("med"), 4).alias("med"),
-            F.round(F.max("mad"), 4).alias("mad"),
             F.sum(
-                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("bigint")
+                (
+                    F.col("adev") > 3 * 1.4826 * mad_map[F.col("event_type")]
+                ).cast("bigint")
             ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round(med_map[F.col("event_type")], 4).alias("med"),
+            F.round(mad_map[F.col("event_type")], 4).alias("mad"),
+            "n_outliers",
         )
         .orderBy("event_type")
     )
@@ -330,11 +349,15 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a failed gate carries its violation COUNT — the triage number —
     not just a boolean."""
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # hot pinned narrow projections (VERDICT r10 #4): six sub-plans scan
+    # five tables; the RI checks read customer/orders twice each. lineitem
+    # is cached ONLY as the 2-column projection the checks need — never
+    # the wide fact table (tables.hot_table docstring).
+    cust = hot_table(spark, sf_dir, "customer", ("c_custkey",))
+    orders = hot_table(spark, sf_dir, "orders", ("o_custkey", "o_orderkey"))
+    li = hot_table(spark, sf_dir, "lineitem", ("l_orderkey", "l_quantity"))
     docs = load_table(spark, sf_dir, "documents").select("text")
-    ev = load_table(spark, sf_dir, "events").select("ts")
+    ev = hot_table(spark, sf_dir, "events").select("ts")
 
     dup = (
         cust.groupBy("c_custkey")
@@ -347,13 +370,42 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     orders.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    orphan_l = (
-        li.join(orders.select("o_orderkey").distinct(),
-                li.l_orderkey == orders.o_orderkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
-    neg_qty = li.where(F.col("l_quantity") <= 0).agg(
-        F.count(F.lit(1)).alias("m")
+    # both lineitem checks fused into ONE pass (VERDICT r10 #4): the RI
+    # check is a broadcast left join whose unmatched rows ARE the orphans,
+    # the domain check rides the same scan as a conditional sum, and the
+    # single result row fans out into the two report rows via an in-row
+    # map explode — lineitem is scanned exactly once
+    li_checked = (
+        li.join(
+            F.broadcast(
+                orders.select("o_orderkey").distinct().withColumn(
+                    "_hit", F.lit(1)
+                )
+            ),
+            li.l_orderkey == orders.o_orderkey,
+            "left",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_hit").isNull().cast("bigint")), F.lit(0)
+            ).alias("m_orphan"),
+            F.coalesce(
+                F.sum((F.col("l_quantity") <= 0).cast("bigint")), F.lit(0)
+            ).alias("m_negqty"),
+        )
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("lineitem_orderkey_ri"), F.col("m_orphan"),
+                    F.lit("lineitem_quantity_positive"), F.col("m_negqty"),
+                )
+            ).alias("check_name", "m")
+        )
+        .select(
+            "check_name",
+            F.col("m").cast("bigint").alias("measured"),
+            (F.col("m") <= 0).cast("int").alias("passed"),
+        )
     )
     null_bp = docs.agg(
         F.floor(
@@ -371,18 +423,16 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("customer_key_unique", dup, 0),
         ("documents_text_null_bp", null_bp, 100),
         ("events_ts_in_range", ts_range, 0),
-        ("lineitem_orderkey_ri", orphan_l, 0),
-        ("lineitem_quantity_positive", neg_qty, 0),
         ("orders_custkey_ri", orphan_o, 0),
     ]
-    out = None
+    out = li_checked
     for name, agg_df, budget in checks:
         row = agg_df.select(
             F.lit(name).alias("check_name"),
             F.col("m").cast("bigint").alias("measured"),
             (F.col("m") <= budget).cast("int").alias("passed"),
         )
-        out = row if out is None else out.unionByName(row)
+        out = out.unionByName(row)
     return out.orderBy("check_name")
 
 

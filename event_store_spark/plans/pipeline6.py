@@ -24,6 +24,13 @@ from event_store_spark.tables import load_table
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pinned hot projection — but ONLY under the real loader: tests inject
+    # in-memory corpora by patching this module's load_table, and those
+    # frames must not be memoized under a shared sf_dir key
+    from event_store_spark import tables as _tables
+
+    if load_table is _tables.load_table:
+        return _tables.hot_table(spark, sf_dir, "events")
     return load_table(spark, sf_dir, "events")
 
 

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from event_store_spark.operators.temporal import asof_join as generic_asof_join
 from event_store_spark.operators.temporal import interval_join as generic_interval_join
 from event_store_spark.plans.registry import register
-from event_store_spark.tables import load_table
+from event_store_spark.tables import hot_table, load_table
 
 #: search radius (5 min in µs); the operator buckets time at the window
 #: width (2×radius), so each left row probes at most 2 buckets
@@ -49,7 +49,10 @@ _RADIUS_US = 300_000_000
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    # pinned hot projection (tables.hot_table): these operators re-scan
+    # events several times per plan, and at sf0.1 the repeated parquet
+    # materialization IS the job floor (VERDICT r10 #4)
+    return hot_table(spark, sf_dir, "events")
 
 
 @register(

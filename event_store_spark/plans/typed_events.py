@@ -41,11 +41,22 @@ _TYPED_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 
 
 def _typed_dir(sf_dir: str) -> str:
-    """Deterministic per-corpus cache dir: digest of the source parquet's
-    (realpath, mtime_ns, size) so regenerated fixtures re-materialize."""
+    """Deterministic per-corpus cache dir keyed by the source parquet's
+    identity. As in `plans.tokenized._tok_dir` (ADVICE r10), the digest
+    covers the part-file listing — name, size, mtime per data file — so
+    replacing part files in place (same names) still invalidates."""
     src = table_path(sf_dir, "events")
-    st = os.stat(src)
-    ident = f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    parts = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            if name.startswith((".", "_")):
+                continue
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}|{st.st_size}|{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}|{st.st_size}|{st.st_mtime_ns}")
+    ident = os.path.realpath(src) + "||" + ";".join(parts)
     digest = hashlib.md5(ident.encode()).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "event_store_spark_typed", digest, "events_typed"
@@ -97,8 +108,12 @@ def typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(staged, final)  # atomic publish
         except OSError:
-            # another process published first; theirs is equivalent
+            # Losing the publish race is fine (final exists — theirs is
+            # equivalent); any other rename failure must surface rather
+            # than become a missing-path read (ADVICE r10, as tokenized)
             shutil.rmtree(staged, ignore_errors=True)
+            if not os.path.isdir(final):
+                raise
 
     df = spark.read.parquet(final)
     memo[sf_dir] = df

@@ -89,6 +89,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: memoized hot projections — see hot_table
+_HOT_MEMO: "WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def hot_table(
+    spark: SparkSession, sf_dir: str, name: str, cols: tuple[str, ...] | None = None
+) -> DataFrame:
+    """A memoized ``.cache()``d projection of one fixture table — the
+    engine's pinned hot working set.
+
+    The single-node oracle reads every query from the OS page cache; a
+    Spark deployment gets the same effect by pinning its hottest narrow
+    projections (events is ~5 columns and feeds dozens of registered
+    queries). Sub-second queries otherwise pay a fresh parquet scan —
+    footer decode + row-group materialization — per pass, which at sf0.1
+    IS the job floor the r10 verdict flagged (mad_outliers re-scanned
+    events 3x for 0.04 s of actual aggregation). At 100 TB the same
+    pattern holds per projection, not per table: cache what a query
+    family re-reads (events is ~3 % of corpus bytes), never the wide
+    fact tables. Entries release through the benchmark fence like every
+    other memoized artifact (plans/cache_release.py)."""
+    key = (sf_dir, name, tuple(cols) if cols else None)
+    memo = _HOT_MEMO.setdefault(spark, {})
+    got = memo.get(key)
+    if got is not None:
+        return got
+    df = load_table(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    df = df.cache()
+    memo[key] = df
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Return ``{name: DataFrame}`` for every fixture table under ``sf_dir``."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

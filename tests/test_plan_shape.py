@@ -375,7 +375,13 @@ def test_profile_columns_single_scan_single_heavy_exchange(spark, sf_correct):
     plan = _plan(spark, sf_correct, "profile_columns")
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
     assert "Expand" not in plan
-    assert "Join" not in plan
+    # the only join allowed is the ADVICE-r10 empty-table shape fix: a
+    # BROADCAST of the 4-row literal column-name frame against the final
+    # aggregate — never a join on the data path
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    if "Join" in plan:
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Join") == plan.count("BroadcastHashJoin")
     import re as _re
 
     for schema in _re.findall(r"ReadSchema: struct<([^>]*)>", plan):

@@ -78,3 +78,55 @@ def test_publish_failure_raises_with_spark(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(tok.os, "rename", real_rename)
     df = tok.tokenized_docs(spark, sf)
     assert df.count() == 1
+
+
+def test_streaming_tokenized_ingest_matches_batch_projection(spark, tmp_path):
+    """The streaming maintainer's tokenized table must equal the batch
+    projection over the same rows regardless of micro-batch cuts, and a
+    replayed source under the same checkpoint must not duplicate
+    (overwrite-by-batch-id) — the typed_ingest contract, for documents."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.tokenized import tokenized_projection
+    from event_store_spark.streaming.tokenized_ingest import (
+        TokenizedDocsMaterializer,
+    )
+    from event_store_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "src")
+    n = docs.count()
+    half = n // 2
+    docs.orderBy("doc_id").limit(half).coalesce(1).write.mode("append").parquet(src)
+    docs.orderBy(F.col("doc_id").desc()).limit(n - half).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    mat = TokenizedDocsMaterializer(
+        spark, str(tmp_path / "tok"), str(tmp_path / "ck")
+    )
+    q = mat.start(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q.awaitTermination(240)
+
+    want = sorted(
+        (r.doc_id, tuple(r.w), tuple(r.th), tuple(r.g3))
+        for r in tokenized_projection(docs).collect()
+    )
+    got = sorted(
+        (r.doc_id, tuple(r.w), tuple(r.th), tuple(r.g3))
+        for r in mat.table().select("doc_id", "w", "th", "g3").collect()
+    )
+    assert got == want
+
+    # replay the whole source under the same checkpoint: no new rows
+    q = mat.start(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q.awaitTermination(240)
+    assert mat.table().count() == n
