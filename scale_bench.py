@@ -272,6 +272,81 @@ def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
     return secs, False, err
 
 
+_ENGINE_CHILD = r"""
+import json, statistics, sys, time
+cfg = json.load(open(sys.argv[1]))
+import os
+os.environ.setdefault("SPARK_DRIVER_MEMORY", cfg["driver_mem"])
+from event_store_spark.session import get_spark
+spark = get_spark("scale-bench-isolated", cpus=cfg["cpus"])
+spark.sparkContext.setLogLevel("ERROR")
+from event_store_spark.plans import QUERIES
+from event_store_spark.shipping import ensure_shipped
+ensure_shipped(spark)
+vals, err = [], None
+for _ in range(cfg["reps"]):
+    t0 = time.perf_counter()
+    try:
+        QUERIES[cfg["name"]](spark, cfg["dir"]).collect()
+    except Exception as e:
+        err = (type(e).__name__ + ": " + str(e))[:400]
+        vals.append(time.perf_counter() - t0)
+        break
+    vals.append(time.perf_counter() - t0)
+print(json.dumps({"s": statistics.median(vals), "err": err}))
+"""
+
+
+def run_engine_isolated(name: str, out_dir: str, cpus: int, reps: int):
+    """Run one engine query in its OWN process (fresh JVM + fresh Python
+    workers), exactly like `run_oracle_capped` does for the oracle side.
+
+    Round-11 finding: for the declared-heavy queries the in-suite
+    measurement could not be reconciled with the standalone one by any
+    in-process lever — the cache fence, a declared heavy-first order, and
+    a 48g heap together still left triangle_count at 164 s in-suite vs
+    97-119 s standalone at the 100x corpus; the residual is process-level
+    state (JVM old-gen layout, shuffle/scratch files, worker RSS) that no
+    API releases. Process isolation makes in-suite ≡ standalone BY
+    CONSTRUCTION, and is symmetric with the oracle's own child-process
+    measurement. The disk side tables (typed/tokenized/postings/index
+    generations) are shared via their staged publication dirs; in-memory
+    session caches rebuild inside the child and are billed to the query —
+    the honest standalone accounting."""
+    import subprocess
+    import tempfile
+
+    cfg = {
+        "name": name,
+        "dir": out_dir,
+        "cpus": cpus,
+        "reps": reps,
+        "driver_mem": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump(cfg, fh)
+        cfg_path = fh.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _ENGINE_CHILD, cfg_path],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    finally:
+        os.unlink(cfg_path)
+    for line in reversed(proc.stdout.strip().splitlines() or [""]):
+        brace = line.find("{")
+        if brace < 0:
+            continue
+        try:
+            rec = json.loads(line[brace:])
+            return rec["s"], rec["err"]
+        except (json.JSONDecodeError, KeyError, TypeError):
+            continue
+    return None, f"engine child exited {proc.returncode}: {proc.stderr.strip()[-300:]}"
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sf1_synth")
@@ -291,6 +366,15 @@ def main() -> None:
             raise SystemExit(f"unknown queries in subset: {sorted(unknown)}")
         QUERIES = {n: f for n, f in QUERIES.items() if n in keep}
         ORACLE = {n: s for n, s in ORACLE.items() if n in keep}
+
+    # size the benchmark JVM to the box, not pyspark's 1g-era default: the
+    # suite pins several GB of ingest-billed caches (side tables, signature
+    # and vector indexes, the hot events projection) NEXT TO each query's
+    # execution memory, and a 16g heap at the 100x corpus made the heavy
+    # plans measure eviction thrash instead of their exchanges
+    # (triangle_count: 164 s in-suite vs 102 standalone). Spill-aware
+    # sizing is part of the harness contract; override via env.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
     from event_store_spark.session import get_spark
 
@@ -324,30 +408,35 @@ def main() -> None:
     bm25_postings(spark, out_dir)
     verify_sketches(spark, out_dir)
 
-    # MinHash signature index: the dedup family's persisted artifact
-    # (see bench.py's note) — cache materialized here, not billed to the
-    # alphabetically-first dedup query
-    from event_store_spark.plans.llm import _minhash_signatures
-
-    _minhash_signatures(spark, out_dir).count()
-
-    # tokenize-at-ingest side table: same write-path accounting
+    # tokenize-at-ingest side table: same write-path accounting (DISK
+    # artifact — built before the isolated heavy children below, which
+    # read it from parquet)
     from event_store_spark.plans.tokenized import (
         source_gram_sets,
         tokenized_docs,
     )
 
     tokenized_docs(spark, out_dir)
-    # the per-gram source-set vocabulary (the governance pair's shared
-    # index artifact) — same memoized-build accounting as the minhash
-    # signature table above
-    source_gram_sets(spark, out_dir).count()
 
-    # pinned hot events projection (tables.hot_table): part of the
-    # ingest-billed keep-set, so the fence below never drops it
-    from event_store_spark.tables import hot_table
+    def warm_memory_artifacts() -> None:
+        """The IN-MEMORY warm artifacts (cached per session): minhash
+        signature index, the per-gram source-set vocabulary, the hot
+        events projection, and the IVF+HNSW vector index. Deferred until
+        AFTER the isolated heavy children have run — materializing them
+        first left the waiting parent JVM holding 10+ GB of cache RSS
+        next to each child (triangle_count's child measured 240.9 s vs
+        103.9 idle-standalone under that residency). Same ingest-billed
+        accounting as ever; only the ORDER moved."""
+        from event_store_spark.plans.llm import _minhash_signatures
+        from event_store_spark.tables import hot_table
 
-    hot_table(spark, out_dir, "events").count()
+        _minhash_signatures(spark, out_dir).count()
+        source_gram_sets(spark, out_dir).count()
+        hot_table(spark, out_dir, "events").count()
+        if "ann_hnsw_topk" in QUERIES:
+            from event_store_spark.plans.hnsw import _hnsw_graph
+
+            _hnsw_graph(spark, out_dir).count()
 
     # resumable progress journal: one JSON line per timed query, so a run
     # killed by an external wall-clock cap loses at most one query's work.
@@ -373,36 +462,57 @@ def main() -> None:
         rec = done.get(key)
         return rec is not None and not rec.get("err")
 
-    # memory fence (VERDICT r10 #1a): the in-suite run otherwise carries
-    # every earlier query's cached index in the same JVM, and the
-    # declared-heavy queries then measure memory pressure instead of their
-    # plans (triangle_count at 100x: 223.6 s in-suite vs 139.8 standalone).
-    # Snapshot the ingest-billed keep-set NOW; release everything newer
-    # before each heavy query runs.
+    # VERDICT r10 #1a, the measured resolution: the declared-heavy queries
+    # run PROCESS-ISOLATED (run_engine_isolated — see its docstring for
+    # the measured in-process dead ends: fence, heavy-first order, 48g
+    # heap), so their numbers are standalone by construction; the
+    # remaining queries run in-session and may accumulate caches. The
+    # cache fence (plans/cache_release.py) additionally releases
+    # everything newer than the ingest keep-set before the in-session
+    # block, so the first in-session query never inherits a prior run's
+    # leftover state through the resume journal.
     from event_store_spark.plans.cache_release import (
         memo_snapshot,
         release_query_caches,
     )
 
-    keep_snapshot = memo_snapshot(spark)
-    HEAVY_FENCE = {
+    HEAVY_ISOLATED = {
         "triangle_count",
         "duplicate_spans",
         "dedup_ngram_jaccard",
-        "dedup_simhash",
         "dedup_simhash64",
+        "dedup_simhash",
+        "dedup_simhash_incremental",
         "bpe_encoded_stats",
         "pagerank_events",
     }
 
+    # phase 1: the isolated heavy children, while the parent JVM is still
+    # small (disk side tables only — no cached artifacts resident; the
+    # explicit gc asks G1 to return the fixture-build's heap to the OS)
+    spark.sparkContext._jvm.System.gc()
     for name in sorted(QUERIES):
-        if settled(f"engine:{name}"):
+        if name not in HEAVY_ISOLATED or settled(f"engine:{name}"):
             continue
-        if name in HEAVY_FENCE:
-            n_rel = release_query_caches(spark, keep=keep_snapshot)
-            if n_rel:
-                print(f"[fence] released {n_rel} cached entries before {name}",
-                      file=sys.stderr)
+        secs, err = run_engine_isolated(name, out_dir, cpus, reps)
+        journal(
+            "engine",
+            name,
+            s=round(secs, 3) if secs is not None else None,
+            err=err,
+            isolated=True,
+        )
+
+    # phase 2: the in-memory warm artifacts, then the in-session queries
+    warm_memory_artifacts()
+    keep_snapshot = memo_snapshot(spark)
+    # no-op on a fresh process; on a resumed one it drops any non-ingest
+    # cache a previous partial run left in this session
+    release_query_caches(spark, keep=keep_snapshot)
+
+    for name in sorted(QUERIES):
+        if name in HEAVY_ISOLATED or settled(f"engine:{name}"):
+            continue
         vals = []
         err = None
         for _ in range(reps):
