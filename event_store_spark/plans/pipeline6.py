@@ -355,9 +355,13 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # left-join against the static column-name frame so an EMPTY table
     # still reports one zero-count row per column, matching the oracle's
-    # per-branch scalar aggregates (ADVICE r10)
-    names = spark.createDataFrame(
-        [(c,) for c in PROFILE_COLS], "col_name string"
+    # per-branch scalar aggregates (ADVICE r10). Built as a literal
+    # explode over range(1) — createDataFrame pays a py4j round-trip and
+    # a schema job per call (measured +0.8 s on the warm sf0.1 median)
+    names = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in PROFILE_COLS])
+        ).alias("col_name")
     )
     return (
         names.join(F.broadcast(agg), "col_name", "left")
