@@ -150,6 +150,49 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     return emb.withColumn("cell", F.element_at(ids, pos.cast("int")))
 
 
+def assign_spilled(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    spill: int = 2,
+) -> DataFrame:
+    """SOAR-style spilled assignment (public technique: ScaNN's spilling /
+    SOAR, Sun et al. 2023): index each vector in its ``spill`` nearest
+    cells instead of only the nearest. Low-nprobe searches then see the
+    BOUNDARY vectors of neighboring cells — the classic IVF recall
+    failure at nprobe=1 — at the cost of `spill`× index rows (the
+    standard storage-for-recall trade every production IVF store offers).
+
+    One row per (vector, rank<spill) with `rank` 1-based: rank=1 is
+    exactly `_assign`'s cell (pinned by test), so a spilled index serves
+    primary-only consumers by filtering rank=1. Same determinism contract
+    as `_assign`: ranked by (squared L2 ASC, cell ASC) via an array_sort
+    over (dist, cell) structs — one flat expression, no UDF."""
+    ids = F.lit([cell for cell, _ in centroids])
+    mat = F.lit([[float(x) for x in c] for _, c in centroids])
+    dists = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.zip_with(dists, ids, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
+        ),
+        1,
+        spill,
+    )
+    return emb.select(
+        "vec_id",
+        "v",
+        F.posexplode(F.transform(ranked, lambda x: x["c"])).alias("rank0", "cell"),
+    ).select(
+        "vec_id", "v", "cell", (F.col("rank0") + 1).cast("int").alias("rank")
+    )
+
+
 def _assign_gemm(
     emb: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -238,6 +281,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.where(F.col("vec_id") != 0)
         .join(F.broadcast(query), F.col("cell") == F.col("qcell"))
         .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "ann_ivf_spilled_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id - 1 AS cell, v AS c FROM e WHERE vec_id BETWEEN 1 AND 8),
+    a0 AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c0 c) WHERE rn = 1),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, t.i, ROUND(AVG(e.v[t.i]), 6) AS m
+        FROM a0 a JOIN e USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, t.i) GROUP BY cell),
+    ar AS (SELECT vec_id, cell, rn FROM (
+        SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(range(1, 65),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), c.cell) AS rn
+        FROM e, c1 c) WHERE rn <= 2),
+    q AS (SELECT e.v AS qv, a.cell FROM e JOIN ar a USING (vec_id)
+          WHERE e.vec_id = 0 AND a.rn = 1),
+    scored AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+         * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]))))
+            AS sim
+        FROM e JOIN ar a USING (vec_id) JOIN q ON a.cell = q.cell
+        WHERE e.vec_id <> 0)
+    SELECT vec_id, ROUND(sim, 4) AS sim FROM scored
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_ivf_spilled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with SOAR-style spilled assignment (spill=2): every
+    vector is indexed in its TWO nearest cells, so probing the query's
+    single primary cell also surfaces the boundary vectors of adjacent
+    cells — the recall lift ScaNN's spilling buys at nprobe=1, for 2×
+    index rows. A vector's two cells are distinct by construction, so
+    the probed cell holds each candidate at most once — no dedup stage.
+    Oracle replays the identical spilled assignment in SQL (rn <= 2)
+    with the same (dist ASC, cell ASC) rank rule, so the hash check
+    pins both the spill semantics and the scored set."""
+    centroids, assigned = _ivf_index(spark, sf_dir, "full")
+    spilled = assign_spilled(
+        assigned.select("vec_id", "v"), centroids, spill=2
+    )
+    query = assigned.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        spilled.where(F.col("vec_id") != 0)
+        .join(F.broadcast(query), F.col("cell") == F.col("qcell"))
+        .select(
+            "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("sim")
+        )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
     )

@@ -74,3 +74,49 @@ def test_embedding_dedup_bucket_guard_trips_on_pathological_bucket(spark):
     # under the bound the same frame enumerates pairs normally
     ok = embedding_near_dup_pairs(emb, max_bucket=6, k=100).collect()
     assert len(ok) == 15  # C(6,2) pairs, all sim == 1.0
+
+
+def test_spilled_assignment_rank1_equals_primary_and_cells_distinct(spark, sf_smoke):
+    """assign_spilled's rank=1 row IS _assign's cell for every vector, and
+    each vector lands in exactly `spill` DISTINCT cells."""
+    from event_store_spark.plans.ivf import _assign, _ivf_index, assign_spilled
+
+    centroids, assigned = _ivf_index(spark, sf_smoke, "full")
+    emb = assigned.select("vec_id", "v")
+    sp = assign_spilled(emb, centroids, spill=2)
+    primary = {r.vec_id: r.cell for r in _assign(emb, centroids).collect()}
+    rows = sp.collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.rank] = r.cell
+    assert set(by_vec) == set(primary)
+    for vid, ranks in by_vec.items():
+        assert set(ranks) == {1, 2}
+        assert ranks[1] == primary[vid]
+        assert ranks[1] != ranks[2]
+
+
+def test_spilled_probe_lifts_recall_on_boundary_vector(spark):
+    """A vector sitting just across the cell boundary from the query is
+    invisible to an unspilled nprobe=1 probe but present in the spilled
+    index — the exact recall failure SOAR-style spilling removes."""
+    from event_store_spark.plans.ivf import assign_spilled
+
+    # two well-separated centroids on the x axis; the query lives in cell
+    # 0, its TRUE nearest neighbor sits barely inside cell 1's half-space
+    centroids = [(0, [-1.0, 0.0]), (1, [1.0, 0.0])]
+    rows = [
+        (0, [-0.2, 0.0]),   # query: cell 0
+        (1, [0.05, 0.0]),   # true NN: just right of the boundary -> cell 1
+        (2, [-1.1, 0.0]),   # deep cell-0 vector
+        (3, [1.2, 0.0]),    # deep cell-1 vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    sp = assign_spilled(emb, centroids, spill=2)
+    primary_c0 = {
+        r.vec_id for r in sp.where("rank = 1 AND cell = 0").collect()
+    }
+    spilled_c0 = {r.vec_id for r in sp.where("cell = 0").collect()}
+    assert 1 not in primary_c0      # unspilled probe of cell 0 misses the NN
+    assert 1 in spilled_c0          # spilled probe finds it
+    assert {0, 2} <= primary_c0     # and the natives are still there
