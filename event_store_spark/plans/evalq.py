@@ -35,6 +35,7 @@ from event_store_spark.plans.registry import ORACLE, QUERIES, register
 ANN_METHODS = {
     "hnsw": "ann_hnsw_topk",
     "ivf": "ann_ivf_topk",
+    "ivf_spilled": "ann_ivf_spilled_topk",
     "ivfpq": "ann_ivfpq_topk",
     "lsh": "ann_lsh_topk",
     "multiprobe": "ann_multiprobe_topk",
