@@ -254,6 +254,12 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med_rows = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     ).collect()
+    if not med_rows:
+        # empty log: the oracle's GROUP BY yields zero rows, and a
+        # zero-arg create_map() would not even analyze (map<void,void>)
+        return spark.createDataFrame(
+            [], "event_type string, med double, mad double, n_outliers bigint"
+        )
     med_map = F.create_map(
         *[F.lit(x) for r in med_rows for x in (r["event_type"], r["med"])]
     )
