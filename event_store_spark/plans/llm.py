@@ -782,20 +782,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("candidate_pairs"))
     )
 
-    # the inverted index: one gram-build evaluation per doc (the explode
-    # GENERATOR evaluates its input once per input row), de-duplicated by
-    # a distinct whose exchange doubles as the materialization barrier —
-    # without it, projection collapse inlines the tokenize+ngram
-    # expression into every downstream reference (gsize, both join
-    # sides), which measured 30+ s at sf0.1 vs ~3 s for this shape
+    # the inverted index, served from the ingest-tokenized side table
+    # (plans/tokenized.py): grams travel as the precomputed xxhash64
+    # fingerprints (`g3`) — no tokenize and no gram STRINGS at query
+    # time, and the doc-pair equi key is an 8-byte long instead of a
+    # string (the duplicate_spans reroute; the 64-bit-fingerprint
+    # exactness contract is the same one that query documents). The
+    # distinct both dedupes per-doc grams and acts as the
+    # materialization barrier for the exploded column.
+    from event_store_spark.plans.tokenized import tokenized_docs
+
     tok = (
-        docs.select(
-            "doc_id", "lang", "n_chars", whitespace_tokens("text").alias("w")
-        )
-        .select(
-            "doc_id", "lang", "n_chars",
-            F.explode(word_ngrams("w", 3)).alias("g"),
-        )
+        tokenized_docs(spark, sf_dir, docs_fn=lambda: docs)
+        .select("doc_id", "lang", "n_chars", F.explode("g3").alias("g"))
         .distinct()
     )
     # per-doc distinct-gram counts join back by doc_id; the strategy is
