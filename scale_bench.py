@@ -272,6 +272,92 @@ def run_oracle_capped(sql: str, cap_s: float, out_dir: str, mem: str):
     return secs, False, err
 
 
+def reduce_journal(done: dict) -> dict:
+    """Reduce the resumable journal (``{"side:name": rec}``) to the
+    artifact's summary fields.
+
+    Every journal row resolves to exactly ONE status, and the summary
+    lists (capped/errored) are DERIVED from per_query so the artifact
+    can never contradict itself (VERDICT r10 #1b: the r10 artifact
+    listed 6 rows in errored_* that also carried successful numbers):
+
+      ok     — clean finish, seconds are a true measurement
+      capped — oracle hit the wall cap; seconds are a LOWER BOUND
+               (includes the rare backstop kill, noted in ``note``)
+      error  — the side failed; seconds are time-to-failure, excluded
+
+    Pure and unit-tested (tests/test_scale_reduce.py)."""
+    engine_rec = {
+        r["name"]: r for k, r in done.items() if k.startswith("engine:")
+    }
+    oracle_rec = {
+        r["name"]: r for k, r in done.items() if k.startswith("oracle:")
+    }
+
+    def _status(rec, side: str) -> str:
+        if rec is None:
+            return "absent"
+        if side == "oracle" and rec.get("capped"):
+            return "capped"
+        if rec.get("err"):
+            return "error"
+        return "ok"
+
+    per_query = {}
+    for n in sorted(set(engine_rec) | set(oracle_rec)):
+        er, orr = engine_rec.get(n), oracle_rec.get(n)
+        row = {
+            "engine": er["s"] if er else None,
+            "oracle": orr["s"] if orr else None,
+            "engine_status": _status(er, "engine"),
+            "oracle_status": _status(orr, "oracle"),
+        }
+        notes = {}
+        if er and er.get("err"):
+            notes["engine_err"] = er["err"]
+        if orr and orr.get("err"):
+            notes["oracle_note" if orr.get("capped") else "oracle_err"] = orr["err"]
+        if notes:
+            row["note"] = notes
+        per_query[n] = row
+
+    engine = {n: r["engine"] for n, r in per_query.items() if r["engine"] is not None}
+    oracle = {n: r["oracle"] for n, r in per_query.items() if r["oracle"] is not None}
+    capped = sorted(n for n, r in per_query.items() if r["oracle_status"] == "capped")
+    errored = {
+        n: r["note"]["oracle_err"]
+        for n, r in per_query.items()
+        if r["oracle_status"] == "error"
+    }
+    engine_errored = {
+        n: r["note"]["engine_err"]
+        for n, r in per_query.items()
+        if r["engine_status"] == "error"
+    }
+    # honest ratio: only queries where BOTH sides finished cleanly
+    comparable = [
+        n
+        for n, r in per_query.items()
+        if r["engine_status"] == "ok" and r["oracle_status"] == "ok"
+    ]
+    eng_cmp = round(sum(engine[n] for n in comparable), 3)
+    ora_cmp = round(sum(oracle[n] for n in comparable), 3)
+    return {
+        "engine_total": round(sum(engine.values()), 3),
+        "oracle_total_with_caps_as_lower_bounds": round(sum(oracle.values()), 3),
+        "capped_oracles": capped,
+        "errored_oracles": errored,
+        "errored_engine": engine_errored,
+        "comparable_engine_total": eng_cmp,
+        "comparable_oracle_total": ora_cmp,
+        "engine_vs_oracle_comparable": round(eng_cmp / ora_cmp, 3)
+        if ora_cmp
+        else None,
+        "per_query": per_query,
+        "n_engine": len(engine),
+    }
+
+
 _ENGINE_CHILD = r"""
 import json, statistics, sys, time
 cfg = json.load(open(sys.argv[1]))
@@ -550,87 +636,13 @@ def main() -> None:
         )
         journal("oracle", name, s=round(secs, 3), capped=was_capped, err=err)
 
-    # per-row classification — every journal row resolves to exactly ONE
-    # status, and the artifact's summary lists are derived FROM per_query
-    # so they can never contradict it (VERDICT r10 #1b: the r10 artifact
-    # listed 6 rows in errored_* that also carried successful numbers):
-    #   ok     — clean finish, seconds are a true measurement
-    #   capped — oracle hit the wall cap; seconds are a LOWER BOUND
-    #            (includes the rare backstop kill, noted in `note`)
-    #   error  — the side failed; seconds are time-to-failure, excluded
-    engine_rec = {
-        r["name"]: r for k, r in done.items() if k.startswith("engine:")
-    }
-    oracle_rec = {
-        r["name"]: r for k, r in done.items() if k.startswith("oracle:")
-    }
-
-    def _status(rec, side: str) -> str:
-        if rec is None:
-            return "absent"
-        if side == "oracle" and rec.get("capped"):
-            return "capped"
-        if rec.get("err"):
-            return "error"
-        return "ok"
-
-    per_query = {}
-    for n in sorted(set(engine_rec) | set(oracle_rec)):
-        er, orr = engine_rec.get(n), oracle_rec.get(n)
-        row = {
-            "engine": er["s"] if er else None,
-            "oracle": orr["s"] if orr else None,
-            "engine_status": _status(er, "engine"),
-            "oracle_status": _status(orr, "oracle"),
-        }
-        notes = {}
-        if er and er.get("err"):
-            notes["engine_err"] = er["err"]
-        if orr and orr.get("err"):
-            notes["oracle_note" if orr.get("capped") else "oracle_err"] = orr["err"]
-        if notes:
-            row["note"] = notes
-        per_query[n] = row
-
-    engine = {n: r["engine"] for n, r in per_query.items() if r["engine"] is not None}
-    oracle = {n: r["oracle"] for n, r in per_query.items() if r["oracle"] is not None}
-    capped = sorted(n for n, r in per_query.items() if r["oracle_status"] == "capped")
-    errored = {
-        n: r["note"]["oracle_err"]
-        for n, r in per_query.items()
-        if r["oracle_status"] == "error"
-    }
-    engine_errored = {
-        n: r["note"]["engine_err"]
-        for n, r in per_query.items()
-        if r["engine_status"] == "error"
-    }
-    engine_total = round(sum(engine.values()), 3)
-    oracle_total = round(sum(oracle.values()), 3)
-
-    # honest ratio: only queries where BOTH sides finished cleanly
-    comparable = [
-        n
-        for n, r in per_query.items()
-        if r["engine_status"] == "ok" and r["oracle_status"] == "ok"
-    ]
-    eng_cmp = round(sum(engine[n] for n in comparable), 3)
-    ora_cmp = round(sum(oracle[n] for n in comparable), 3)
-
+    summary = reduce_journal(done)
     detail = {
         "scale": f"{COPIES}x sf0.1, re-keyed + shingle-broken",
         "build_s": build_s,
         "reps": reps,
         "oracle_cap_s": cap,
-        "engine_total": engine_total,
-        "oracle_total_with_caps_as_lower_bounds": oracle_total,
-        "capped_oracles": capped,
-        "errored_oracles": errored,
-        "errored_engine": engine_errored,
-        "comparable_engine_total": eng_cmp,
-        "comparable_oracle_total": ora_cmp,
-        "engine_vs_oracle_comparable": round(eng_cmp / ora_cmp, 3) if ora_cmp else None,
-        "per_query": per_query,
+        **{k: v for k, v in summary.items() if k != "n_engine"},
     }
     here = os.path.dirname(os.path.abspath(__file__))
     out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
@@ -640,11 +652,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"scale suite ({len(engine)} queries, {COPIES}x sf0.1)",
-                "value": engine_total,
+                "metric": f"scale suite ({summary['n_engine']} queries, {COPIES}x sf0.1)",
+                "value": summary["engine_total"],
                 "unit": "sec",
                 "engine_vs_oracle_comparable": detail["engine_vs_oracle_comparable"],
-                "capped_oracles": len(capped),
+                "capped_oracles": len(summary["capped_oracles"]),
                 "reps": reps,
             },
             separators=(",", ":"),
