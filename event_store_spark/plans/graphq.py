@@ -84,11 +84,14 @@ KNN_K = 3
 KNN_OUT = 60
 
 #: triangle_count physical pick: broadcast both adjacency probes while the
-#: oriented edge list fits the per-executor broadcast budget (|E| int32
-#: elements plus HashedRelation overhead ≈ 8-12 B/edge, so 500 M edges is
-#: ~5 GB — comfortably under Spark's hard 8 GB broadcast cap); beyond it
-#: the plan falls back to the shuffle-hash exchange form
-TRIANGLE_BROADCAST_EDGES = 500_000_000
+#: oriented edge list fits the per-executor broadcast budget. Sizing
+#: (ADVICE r11): node ids are BIGINT (8 B/element, not 4), and BOTH `au`
+#: and `av` HashedRelations are resident simultaneously — 2 copies ×
+#: (8 B key + 8 B value + ~2-3× HashedRelation overhead) ≈ 60-80 B/edge
+#: total, so 200 M edges is ~3-4 GB per relation, safely under Spark's
+#: hard 8 GB per-broadcast cap with headroom for the degree dims; beyond
+#: it the plan falls back to the shuffle-hash exchange form
+TRIANGLE_BROADCAST_EDGES = 200_000_000
 
 _COS_SIM_SQL = """list_sum(list_transform(range(1, len(a.embedding) + 1),
             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))

@@ -369,10 +369,29 @@ def _build_centroid_graph(centroids):
     }
 
 
+def _centroid_digest(centroids) -> str:
+    """Identity of the LIVE centroid set — save/compact republish new
+    generations at the same path, so a path-only memo key would serve a
+    graph over retired centroids (ADVICE r11). Hash the (cell, vector)
+    list itself; it is already collected driver-side, so this is O(C·d)
+    with no extra I/O."""
+    import numpy as np
+
+    h = hashlib.md5()
+    for cell, vec in sorted(centroids, key=lambda cv: int(cv[0])):
+        h.update(int(cell).to_bytes(8, "little", signed=True))
+        h.update(np.asarray(vec, dtype=np.float64).tobytes())
+    return h.hexdigest()
+
+
 def _centroid_graph(key, centroids):
-    got = _CENTROID_GRAPH_MEMO.get(key)
+    live = (key, _centroid_digest(centroids))
+    got = _CENTROID_GRAPH_MEMO.get(live)
     if got is None:
-        got = _CENTROID_GRAPH_MEMO[key] = _build_centroid_graph(centroids)
+        # drop any graph memoized for a retired generation at this path
+        for k in [k for k in _CENTROID_GRAPH_MEMO if k[0] == key]:
+            del _CENTROID_GRAPH_MEMO[k]
+        got = _CENTROID_GRAPH_MEMO[live] = _build_centroid_graph(centroids)
     return got
 
 

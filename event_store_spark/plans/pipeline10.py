@@ -32,6 +32,11 @@ from event_store_spark.tables import hot_table, load_table
 
 KS_HELD_OUT = "src0"
 
+#: mad_outliers serves per-type medians as plan-literal maps only up to
+#: this many event types; past it the literals bloat the plan and the
+#: broadcast-join form wins (ADVICE r11)
+MAD_LITERAL_MAP_MAX = 256
+
 
 @register(
     "source_ngram_novelty",
@@ -260,32 +265,76 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "event_type string, med double, mad double, n_outliers bigint"
         )
+    if len(med_rows) > MAD_LITERAL_MAP_MAX:
+        # ADVICE r11: a high-cardinality type column would embed
+        # unboundedly many entries in the plan literal — fall back to the
+        # broadcast-join form, whose build cost is what the literal maps
+        # were avoiding at small #types
+        med = F.broadcast(
+            spark.createDataFrame(med_rows, "event_type string, med double")
+        )
+        dev = ev.join(med, "event_type", "left").select(
+            "event_type", "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+        mad = F.broadcast(
+            dev.groupBy("event_type")
+            .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+        )
+        return (
+            dev.join(mad, "event_type", "left")
+            .groupBy("event_type")
+            .agg(
+                F.round(F.max("med"), 4).alias("med"),
+                F.round(F.max("mad"), 4).alias("mad"),
+                F.sum(
+                    (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("bigint")
+                ).alias("n_outliers"),
+            )
+            .select("event_type", "med", "mad", "n_outliers")
+            .orderBy("event_type")
+        )
+    # literal-map fast path. Map keys cannot be NULL, but a NULL
+    # event_type group is legal (percentile/groupBy emit it) — key the
+    # maps on a coalesced sentinel both at build and at lookup (ADVICE
+    # r11: a raw null key fails at runtime with "Cannot use null as map
+    # key"; the sentinel keeps the NULL group's med/mad/outliers exact)
+    _NULLKEY = "\x00<null event_type>"
+    _k = F.coalesce(F.col("event_type"), F.lit(_NULLKEY))
     med_map = F.create_map(
-        *[F.lit(x) for r in med_rows for x in (r["event_type"], r["med"])]
+        *[
+            F.lit(x)
+            for r in med_rows
+            for x in (r["event_type"] if r["event_type"] is not None
+                      else _NULLKEY, r["med"])
+        ]
     )
     dev = ev.select(
         "event_type",
-        F.abs(F.col("value") - med_map[F.col("event_type")]).alias("adev"),
+        F.abs(F.col("value") - med_map[_k]).alias("adev"),
     )
     mad_rows = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     ).collect()
     mad_map = F.create_map(
-        *[F.lit(x) for r in mad_rows for x in (r["event_type"], r["mad"])]
+        *[
+            F.lit(x)
+            for r in mad_rows
+            for x in (r["event_type"] if r["event_type"] is not None
+                      else _NULLKEY, r["mad"])
+        ]
     )
     return (
         dev.groupBy("event_type")
         .agg(
             F.sum(
-                (
-                    F.col("adev") > 3 * 1.4826 * mad_map[F.col("event_type")]
-                ).cast("bigint")
+                (F.col("adev") > 3 * 1.4826 * mad_map[_k]).cast("bigint")
             ).alias("n_outliers"),
         )
         .select(
             "event_type",
-            F.round(med_map[F.col("event_type")], 4).alias("med"),
-            F.round(mad_map[F.col("event_type")], 4).alias("mad"),
+            F.round(med_map[_k], 4).alias("med"),
+            F.round(mad_map[_k], 4).alias("mad"),
             "n_outliers",
         )
         .orderBy("event_type")

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_store_spark.functions.text import whitespace_tokens, word_ngram_hashes
-from event_store_spark.tables import load_table, table_path
+from event_store_spark.tables import load_table, parquet_identity, table_path
 
 _TOK_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     WeakKeyDictionary()
@@ -54,24 +54,14 @@ _TOK_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 def _tok_dir(sf_dir: str) -> str:
     """Per-corpus cache dir keyed by the documents parquet's identity.
 
-    The digest covers the PART-FILE LISTING (name, size, mtime of every
-    data file), not just the directory entry: replacing part files in
-    place (same names — e.g. `cp` over a fixture) leaves the directory
-    stat unchanged, and the r10 dir-stat key could silently serve stale
-    tokens for a regenerated corpus (ADVICE r10)."""
+    The digest covers the RECURSIVE part-file listing (relative path,
+    size, mtime of every data file; `tables.parquet_identity`), not just
+    the directory entry: replacing part files in place (same names —
+    e.g. `cp` over a fixture) leaves directory stats unchanged at every
+    level, and a top-level-only key could silently serve stale tokens
+    for a regenerated partitioned corpus (ADVICE r10/r11)."""
     src = table_path(sf_dir, "documents")
-    parts = []
-    if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            if name.startswith((".", "_")):
-                continue
-            st = os.stat(os.path.join(src, name))
-            parts.append(f"{name}|{st.st_size}|{st.st_mtime_ns}")
-    else:
-        st = os.stat(src)
-        parts.append(f"{os.path.basename(src)}|{st.st_size}|{st.st_mtime_ns}")
-    ident = os.path.realpath(src) + "||" + ";".join(parts)
-    digest = hashlib.md5(ident.encode()).hexdigest()[:16]
+    digest = hashlib.md5(parquet_identity(src).encode()).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "event_store_spark_tok", digest, "documents_tok"
     )

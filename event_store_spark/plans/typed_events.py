@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_store_spark.plans.registry import register
-from event_store_spark.tables import load_table, table_path
+from event_store_spark.tables import load_table, parquet_identity, table_path
 
 _TYPED_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     WeakKeyDictionary()
@@ -42,22 +42,12 @@ _TYPED_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 
 def _typed_dir(sf_dir: str) -> str:
     """Deterministic per-corpus cache dir keyed by the source parquet's
-    identity. As in `plans.tokenized._tok_dir` (ADVICE r10), the digest
-    covers the part-file listing — name, size, mtime per data file — so
-    replacing part files in place (same names) still invalidates."""
+    identity. As in `plans.tokenized._tok_dir` (ADVICE r10/r11), the
+    digest covers the RECURSIVE part-file listing — relative path, size,
+    mtime per data file (`tables.parquet_identity`) — so replacing part
+    files in place (same names, any nesting level) still invalidates."""
     src = table_path(sf_dir, "events")
-    parts = []
-    if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            if name.startswith((".", "_")):
-                continue
-            st = os.stat(os.path.join(src, name))
-            parts.append(f"{name}|{st.st_size}|{st.st_mtime_ns}")
-    else:
-        st = os.stat(src)
-        parts.append(f"{os.path.basename(src)}|{st.st_size}|{st.st_mtime_ns}")
-    ident = os.path.realpath(src) + "||" + ";".join(parts)
-    digest = hashlib.md5(ident.encode()).hexdigest()[:16]
+    digest = hashlib.md5(parquet_identity(src).encode()).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "event_store_spark_typed", digest, "events_typed"
     )

@@ -34,6 +34,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_identity(src: str) -> str:
+    """Content identity of a parquet table on disk, for cache-dir keys
+    (`plans.tokenized._tok_dir` / `plans.typed_events._typed_dir`).
+
+    Walks the tree RECURSIVELY and digests (relative path, size,
+    mtime_ns) of every DATA file: a top-level-only listing stats
+    subdirectories of a partitioned layout, whose size/mtime do not
+    change when a part file inside them is rewritten in place — the
+    stale-cache hole ADVICE r11 flagged. Dot/underscore entries
+    (_SUCCESS, .crc, _delta_log…) are skipped at every level."""
+    parts = []
+    if os.path.isdir(src):
+        for root, dirs, files in os.walk(src):
+            dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+            for name in sorted(files):
+                if name.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                rel = os.path.relpath(p, src)
+                parts.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}|{st.st_size}|{st.st_mtime_ns}")
+    return os.path.realpath(src) + "||" + ";".join(parts)
+
+
 #: analyzed-DataFrame memo per live session — schema inference costs ~75 ms
 #: of py4j + footer reads per `spark.read.parquet`, which multiplied across
 #: a 79-query suite is seconds of pure driver overhead. Fixture tables are

@@ -342,8 +342,15 @@ def reduce_journal(done: dict) -> dict:
     ]
     eng_cmp = round(sum(engine[n] for n in comparable), 3)
     ora_cmp = round(sum(oracle[n] for n in comparable), 3)
+    # engine_total sums ok rows only — an errored row's seconds are
+    # time-to-failure, not engine time (ADVICE r11: the old sum over all
+    # non-None seconds overstated/understated honest totals)
+    eng_ok = [
+        engine[n] for n, r in per_query.items()
+        if r["engine_status"] == "ok" and r["engine"] is not None
+    ]
     return {
-        "engine_total": round(sum(engine.values()), 3),
+        "engine_total": round(sum(eng_ok), 3),
         "oracle_total_with_caps_as_lower_bounds": round(sum(oracle.values()), 3),
         "capped_oracles": capped,
         "errored_oracles": errored,

@@ -319,6 +319,28 @@ def test_centroid_graph_probe_matches_exact_selection():
             assert got == exact[:nprobe], (qi, nprobe)
 
 
+def test_centroid_graph_memo_evicts_on_retrain():
+    """ADVICE r11: save/compact republish new generations at the same
+    path — a path-only memo key would serve a graph over RETIRED
+    centroids after an in-process retrain. The memo must key on the live
+    centroid identity and evict the stale entry."""
+    import numpy as np
+
+    from event_store_spark.plans import hnsw as H
+
+    rng = np.random.RandomState(11)
+    gen1 = [(int(i), rng.randn(8).tolist()) for i in range(32)]
+    gen2 = [(int(i), rng.randn(8).tolist()) for i in range(40)]
+    H._CENTROID_GRAPH_MEMO.clear()
+    g1 = H._centroid_graph("/idx/path", gen1)
+    assert H._centroid_graph("/idx/path", gen1) is g1  # memo hit
+    g2 = H._centroid_graph("/idx/path", gen2)  # retrain, same path
+    assert g2 is not g1 and g2["cells"] == [c for c, _ in gen2]
+    # the retired generation's entry is evicted, not accumulated
+    assert len([k for k in H._CENTROID_GRAPH_MEMO if k[0] == "/idx/path"]) == 1
+    H._CENTROID_GRAPH_MEMO.clear()
+
+
 def test_centroid_graph_is_input_order_invariant():
     import numpy as np
 

@@ -31,6 +31,33 @@ def test_mad_outliers_matches_reference_computation(spark):
     assert (b.med, b.mad, b.n_outliers) == (5.0, 0.0, 0)
 
 
+def test_mad_outliers_tolerates_null_event_type(spark):
+    """ADVICE r11: a NULL event_type group must not become a null map
+    key ("Cannot use null as map key"); the NULL group's stats stay
+    exact via the sentinel key."""
+    rows = [(None, 1.0), (None, 2.0), (None, 3.0), (None, 100.0),
+            ("b", 5.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    with mock.patch.object(p10, "hot_table", lambda s, d, n, cols=None: df):
+        got = {r.event_type: r for r in p10.mad_outliers(spark, "nul").collect()}
+    n = got[None]
+    assert (n.med, n.mad, n.n_outliers) == (2.5, 1.0, 1)
+    assert got["b"].n_outliers == 0
+
+
+def test_mad_outliers_high_cardinality_broadcast_fallback(spark):
+    """Past MAD_LITERAL_MAP_MAX event types the plan must switch to the
+    broadcast-join form (no unbounded plan literals) and still agree."""
+    rows = [(f"t{i:04d}", float(v)) for i in range(5) for v in (1, 2, 3, 100)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    with mock.patch.object(p10, "hot_table", lambda s, d, n, cols=None: df), \
+            mock.patch.object(p10, "MAD_LITERAL_MAP_MAX", 3):
+        got = {r.event_type: r for r in p10.mad_outliers(spark, "hc").collect()}
+    assert len(got) == 5
+    for r in got.values():
+        assert (r.med, r.mad, r.n_outliers) == (2.5, 1.0, 1)
+
+
 def test_dq_checks_reports_fused_lineitem_rows(spark):
     """The fused lineitem pass still yields both check rows with correct
     counts: one orphaned orderkey and one non-positive quantity."""

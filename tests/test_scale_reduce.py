@@ -62,6 +62,20 @@ def test_retry_survivor_last_line_wins_no_contradiction():
     assert out["engine_vs_oracle_comparable"] == round(2.0 / 3.0, 3)
 
 
+def test_engine_total_excludes_time_to_failure():
+    """ADVICE r11: engine_total must sum only engine_status=='ok' rows —
+    an errored row's seconds are time-to-failure, not engine time."""
+    done = _done(
+        {"side": "engine", "name": "a", "s": 1.0, "err": None},
+        {"side": "oracle", "name": "a", "s": 2.0, "capped": False, "err": None},
+        {"side": "engine", "name": "bad", "s": 40.0, "err": "OOM: boom"},
+        {"side": "oracle", "name": "bad", "s": 3.0, "capped": False, "err": None},
+    )
+    out = reduce_journal(done)
+    assert out["engine_total"] == 1.0
+    assert out["errored_engine"] == {"bad": "OOM: boom"}
+
+
 def test_dead_engine_child_row_is_error_not_number():
     done = _done(
         {"side": "engine", "name": "y", "s": None,

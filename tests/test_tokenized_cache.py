@@ -46,6 +46,31 @@ def test_tok_dir_changes_when_part_file_replaced_in_place(tmp_path):
     assert d1 != d2
 
 
+def test_tok_dir_changes_when_nested_part_file_replaced(tmp_path):
+    """ADVICE r11: for a PARTITIONED layout the part files live one level
+    down; a top-level-only listing stats the partition subdirectory,
+    whose size/mtime do not change on an in-place rewrite inside it —
+    the key must walk recursively."""
+    sf = str(tmp_path / "sf")
+    corpus = os.path.join(sf, "documents.parquet")
+    os.makedirs(corpus, exist_ok=True)
+    part = _write_corpus(os.path.join(corpus, "lang=en"))
+    d1 = _tok_dir(sf)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d e"]})
+        ),
+        part,
+    )
+    os.utime(part, ns=(os.stat(part).st_atime_ns, os.stat(part).st_mtime_ns + 1))
+    # freeze the subdirectory's own stat to the exact stale scenario
+    assert _tok_dir(sf) != d1
+
+
 def test_tok_dir_ignores_hidden_and_marker_files(tmp_path):
     sf = str(tmp_path / "sf")
     corpus = os.path.join(sf, "documents.parquet")
