@@ -31,18 +31,36 @@ from event_store_spark.core.cursor import Cursor
 EVENT_COLUMNS = ("id", "key", "timestamp", "metadata", "data", "lsn")
 
 
-def keyset_predicate_sql(after: Cursor) -> str:
+def pg_lsn_literal(lsn: int) -> str:
+    """The 64-bit lsn back in pg_lsn text form ('hi/lo' hex) — the
+    inverse of `core.pgwire.lsn_int`, for predicates against the
+    reference schema's native ``pg_lsn`` column."""
+    return f"'{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}'"
+
+
+def keyset_predicate_sql(after: Cursor, lsn_type: str = "bigint") -> str:
     """The reference's keyset row-value predicate as remote SQL (F1).
 
     Postgres evaluates ``(lsn, id) > (x, y)`` with one PK-index range
     scan — the exact clause `PostgresEventStore.java` pages with; Spark's
     own Filter pushdown cannot synthesize a row-value comparison, which
     is why it goes into the pushdown query text instead of a
-    ``.where()``."""
-    return f"(lsn, id) > ({int(after.lsn)}, {int(after.id)})"
+    ``.where()``.
+
+    ``lsn_type='pg_lsn'`` renders the cursor's lsn as a pg_lsn literal
+    for the reference schema's native column type
+    (`events_schema.sql:10`); the default bigint form serves tables that
+    store the 64-bit position directly."""
+    if lsn_type == "pg_lsn":
+        lsn = f"{pg_lsn_literal(int(after.lsn))}::pg_lsn"
+    else:
+        lsn = str(int(after.lsn))
+    return f"(lsn, id) > ({lsn}, {int(after.id)})"
 
 
-def scan_query(table: str, after: Cursor | None = None) -> str:
+def scan_query(
+    table: str, after: Cursor | None = None, lsn_type: str = "bigint"
+) -> str:
     """Pushdown subquery for the `dbtable` option: projection pinned to
     the event columns (column pruning at the SOURCE — the database never
     serializes columns Spark would drop) plus the keyset predicate.
@@ -61,7 +79,7 @@ def scan_query(table: str, after: Cursor | None = None) -> str:
     cols = ", ".join(EVENT_COLUMNS)
     where = " WHERE lsn IS NOT NULL"
     if after is not None:
-        where += f" AND {keyset_predicate_sql(after)}"
+        where += f" AND {keyset_predicate_sql(after, lsn_type)}"
     return f"(SELECT {cols} FROM {table}{where}) AS esp_scan"
 
 

@@ -38,6 +38,23 @@ def test_scan_query_prunes_columns_and_pushes_keyset():
         scan_query("events; DROP TABLE x")
 
 
+def test_keyset_predicate_pg_lsn_form_round_trips():
+    """Against the reference schema's native pg_lsn column
+    (`events_schema.sql:10`) the cursor's lsn renders as a pg_lsn
+    literal; `pg_lsn_literal` is the exact inverse of pgwire.lsn_int."""
+    from event_store_spark.core.jdbc import pg_lsn_literal
+    from event_store_spark.core.pgwire import lsn_int
+
+    lsn = (0x16 << 32) | 0xB374D848
+    assert pg_lsn_literal(lsn) == "'16/B374D848'"
+    assert lsn_int("16/B374D848") == lsn
+    assert keyset_predicate_sql(Cursor(lsn, 7), lsn_type="pg_lsn") == (
+        "(lsn, id) > ('16/B374D848'::pg_lsn, 7)"
+    )
+    q = scan_query("events.app_events", Cursor(lsn, 7), lsn_type="pg_lsn")
+    assert "(lsn, id) > ('16/B374D848'::pg_lsn, 7)" in q
+
+
 def test_scan_query_always_excludes_unstamped_rows():
     """lsn is stamped ASYNCHRONOUSLY in the reference (LsnUpdater); rows
     whose commit order does not yet exist must never reach a replay scan,
