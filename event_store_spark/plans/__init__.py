@@ -38,6 +38,7 @@ from event_store_spark.plans import pipeline10 as _pipeline10  # noqa: F401,E402
 from event_store_spark.plans import semantic as _semantic  # noqa: F401,E402
 from event_store_spark.plans import typed_events as _typed_events  # noqa: F401,E402
 from event_store_spark.plans import pipeline11 as _pipeline11  # noqa: F401,E402
+from event_store_spark.plans import pipeline12 as _pipeline12  # noqa: F401,E402
 from event_store_spark.plans import hnsw as _hnsw  # noqa: F401,E402
 # evalq composes other queries' oracles — import LAST
 from event_store_spark.plans import evalq as _evalq  # noqa: F401,E402
