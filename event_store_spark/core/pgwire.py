@@ -144,7 +144,9 @@ class PgConnection:
         port: int = 5432,
         password: str | None = None,
         timeout: float = 30.0,
+        replication: bool = False,
     ):
+        self._replication = replication
         if os.path.isdir(host):
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._sock.settimeout(timeout)
@@ -180,8 +182,13 @@ class PgConnection:
     def _startup(self, user: str, database: str, password: str | None) -> None:
         params = (
             b"user\x00" + user.encode() + b"\x00"
-            b"database\x00" + database.encode() + b"\x00\x00"
+            b"database\x00" + database.encode() + b"\x00"
         )
+        if self._replication:
+            # walsender mode pinned to this database — required for
+            # START_REPLICATION with a logical slot (core/pgoutput.py)
+            params += b"replication\x00database\x00"
+        params += b"\x00"
         self._sock.sendall(
             struct.pack("!ii", 8 + len(params), PROTOCOL_V3) + params
         )

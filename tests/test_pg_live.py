@@ -83,7 +83,10 @@ def pg():
     r = subprocess.run(
         ["pg_ctl", "-D", data, "-w", "-o",
          f"-c listen_addresses='' -c unix_socket_directories={sock} "
-         "-c fsync=off -c synchronous_commit=off",
+         "-c fsync=off -c synchronous_commit=off "
+         # logical decoding for the S8 pgoutput leg (test_pgoutput_live)
+         "-c wal_level=logical -c max_replication_slots=4 "
+         "-c max_wal_senders=4",
          "-l", os.path.join(base, "log"), "start"],
         preexec_fn=preexec, capture_output=True, text=True,
     )
