@@ -34,6 +34,7 @@ from event_store_spark.plans.registry import ORACLE, QUERIES, register
 #: method label → registered query whose top-5 ids to score
 ANN_METHODS = {
     "hnsw": "ann_hnsw_topk",
+    "hnsw_spilled": "ann_hnsw_spilled_topk",
     "ivf": "ann_ivf_topk",
     "ivf_spilled": "ann_ivf_spilled_topk",
     "ivfpq": "ann_ivfpq_topk",

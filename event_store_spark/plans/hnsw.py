@@ -169,24 +169,40 @@ _HNSW_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 )
 
 
-def _hnsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hnsw_graph(spark: SparkSession, sf_dir: str, spill: int = 1) -> DataFrame:
     """(cell, vec_id, v, level, nbrs) — the per-cell graphs plus vectors,
-    built once per (session, corpus) and cached; production writes this
-    table out partitioned by cell (the Milvus-segment layout)."""
+    built once per (session, corpus, spill) and cached; production writes
+    this table out partitioned by cell (the Milvus-segment layout).
+
+    ``spill`` > 1 builds the graphs over the SOAR-style spilled
+    membership (`ivf.assign_spilled` — each vector linked into its
+    ``spill`` nearest cells), so a single-cell probe's graph walk also
+    reaches boundary vectors of adjacent regions: the ScaNN spilling
+    recall lift composed with graph serving (VERDICT r11 #8a). Per-cell
+    builds are independent, so the spilled table is just ``spill``×
+    rows through the same Arrow tasks."""
     memo = _HNSW_MEMO.setdefault(spark, {})
-    got = memo.get(sf_dir)
+    got = memo.get((sf_dir, spill))
     if got is not None:
         return got
     from event_store_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    _, assigned = _ivf_index(spark, sf_dir, "full")
-    graph = assigned.groupBy("cell").applyInPandas(
+    centroids, assigned = _ivf_index(spark, sf_dir, "full")
+    if spill > 1:
+        from event_store_spark.plans.ivf import assign_spilled
+
+        membership = assign_spilled(
+            assigned.select("vec_id", "v"), centroids, spill=spill
+        ).select("cell", "vec_id", "v", "rank")
+    else:
+        membership = assigned
+    graph = membership.groupBy("cell").applyInPandas(
         _build_cell_graph,
         "cell int, vec_id bigint, level int, nbrs array<array<bigint>>",
     )
-    out = assigned.join(graph, ["cell", "vec_id"]).cache()
-    memo[sf_dir] = out
+    out = membership.join(graph, ["cell", "vec_id"]).cache()
+    memo[(sf_dir, spill)] = out
     return out
 
 
@@ -445,7 +461,9 @@ def centroid_probe_cells(graph, query_v, nprobe: int, ef: int | None = None):
 
 # ------------------------------------------------- index persistence API
 
-def save_hnsw_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def save_hnsw_index(
+    spark: SparkSession, sf_dir: str, path: str, spill: int = 1
+) -> None:
     """Persist the per-cell HNSW index: `graph/` (parquet PARTITIONED BY
     cell — vec_id, v, level, per-level adjacency; a cell probe lists
     exactly `cell=c/`) + `hnsw.json` (the IVF centroids the cells were
@@ -458,7 +476,7 @@ def save_hnsw_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     from event_store_spark.plans.generations import GenerationPair
 
     centroids, _ = _ivf_index(spark, sf_dir, "full")
-    graph = _hnsw_graph(spark, sf_dir)
+    graph = _hnsw_graph(spark, sf_dir, spill)
     gp = GenerationPair(path, "graph", "hnsw.json")
     _os.makedirs(path, exist_ok=True)
     new_dir, new_meta = gp.next_names()
@@ -469,6 +487,7 @@ def save_hnsw_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         "centroids": [[cell, list(c)] for cell, c in centroids],
         "m": HNSW_M,
         "ef": HNSW_EF,
+        "spill": spill,
     }
     # meta written AFTER the bulk dir: on a fresh build its presence marks
     # the index complete; on a retrain the pointer flip publishes the pair
@@ -551,6 +570,11 @@ def hnsw_search(
             )
         )
         found = found.unionByName(adds)
+    # spilled bases (save_hnsw_index(spill>1)) hold a vector in several
+    # cells; a multi-cell probe then surfaces it once per cell with the
+    # SAME exact-fold sim — collapse before ranking (the aggregation is
+    # over at most nprobe*k + segment rows, never the corpus)
+    found = found.groupBy("vec_id").agg(F.max("sim").alias("sim"))
     return found.orderBy(F.col("sim").desc(), "vec_id").limit(k)
 
 
@@ -573,10 +597,18 @@ def compact_hnsw_index(
     d, m = gp.live()
     base = spark.read.parquet(_os.path.join(path, d))
     adds = spark.read.parquet(additions_path).select("cell", "vec_id", "v")
+    src_cols = ["cell", "vec_id", "v"]
+    if "rank" in base.columns:
+        # spilled base (save_hnsw_index(spill>1)): segment rows are
+        # rank-1 (primary-cell) assignments — the streamed maintainer is
+        # the shared unspilled IVF assigner; spilled re-links happen at
+        # the periodic retrain
+        src_cols.append("rank")
+        adds = adds.withColumn("rank", F.lit(1).cast("int"))
     touched = [r["cell"] for r in adds.select("cell").distinct().collect()]
     untouched = base.where(~F.col("cell").isin(touched))
     relink_src = (
-        base.where(F.col("cell").isin(touched)).select("cell", "vec_id", "v")
+        base.where(F.col("cell").isin(touched)).select(*src_cols)
         .unionByName(adds)
     )
     relinked = relink_src.groupBy("cell").applyInPandas(
@@ -606,6 +638,37 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss of any true neighbor fails the driver gate, not a dashboard."""
     graph = _hnsw_graph(spark, sf_dir)
     query = graph.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.col("vec_id").alias("q_id"),
+        F.col("cell").alias("qcell"),
+    )
+    probed = graph.join(
+        F.broadcast(query), F.col("cell") == F.col("qcell")
+    ).withColumn("k", F.lit(TOPK))
+    found = probed.groupBy("cell").applyInPandas(
+        _search_cell, "vec_id bigint, sim double"
+    )
+    return (
+        found.select("vec_id", F.round("sim", 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOPK)
+    )
+
+
+@register("ann_hnsw_spilled_topk", oracle=ORACLE["ann_ivf_spilled_topk"])
+def ann_hnsw_spilled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN over the SPILLED layout (VERDICT r11 #8a): per-cell HNSW
+    graphs built over the spill=2 membership (`ivf.assign_spilled`), so
+    walking the query's single primary cell also reaches the boundary
+    vectors spilled in from adjacent cells. SAME ORACLE as
+    `ann_ivf_spilled_topk` — exact top-5 over the spilled probed cell —
+    so the hash check IS the recall guarantee for the composed
+    graph+spill plan. A vector appears at most once per cell, so a
+    single-cell probe needs no dedup stage."""
+    graph = _hnsw_graph(spark, sf_dir, spill=2)
+    query = graph.where(
+        (F.col("vec_id") == 0) & (F.col("rank") == 1)
+    ).select(
         F.col("v").alias("qv"),
         F.col("vec_id").alias("q_id"),
         F.col("cell").alias("qcell"),

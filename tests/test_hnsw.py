@@ -377,3 +377,135 @@ def test_hnsw_search_centroid_graph_equals_exact_scan(spark, tmp_path):
          hnsw_search(spark, path, qv, k=5, nprobe=2,
                      use_centroid_graph=True).collect()]
     assert a == b
+
+
+def test_centroid_graph_fresh_through_maintain_compact_rebuild(spark, tmp_path):
+    """VERDICT r11 #8b: the centroid entry graph must stay fresh through
+    the REAL index lifecycle — not just the unit-level memo calls. At
+    every stage (base, base+streamed segment, post-compact, post-RETRAIN
+    at the same path) the graph-probed search must equal the exact O(C)
+    centroid scan; the retrain stage is the one a path-keyed memo used
+    to get wrong (ADVICE r11)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.hnsw import hnsw_search
+    from event_store_spark.plans.vector_index import VectorIndex
+    from event_store_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "hnsw_lc")
+    idx = VectorIndex.build(spark, sf, path, kind="hnsw")
+    qv = [
+        float(x)
+        for x in load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 5)
+        .collect()[0]["embedding"]
+    ]
+
+    def both(additions=None):
+        a = [(r.vec_id, round(r.sim, 6)) for r in
+             hnsw_search(spark, path, qv, k=5, nprobe=2,
+                         additions_path=additions,
+                         use_centroid_graph=False).collect()]
+        b = [(r.vec_id, round(r.sim, 6)) for r in
+             hnsw_search(spark, path, qv, k=5, nprobe=2,
+                         additions_path=additions,
+                         use_centroid_graph=True).collect()]
+        return a, b
+
+    a, b = both()
+    assert a == b and len(a) == 5
+
+    # stream three near-query vectors into a segment, serve base+segment
+    seg, ck = str(tmp_path / "adds"), str(tmp_path / "ck")
+    src = str(tmp_path / "src")
+    q = np.asarray(qv)
+    rows = [
+        (9_000_000 + i, (q + 0.01 * (i + 1)).tolist()) for i in range(3)
+    ]
+    spark.createDataFrame(rows, "vec_id bigint, v array<double>").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    idx.maintain(stream, seg, ck).awaitTermination(120)
+    a, b = both(additions=seg)
+    assert a == b and any(v >= 9_000_000 for v, _ in a)
+
+    idx.compact(seg)
+    a, b = both()
+    assert a == b and any(v >= 9_000_000 for v, _ in a)
+
+    # RETRAIN at the same path on a different corpus: new generation,
+    # new centroid set — the graph walk must follow, not the memo
+    VectorIndex.build(spark, "/root/testdata/sf0.01", path, kind="hnsw")
+    a, b = both()
+    assert a == b and len(a) == 5
+
+
+def test_persisted_spilled_hnsw_dedupes_and_compacts(spark, tmp_path):
+    """VERDICT r11 #8a, persisted path: save_hnsw_index(spill=2) links
+    every vector into its two nearest cells' graphs. A 2-cell probe can
+    then surface one vector from both cells — search must emit each
+    vec_id once (max-sim collapse), and the result must equal the exact
+    scan over the probed cells' spilled membership. Compacting a
+    streamed (unspilled, rank-1) segment into the spilled base keeps the
+    layout serving."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.hnsw import (
+        hnsw_search,
+        load_hnsw_index,
+        save_hnsw_index,
+        compact_hnsw_index,
+    )
+    from event_store_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "hnsw_sp")
+    save_hnsw_index(spark, sf, path, spill=2)
+    centroids, graph = load_hnsw_index(spark, path)
+    gdf = graph.select("cell", "vec_id", "rank").toPandas()
+    n_vec = gdf["vec_id"].nunique()
+    assert len(gdf) == 2 * n_vec  # every vector in exactly two cells
+
+    qv = [
+        float(x)
+        for x in load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .collect()[0]["embedding"]
+    ]
+    got = [(r.vec_id, r.sim) for r in
+           hnsw_search(spark, path, qv, k=5, nprobe=2).collect()]
+    assert len({v for v, _ in got}) == 5  # deduped
+
+    # exact reference over the probed cells' spilled membership
+    q = np.asarray(qv)
+    ranked = sorted(
+        (float(((q - np.asarray(c)) ** 2).sum()), cell) for cell, c in centroids
+    )
+    cells = [cell for _, cell in ranked[:2]]
+    members = graph.where(F.col("cell").isin(cells)).select(
+        "vec_id", "v").distinct().collect()
+    def cos(v):
+        a = np.asarray(v)
+        return float(a @ q / (np.linalg.norm(a) * np.linalg.norm(q)))
+    exact = sorted(
+        ((cos(r["v"]), r["vec_id"]) for r in members),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [v for _, v in exact] == [v for v, _ in got]
+
+    # compact an unspilled rank-1 segment into the spilled base
+    seg = str(tmp_path / "seg")
+    rows = [(7_000_000 + i, (q + 0.005 * (i + 1)).tolist(), cells[0])
+            for i in range(2)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, v array<double>, cell int"
+    ).write.parquet(seg)
+    compact_hnsw_index(spark, path, seg)
+    after = [(r.vec_id, r.sim) for r in
+             hnsw_search(spark, path, qv, k=5, nprobe=2).collect()]
+    assert len({v for v, _ in after}) == 5
+    assert any(v >= 7_000_000 for v, _ in after)
