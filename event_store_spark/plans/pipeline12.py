@@ -68,6 +68,68 @@ MIN_SUB_LEN = 16
 MAX_GRAM_OCCS = 64
 
 
+def _maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL maximal-span manifest (no top-100 cut): (da, start_pos,
+    len_tokens, db, partner_pos) per module-docstring diagonal-run
+    recovery. Shared by the report query (top spans) and the removal
+    query (the applied deletion)."""
+    from event_store_spark.plans.tokenized import tokenized_docs
+
+    slots = ", ".join(f"th[i + {j}]" for j in range(SUB_GRAM))
+    gram_hashes = F.expr(
+        f"transform(sequence(0, size(th) - {SUB_GRAM}), i -> xxhash64({slots}))"
+    )
+    grams = (
+        tokenized_docs(
+            spark, sf_dir,
+            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+        )
+        .select("doc_id", "th")
+        .where(F.size("th") >= SUB_GRAM)
+        .select("doc_id", F.posexplode(gram_hashes).alias("p", "g"))
+    )
+    pair_expr = (
+        "flatten(transform(occs, a -> transform("
+        "filter(occs, b -> b.doc_id > a.doc_id), "
+        "b -> struct(a.doc_id AS da, a.p AS pa, "
+        "b.doc_id AS db, b.p AS pb))))"
+    )
+    pairs = (
+        grams.groupBy("g")
+        .agg(
+            F.min("doc_id").alias("_mn"),
+            F.max("doc_id").alias("_mx"),
+            F.collect_list(F.struct("doc_id", "p")).alias("occs"),
+        )
+        .where(
+            (F.col("_mn") != F.col("_mx"))
+            & (F.size("occs") <= MAX_GRAM_OCCS)
+        )
+        .select(F.explode(F.expr(pair_expr)).alias("x"))
+        .select("x.da", "x.pa", "x.db", "x.pb")
+        .withColumn("delta", F.col("pb") - F.col("pa"))
+    )
+    w = Window.partitionBy("da", "db", "delta").orderBy("pa")
+    return (
+        pairs.withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("da", "db", "delta", "isl")
+        .agg(
+            F.min("pa").alias("start_pos"),
+            (F.count(F.lit(1)) + (SUB_GRAM - 1)).alias("len_tokens"),
+        )
+        .where(F.col("len_tokens") >= MIN_SUB_LEN)
+        .select(
+            "da",
+            F.col("start_pos").cast("bigint").alias("start_pos"),
+            F.col("len_tokens").cast("bigint").alias("len_tokens"),
+            "db",
+            (F.col("start_pos") + F.col("delta"))
+            .cast("bigint")
+            .alias("partner_pos"),
+        )
+    )
+
+
 @register(
     "dedup_substring_spans",
     oracle=f"""
@@ -106,65 +168,125 @@ MAX_GRAM_OCCS = 64
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document verbatim spans ≥ MIN_SUB_LEN tokens — the
     deletion manifest of an exact-substring dedup pass (module
-    docstring for the diagonal-run formulation)."""
-    from event_store_spark.plans.tokenized import tokenized_docs
-
-    slots = ", ".join(f"th[i + {j}]" for j in range(SUB_GRAM))
-    gram_hashes = F.expr(
-        f"transform(sequence(0, size(th) - {SUB_GRAM}), i -> xxhash64({slots}))"
-    )
-    grams = (
-        tokenized_docs(
-            spark, sf_dir,
-            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
-        )
-        .select("doc_id", "th")
-        .where(F.size("th") >= SUB_GRAM)
-        .select("doc_id", F.posexplode(gram_hashes).alias("p", "g"))
-    )
-    # one shuffle on gram hash; cross-doc ordered pairs expand IN-ROW
-    # from the bounded occurrence list (never a hits-table self-join)
-    pair_expr = (
-        "flatten(transform(occs, a -> transform("
-        "filter(occs, b -> b.doc_id > a.doc_id), "
-        "b -> struct(a.doc_id AS da, a.p AS pa, "
-        "b.doc_id AS db, b.p AS pb))))"
-    )
-    pairs = (
-        grams.groupBy("g")
-        .agg(
-            F.min("doc_id").alias("_mn"),
-            F.max("doc_id").alias("_mx"),
-            F.collect_list(F.struct("doc_id", "p")).alias("occs"),
-        )
-        .where(
-            (F.col("_mn") != F.col("_mx"))
-            & (F.size("occs") <= MAX_GRAM_OCCS)
-        )
-        .select(F.explode(F.expr(pair_expr)).alias("x"))
-        .select("x.da", "x.pa", "x.db", "x.pb")
-        .withColumn("delta", F.col("pb") - F.col("pa"))
-    )
-    w = Window.partitionBy("da", "db", "delta").orderBy("pa")
-    spans = (
-        pairs.withColumn("isl", F.col("pa") - F.row_number().over(w))
-        .groupBy("da", "db", "delta", "isl")
-        .agg(
-            F.min("pa").alias("start_pos"),
-            (F.count(F.lit(1)) + (SUB_GRAM - 1)).alias("len_tokens"),
-        )
-        .where(F.col("len_tokens") >= MIN_SUB_LEN)
+    docstring for the diagonal-run formulation); top-100 report."""
+    return (
+        _maximal_spans(spark, sf_dir)
         .select(
             F.col("da").alias("doc_id"),
-            F.col("start_pos").cast("bigint").alias("start_pos"),
-            F.col("len_tokens").cast("bigint").alias("len_tokens"),
+            "start_pos",
+            "len_tokens",
             F.col("db").alias("partner_doc_id"),
-            (F.col("start_pos") + F.col("delta"))
-            .cast("bigint")
-            .alias("partner_pos"),
+            "partner_pos",
         )
+        .orderBy(
+            F.desc("len_tokens"), "doc_id", "start_pos",
+            "partner_doc_id", "partner_pos",
+        )
+        .limit(100)
     )
-    return spans.orderBy(
-        F.desc("len_tokens"), "doc_id", "start_pos",
-        "partner_doc_id", "partner_pos",
-    ).limit(100)
+
+
+@register(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    pos AS (SELECT doc_id, UNNEST(range(0, len(w) - {SUB_GRAM - 1})) AS p, w
+            FROM toks WHERE len(w) >= {SUB_GRAM}),
+    grams AS (SELECT doc_id, p,
+                     array_to_string(w[p + 1:p + {SUB_GRAM}], ' ') AS gram
+              FROM pos),
+    keep AS (SELECT gram FROM grams GROUP BY gram
+             HAVING MIN(doc_id) <> MAX(doc_id)
+                AND COUNT(*) <= {MAX_GRAM_OCCS}),
+    hits AS (SELECT doc_id, p, gram FROM grams JOIN keep USING (gram)),
+    pairs AS (SELECT a.doc_id AS da, a.p AS pa, b.doc_id AS db, b.p AS pb
+              FROM hits a JOIN hits b USING (gram)
+              WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT da, db, pb - pa AS delta, pa,
+                    pa - ROW_NUMBER() OVER (PARTITION BY da, db, pb - pa
+                                            ORDER BY pa) AS isl
+             FROM pairs),
+    spans AS (SELECT db, delta, MIN(pa) + delta AS s,
+                     MIN(pa) + delta + COUNT(*) + {SUB_GRAM - 1} AS e,
+                     COUNT(*) + {SUB_GRAM - 1} AS len_tokens
+              FROM runs GROUP BY da, db, delta, isl),
+    cuts AS (SELECT db AS doc_id, s, e FROM spans
+             WHERE len_tokens >= {MIN_SUB_LEN}),
+    ord AS (SELECT doc_id, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM cuts),
+    isl2 AS (SELECT doc_id, s, e,
+                    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+             FROM ord),
+    merged AS (SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+               FROM isl2 GROUP BY doc_id, grp),
+    removed AS (SELECT doc_id, SUM(me - ms) AS removed_tokens
+                FROM merged GROUP BY doc_id),
+    nt AS (SELECT doc_id, len(w) AS n_tokens FROM toks)
+    SELECT r.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(r.removed_tokens AS BIGINT) AS removed_tokens,
+           CAST(n.n_tokens - r.removed_tokens AS BIGINT) AS kept_tokens
+    FROM removed r JOIN nt n USING (doc_id)
+    ORDER BY removed_tokens DESC, doc_id LIMIT 100
+    """,
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the deletion manifest (Lee et al.'s ExactSubstr removal
+    pass): every maximal duplicated span is cut from the LATER document
+    (keep-first — the lowest doc_id retains its copy; chains 1<2<3 cut
+    both later docs, the union collapsing repeats). Per-doc budget =
+    interval UNION of that doc's cut spans, via one keyed
+    gaps-and-islands window (pos − running-island-count), so overlapping
+    cuts from different partners never double-bill a token. Reports
+    (doc_id, n_tokens, removed_tokens, kept_tokens) for the 100 most-cut
+    docs.
+
+    Scale shape: everything downstream of `_maximal_spans` keys on
+    doc_id — one keyed window + two keyed aggregations over the cut
+    manifest (bounded by real duplication mass), then a join against the
+    tokenized side table's (doc_id, n_tokens) projection."""
+    from event_store_spark.plans.tokenized import tokenized_docs
+
+    cuts = _maximal_spans(spark, sf_dir).select(
+        F.col("db").alias("doc_id"),
+        F.col("partner_pos").alias("s"),
+        (F.col("partner_pos") + F.col("len_tokens")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    pm = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = cuts.withColumn("pm", pm).withColumn(
+        "grp",
+        F.sum(
+            F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1)
+            .otherwise(0)
+        ).over(w),
+    )
+    removed = (
+        staged.groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("me") - F.col("ms")).alias("removed_tokens"))
+    )
+    nt = tokenized_docs(
+        spark, sf_dir,
+        docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+    ).select("doc_id", F.size("th").cast("bigint").alias("n_tokens"))
+    return (
+        removed.join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("removed_tokens").cast("bigint").alias("removed_tokens"),
+            (F.col("n_tokens") - F.col("removed_tokens"))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy(F.desc("removed_tokens"), "doc_id")
+        .limit(100)
+    )

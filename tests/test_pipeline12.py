@@ -110,3 +110,48 @@ def test_plan_no_pair_join_single_window(spark, sf_correct):
 
     win = next(l for l in plan.splitlines() if "Window" in l)
     assert re.search(r"windowspecdefinition\(da#\d+L?, db#\d+L?, delta#\d+L?", win), win
+
+
+def _removal_on(spark, rows):
+    from unittest import mock
+
+    import event_store_spark.plans.pipeline12 as p12
+
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with mock.patch.object(p12, "load_table", lambda s, d, n: docs):
+        return {
+            r["doc_id"]: r.asDict()
+            for r in p12.dedup_substring_removal(spark, "ignored").collect()
+        }
+
+
+def test_removal_cuts_later_doc_keep_first(spark):
+    """Keep-first semantics: the shared 20-token run survives in doc 1
+    and is cut from doc 2; untouched docs don't appear."""
+    shared = _words("s", 20)
+    rows = [
+        (1, shared + " " + _words("a", 10)),
+        (2, _words("b", 10) + " " + shared),
+        (3, _words("c", 30)),
+    ]
+    got = _removal_on(spark, rows)
+    assert got == {
+        2: {"doc_id": 2, "n_tokens": 30, "removed_tokens": 20,
+            "kept_tokens": 10}
+    }
+
+
+def test_removal_overlapping_cuts_union_not_sum(spark):
+    """Doc 3 shares X[0:20) with doc 1 and X[4:24) with doc 2: its cut
+    budget is the interval UNION (24 tokens), never 20+20. Doc 2 also
+    loses its 16-token overlap with the earlier doc 1."""
+    X = [f"x{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(X[0:20])),
+        (2, " ".join(X[4:24])),
+        (3, " ".join(X)),
+    ]
+    got = _removal_on(spark, rows)
+    assert got[3]["removed_tokens"] == 24 and got[3]["n_tokens"] == 30
+    assert got[2]["removed_tokens"] == 16 and got[2]["kept_tokens"] == 4
+    assert 1 not in got  # earliest copy keeps everything
