@@ -57,7 +57,11 @@ from pyspark.sql import functions as F
 
 from event_store_spark.plans.generations import GenerationPair
 
-KINDS = ("minhash", "simhash64", "winnow")
+KINDS = ("minhash", "simhash64", "winnow", "substring")
+
+#: substring kind: 8-gram postings bucketed into this many parquet
+#: partitions (gram hashes are uniform, so buckets balance)
+SUBSTR_PARTS = 32
 
 #: winnow kind: fingerprints hashed to scalars (xxhash64 over the gram's
 #: token slots — join keys only, never output) and bucketed into this
@@ -116,8 +120,34 @@ def _winnow_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def _substring_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, g, part): every 8-gram anchor of every document under
+    dedup_substring_spans' exact hashing rule (xxhash64 over the token
+    hashes) — the persisted postings a streaming exact-substring gate
+    probes. Position `p` travels with the gram so probes can compose
+    anchors into maximal spans as DIAGONAL RUNS (pipeline12 module
+    docstring) without touching text."""
+    from event_store_spark.plans.pipeline12 import SUB_GRAM
+    from event_store_spark.plans.tokenized import tokenized_projection
+
+    slots = ", ".join(f"th[i + {j}]" for j in range(SUB_GRAM))
+    gram_hashes = F.expr(
+        f"transform(sequence(0, size(th) - {SUB_GRAM}), i -> xxhash64({slots}))"
+    )
+    return (
+        tokenized_projection(docs)
+        .select("doc_id", "th")
+        .where(F.size("th") >= SUB_GRAM)
+        .select("doc_id", F.posexplode(gram_hashes).alias("p", "g"))
+        .withColumn("part", F.pmod(F.col("g"), F.lit(SUBSTR_PARTS)).cast("int"))
+    )
+
+
 def _signatures(docs: DataFrame, kind: str) -> DataFrame:
     from event_store_spark.plans.llm import minhash_band_signatures
+
+    if kind == "substring":
+        return _substring_postings(docs)
 
     if kind == "minhash":
         return minhash_band_signatures(docs)
@@ -128,7 +158,8 @@ def _signatures(docs: DataFrame, kind: str) -> DataFrame:
 
 #: the blocking/partition column per kind (what probes equi-join on and
 #: what the parquet layout partitions by, so probes prune)
-_PART_COL = {"minhash": "band", "simhash64": "block_idx", "winnow": "part"}
+_PART_COL = {"minhash": "band", "simhash64": "block_idx", "winnow": "part",
+             "substring": "part"}
 
 
 def _enforce_stoplist(sig: DataFrame, kind: str) -> DataFrame:
@@ -137,6 +168,18 @@ def _enforce_stoplist(sig: DataFrame, kind: str) -> DataFrame:
     rule) — non-discriminative, and the per-key probe fan-out bound.
     Applied at BUILD and COMPACT; appends may transiently exceed it
     until the next compact (documented, same class as segment-wins)."""
+    if kind == "substring":
+        # the registered query's MAX_GRAM_OCCS stop-phrase rule: a gram
+        # with more postings than the cap is boilerplate, dropped at
+        # build/compact — also the per-key probe fan-out bound
+        from event_store_spark.plans.pipeline12 import MAX_GRAM_OCCS
+
+        keep = (
+            sig.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .where(F.col("nd") <= MAX_GRAM_OCCS)
+        )
+        return sig.join(keep.select("g"), "g")
     if kind != "winnow":
         return sig
     keep = (
@@ -237,9 +280,57 @@ class DedupIndex:
         winnow → (new_doc_id, match_doc_id, n_shared): pairs sharing ≥
         MIN_SHARED selected fingerprints (text_winnowing's pair rule) —
         self-sufficient, since ≥1 shared fingerprint already certifies a
-        verbatim ≥ K+W−1-token overlap (the winnowing guarantee)."""
+        verbatim ≥ K+W−1-token overlap (the winnowing guarantee).
+        substring → (new_doc_id, match_doc_id, span_tokens): the longest
+        maximal verbatim span ≥ MIN_SUB_LEN tokens shared with each
+        indexed document, recovered as diagonal anchor runs over the
+        postings join (dedup_substring_spans' exact rule, served from
+        files)."""
         sig = self.signatures()
         batch = _signatures(batch_docs, self.kind)
+        if self.kind == "substring":
+            from event_store_spark.plans.pipeline12 import (
+                MIN_SUB_LEN,
+                SUB_GRAM,
+            )
+
+            b = F.broadcast(
+                batch.select(
+                    F.col("doc_id").alias("new_id"),
+                    F.col("p").alias("pnew"),
+                    "part",
+                    "g",
+                )
+            )
+            joined = (
+                sig.join(b, ["part", "g"])
+                .where(F.col("doc_id") != F.col("new_id"))
+                .select(
+                    "new_id",
+                    F.col("doc_id").alias("idx_id"),
+                    (F.col("p") - F.col("pnew")).alias("delta"),
+                    "pnew",
+                )
+            )
+            w = Window.partitionBy("new_id", "idx_id", "delta").orderBy("pnew")
+            return (
+                joined.withColumn(
+                    "isl", F.col("pnew") - F.row_number().over(w)
+                )
+                .groupBy("new_id", "idx_id", "delta", "isl")
+                .agg(
+                    (F.count(F.lit(1)) + (SUB_GRAM - 1)).alias("span_tokens")
+                )
+                .where(F.col("span_tokens") >= MIN_SUB_LEN)
+                .groupBy(
+                    F.col("new_id").alias("new_doc_id"),
+                    F.col("idx_id").alias("match_doc_id"),
+                )
+                .agg(
+                    F.max("span_tokens").cast("bigint").alias("span_tokens")
+                )
+                .orderBy("new_doc_id", "match_doc_id")
+            )
         if self.kind == "winnow":
             from event_store_spark.plans.pipeline11 import MIN_SHARED
 

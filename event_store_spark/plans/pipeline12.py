@@ -75,16 +75,25 @@ def _maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (the applied deletion)."""
     from event_store_spark.plans.tokenized import tokenized_docs
 
+    return maximal_spans_from(
+        tokenized_docs(
+            spark, sf_dir,
+            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+        )
+    )
+
+
+def maximal_spans_from(tok: DataFrame) -> DataFrame:
+    """Diagonal-run span recovery over an already-tokenized frame
+    (columns ``doc_id``, ``th``) — the corpus queries pass the side
+    table; the streaming gate (streaming/substring_gate.py) passes one
+    micro-batch's projection."""
     slots = ", ".join(f"th[i + {j}]" for j in range(SUB_GRAM))
     gram_hashes = F.expr(
         f"transform(sequence(0, size(th) - {SUB_GRAM}), i -> xxhash64({slots}))"
     )
     grams = (
-        tokenized_docs(
-            spark, sf_dir,
-            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
-        )
-        .select("doc_id", "th")
+        tok.select("doc_id", "th")
         .where(F.size("th") >= SUB_GRAM)
         .select("doc_id", F.posexplode(gram_hashes).alias("p", "g"))
     )

@@ -61,11 +61,22 @@ from event_store_spark.streaming.eos import exactly_once_batch
 
 
 class WinnowDedupGate:
-    """foreachBatch gate: drop near-dups, land survivors, grow the index."""
+    """foreachBatch gate: drop near-dups, land survivors, grow the index.
+
+    Subclasses (streaming/substring_gate.py) swap the duplicate
+    criterion by overriding ``REQUIRED_KIND``/``GATE_NAME`` and
+    ``admitted``; the state bookkeeping, exactly-once sink discipline,
+    and index fold are shared."""
+
+    REQUIRED_KIND = "winnow"
+    GATE_NAME = "winnow-gate"
 
     def __init__(self, index: DedupIndex, out_dir: str, state_path: str):
-        if index.kind != "winnow":
-            raise ValueError(f"gate requires a winnow index, got {index.kind!r}")
+        if index.kind != self.REQUIRED_KIND:
+            raise ValueError(
+                f"gate requires a {self.REQUIRED_KIND} index, "
+                f"got {index.kind!r}"
+            )
         self.index = index
         self.out_dir = out_dir
         self.state_path = state_path
@@ -189,5 +200,5 @@ class WinnowDedupGate:
             self.index.append(landed, batch_id=batch_id)
 
         return exactly_once_batch(
-            "winnow-gate", process, self._last_batch_id, self._commit
+            self.GATE_NAME, process, self._last_batch_id, self._commit
         )
