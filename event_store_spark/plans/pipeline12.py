@@ -299,3 +299,113 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("removed_tokens"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "dedup_substring_incremental",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    pos AS (SELECT doc_id, source,
+                   UNNEST(range(0, len(w) - {SUB_GRAM - 1})) AS p, w
+            FROM toks WHERE len(w) >= {SUB_GRAM}),
+    grams AS (SELECT doc_id, source, p,
+                     array_to_string(w[p + 1:p + {SUB_GRAM}], ' ') AS gram
+              FROM pos),
+    idx AS (SELECT doc_id, p, gram FROM grams WHERE source <> 'src3'),
+    keep AS (SELECT gram FROM idx GROUP BY gram
+             HAVING COUNT(*) <= {MAX_GRAM_OCCS}),
+    bat AS (SELECT doc_id, p, gram FROM grams WHERE source = 'src3'),
+    hits AS (SELECT b.doc_id AS new_id, b.p AS pn,
+                    i.doc_id AS idx_id, i.p AS pi
+             FROM bat b
+             JOIN (SELECT idx.* FROM idx JOIN keep USING (gram)) i
+               USING (gram)),
+    runs AS (SELECT new_id, idx_id, pi - pn AS delta, pn,
+                    pn - ROW_NUMBER() OVER (PARTITION BY new_id, idx_id,
+                                                         pi - pn
+                                            ORDER BY pn) AS isl
+             FROM hits),
+    spans AS (SELECT new_id, idx_id,
+                     COUNT(*) + {SUB_GRAM - 1} AS span
+              FROM runs GROUP BY new_id, idx_id, delta, isl),
+    best AS (SELECT new_id, idx_id, MAX(span) AS span FROM spans
+             WHERE span >= {MIN_SUB_LEN} GROUP BY new_id, idx_id),
+    r AS (SELECT new_id, idx_id, span,
+                 ROW_NUMBER() OVER (PARTITION BY new_id
+                                    ORDER BY span DESC, idx_id) AS rn
+          FROM best)
+    SELECT new_id AS new_doc_id, idx_id AS match_doc_id,
+           CAST(span AS BIGINT) AS span_tokens
+    FROM r WHERE rn = 1 ORDER BY new_doc_id
+    """,
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus exact-substring probe — the oracle-checked twin
+    of `streaming.substring_gate`'s index stage (the `dedup_incremental`
+    convention: source src3 stands in for the arriving batch, the rest
+    is the persisted postings index). Each duplicate new doc reports its
+    best existing match (longest shared maximal span, ties to the
+    lowest doc id).
+
+    Plan = the DedupIndex(kind="substring") probe expressed over the
+    tokenized side table: index-side stop-phrase cap (MAX_GRAM_OCCS
+    postings per gram — the same bound the persisted index enforces at
+    build/compact), one equi-join on gram hash (batch side tiny, AQE
+    broadcasts — no forced hint, same reasoning as dedup_incremental),
+    diagonal-run composition, keyed windows throughout."""
+    from event_store_spark.plans.tokenized import tokenized_docs
+
+    slots = ", ".join(f"th[i + {j}]" for j in range(SUB_GRAM))
+    gram_hashes = F.expr(
+        f"transform(sequence(0, size(th) - {SUB_GRAM}), i -> xxhash64({slots}))"
+    )
+    grams = (
+        tokenized_docs(
+            spark, sf_dir,
+            docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+        )
+        .select("doc_id", "source", "th")
+        .where(F.size("th") >= SUB_GRAM)
+        .select(
+            "doc_id", "source", F.posexplode(gram_hashes).alias("p", "g")
+        )
+    )
+    idx = grams.where(F.col("source") != "src3").select(
+        F.col("doc_id").alias("idx_id"), F.col("p").alias("pi"), "g"
+    )
+    cap = (
+        idx.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") <= MAX_GRAM_OCCS)
+        .select("g")
+    )
+    bat = grams.where(F.col("source") == "src3").select(
+        F.col("doc_id").alias("new_id"), F.col("p").alias("pn"), "g"
+    )
+    hits = idx.join(cap, "g").join(bat, "g").select(
+        "new_id", "pn", "idx_id", (F.col("pi") - F.col("pn")).alias("delta")
+    )
+    w = Window.partitionBy("new_id", "idx_id", "delta").orderBy("pn")
+    spans = (
+        hits.withColumn("isl", F.col("pn") - F.row_number().over(w))
+        .groupBy("new_id", "idx_id", "delta", "isl")
+        .agg((F.count(F.lit(1)) + (SUB_GRAM - 1)).alias("span"))
+        .where(F.col("span") >= MIN_SUB_LEN)
+        .groupBy("new_id", "idx_id")
+        .agg(F.max("span").alias("span"))
+    )
+    wb = Window.partitionBy("new_id").orderBy(F.col("span").desc(), "idx_id")
+    return (
+        spans.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("new_doc_id"),
+            F.col("idx_id").alias("match_doc_id"),
+            F.col("span").cast("bigint").alias("span_tokens"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
