@@ -272,3 +272,81 @@ def _teardown_slot(pg, slot, pub):
 def test_lsn_text_roundtrip():
     for v in (0, 1, 0xFFFF_FFFF, 0x1_0000_0000, 0x12A_0050_3228):
         assert lsn_int(lsn_text(v)) == v
+
+
+def test_s8_native_structured_streaming_source(spark, pg, tmp_path):
+    """The WAL as a real `readStream.format("pgoutput")` source: rows
+    arrive with their transaction's commit LSN (shared within a txn,
+    increasing across txns), Spark checkpoints offsets, and a RESTART
+    from the same checkpoint emits only transactions committed after
+    the stop — the slot is only advanced from commit(), after Spark has
+    durably recorded the offset."""
+    import time
+
+    from event_store_spark.streaming.pgoutput_source import PgOutputDataSource
+
+    topic = "s8_source_events"
+    create_events_table(pg, topic)
+    _setup_slot(pg, topic, "esp_src_slot", "esp_src_pub")
+    spark.dataSource.register(PgOutputDataSource)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def start():
+        return (
+            spark.readStream.format("pgoutput")
+            .option("host", pg_sockdir(pg))
+            .option("user", "esp")
+            .option("database", "postgres")
+            .option("slot", "esp_src_slot")
+            .option("publication", "esp_src_pub")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    def rows():
+        try:
+            return sorted(
+                (r["event_id"], r["lsn"], r["topic"], r["vals"])
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    def wait_rows(n, timeout=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            got = rows()
+            if len(got) >= n:
+                return got
+            time.sleep(0.5)
+        raise AssertionError(f"only {len(rows())} rows after {timeout}s")
+
+    try:
+        q = start()
+        _insert(pg, topic, 2)              # txn 1, txn 2
+        pg.query(
+            "BEGIN; "
+            f"INSERT INTO events.{topic} (key, data, timestamp) VALUES "
+            f"('{uuid.uuid4()}'::uuid, '\\x05'::bytea, now()), "
+            f"('{uuid.uuid4()}'::uuid, '\\x06'::bytea, now()); "
+            "COMMIT"
+        )                                  # txn 3: one commit lsn
+        got = wait_rows(4)
+        assert [g[0] for g in got] == [1, 2, 3, 4]
+        assert got[0][1] < got[1][1] < got[2][1]   # txn lsns increase
+        assert got[2][1] == got[3][1]              # one txn, one lsn
+        assert all(g[2] == topic for g in got)
+        assert [g[3][0] for g in got] == ["1", "2", "3", "4"]  # id col text
+        q.stop()
+
+        _insert(pg, topic, 1)              # committed while source is DOWN
+        q2 = start()
+        got = wait_rows(5)
+        assert [g[0] for g in got] == [1, 2, 3, 4, 5]  # no re-emission
+        q2.stop()
+    finally:
+        _teardown_slot(pg, "esp_src_slot", "esp_src_pub")
