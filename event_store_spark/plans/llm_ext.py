@@ -7,7 +7,7 @@ with a DuckDB oracle, never a global O(n²) stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_store_spark.functions.text import whitespace_tokens
@@ -120,6 +120,58 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_id", "group_size")
         .orderBy("keep_id")
         .limit(100)
+    )
+
+
+@register(
+    "dedup_capped_survivors",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, substr(text, 1, 64) AS h,
+               ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 64)
+                                  ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY substr(text, 1, 64)) AS group_size
+        FROM documents)
+    SELECT CAST(COUNT(*) FILTER (WHERE rn <= 2) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 2) AS BIGINT) AS n_dropped,
+           CAST(COUNT(DISTINCT h) FILTER (WHERE group_size > 2)
+                AS BIGINT) AS n_capped_groups
+    FROM ranked
+    """,
+)
+def dedup_capped_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-capped dedup — keep at most CAP copies of each cluster
+    (lowest doc_ids win), the bounded-repetition knob web pipelines use
+    when limited duplication is desirable (repeating high-quality
+    documents a bounded number of times) instead of full dedup's
+    keep-one. Cluster key = the 64-char content prefix
+    (`dedup_clusters`' blocking key — the fixture corpus has no full-
+    content exact dups below sf0.1, so the prefix key is what makes the
+    cap observable); swap in md5(text) for exact-only capping at web
+    scale. Reports kept/dropped totals and how many clusters hit the
+    cap.
+
+    Plan: ONE shuffle on the content hash feeds a keyed rank window and
+    the group size together; the final agg is a map-side-partial global
+    fold of three counters — no second corpus scan, no pair join."""
+    cap = 2
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, 64).alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("gs", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    )
+    return ranked.agg(
+        F.sum(F.when(F.col("rn") <= cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.count_distinct(F.when(F.col("gs") > cap, F.col("h")))
+        .cast("bigint")
+        .alias("n_capped_groups"),
     )
 
 

@@ -155,3 +155,23 @@ def test_removal_overlapping_cuts_union_not_sum(spark):
     assert got[3]["removed_tokens"] == 24 and got[3]["n_tokens"] == 30
     assert got[2]["removed_tokens"] == 16 and got[2]["kept_tokens"] == 4
     assert 1 not in got  # earliest copy keeps everything
+
+
+def test_incremental_plan_equi_join_keyed_windows(spark, sf_correct):
+    """Scale pin for the batch-vs-corpus probe: the gram join is a hash
+    equi-join on the gram hash (no cartesian, no residual-only join),
+    and both windows are keyed — (new, idx, delta) for run recovery,
+    (new) for best-match — so no single-reducer sort exists."""
+    import re
+
+    from event_store_spark.plans import QUERIES
+
+    df = QUERIES["dedup_substring_incremental"](spark, sf_correct)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    for w in wins:
+        assert re.search(
+            r"windowspecdefinition\((new_id|da)#\d+L?,", w
+        ), w
