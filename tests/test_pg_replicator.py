@@ -70,3 +70,66 @@ def test_worker_pages_drain_resume_and_lag(spark, pg, tmp_path):
     assert w.run() == 1
     assert _landed_ids(spark, out, topic) == list(range(1, 10))
     assert w.lag() == 0
+
+
+def test_full_reference_chain_pgoutput_stamping_feeds_replication(
+    spark, pg, tmp_path
+):
+    """The COMPLETE reference architecture, live: inserts leave lsn
+    NULL → the pgoutput LsnUpdater stamps commit LSNs from the WAL →
+    the replicator worker pages the stamped rows out in (lsn, id)
+    order. Three transactions, the middle one multi-row: replicated
+    order equals commit order, and same-commit rows stay adjacent."""
+    import uuid
+
+    from event_store_spark.core.pgoutput import LsnUpdater, ReplicationStream
+    from event_store_spark.core.pgwire import PgConnection, PgError
+
+    topic = "chain_events"
+    create_events_table(pg, topic)
+    pg.query(f'CREATE PUBLICATION chain_pub FOR TABLE events.{topic} '
+             "WITH (publish = 'insert')")
+    pg.query("SELECT pg_create_logical_replication_slot('chain_slot', 'pgoutput')")
+    try:
+        sock = pg.query("SHOW unix_socket_directories").rows[0][0]
+        _insert(pg, topic, 1)                       # txn 1
+        pg.query(
+            "BEGIN; "
+            f"INSERT INTO events.{topic} (key, data, timestamp) VALUES "
+            f"('{uuid.uuid4()}'::uuid, '\\x0a'::bytea, now()), "
+            f"('{uuid.uuid4()}'::uuid, '\\x0b'::bytea, now()); "
+            "COMMIT"
+        )                                           # txn 2 (two rows)
+        _insert(pg, topic, 1)                       # txn 3
+
+        repl = PgConnection(user="esp", database="postgres",
+                            host=sock, replication=True)
+        stream = ReplicationStream(repl, "chain_slot", "chain_pub")
+        upd = LsnUpdater(stream, pg)
+        assert upd.process_pending() == 4
+        stream.close()
+        repl.close()
+
+        progress = ProgressStore(str(tmp_path / "p.json"))
+        out = str(tmp_path / "o")
+        w = PgReplicatorWorker(spark, pg, topic, out, progress, max_rows=2)
+        assert w.run() == 2
+        rows = []
+        root = os.path.join(out, topic)
+        for d in sorted(os.listdir(root)):
+            rows += [
+                (r["id"], r["lsn"])
+                for r in spark.read.parquet(os.path.join(root, d)).collect()
+            ]
+        rows.sort()
+        assert [i for i, _ in rows] == [1, 2, 3, 4]
+        assert rows[0][1] < rows[1][1]          # commit order
+        assert rows[1][1] == rows[2][1]         # txn 2's rows share the lsn
+        assert rows[2][1] < rows[3][1]
+        assert w.lag() == 0
+    finally:
+        try:
+            pg.query("SELECT pg_drop_replication_slot('chain_slot')")
+        except PgError:
+            pass
+        pg.query("DROP PUBLICATION IF EXISTS chain_pub")
