@@ -127,7 +127,16 @@ class PgOutputStreamReader(SimpleDataSourceStreamReader):
         cur: list | None = None
         begin = None
         while True:
-            got = self._stream.poll(timeout=idle_timeout)
+            try:
+                got = self._stream.poll(timeout=idle_timeout)
+            except (ConnectionError, OSError):
+                # server restart / walsender drop: forget the dead
+                # stream so the NEXT call reconnects (the slot replays
+                # the unacked tail — no data loss), and let Spark's
+                # retry surface this attempt's failure
+                self._stream = None
+                self._conn = None
+                raise
             if got is None:
                 if cur is None:
                     return
