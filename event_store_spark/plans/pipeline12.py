@@ -409,3 +409,74 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "substring_source_matrix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents),
+    pos AS (SELECT doc_id, UNNEST(range(0, len(w) - {SUB_GRAM - 1})) AS p, w
+            FROM toks WHERE len(w) >= {SUB_GRAM}),
+    grams AS (SELECT doc_id, p,
+                     array_to_string(w[p + 1:p + {SUB_GRAM}], ' ') AS gram
+              FROM pos),
+    keep AS (SELECT gram FROM grams GROUP BY gram
+             HAVING MIN(doc_id) <> MAX(doc_id)
+                AND COUNT(*) <= {MAX_GRAM_OCCS}),
+    hits AS (SELECT doc_id, p, gram FROM grams JOIN keep USING (gram)),
+    pairs AS (SELECT a.doc_id AS da, a.p AS pa, b.doc_id AS db, b.p AS pb
+              FROM hits a JOIN hits b USING (gram)
+              WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT da, db, pb - pa AS delta, pa,
+                    pa - ROW_NUMBER() OVER (PARTITION BY da, db, pb - pa
+                                            ORDER BY pa) AS isl
+             FROM pairs),
+    spans AS (SELECT da, db, COUNT(*) + {SUB_GRAM - 1} AS len_tokens
+              FROM runs GROUP BY da, db, delta, isl),
+    q AS (SELECT s.da, s.db, s.len_tokens,
+                 LEAST(a.source, b.source) AS src_a,
+                 GREATEST(a.source, b.source) AS src_b
+          FROM spans s
+          JOIN documents a ON a.doc_id = s.da
+          JOIN documents b ON b.doc_id = s.db
+          WHERE s.len_tokens >= {MIN_SUB_LEN})
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(len_tokens) AS BIGINT) AS dup_tokens
+    FROM q GROUP BY src_a, src_b
+    ORDER BY dup_tokens DESC, src_a, src_b
+    """,
+)
+def substring_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance of verbatim duplication: for every (unordered) source
+    pair, how many maximal ≥ MIN_SUB_LEN-token spans cross it and how
+    many duplicated tokens they carry — the curation view that tells you
+    WHICH crawls/dumps are copying from each other (licensing chrome,
+    syndication, mirror sites) before any removal decision.
+
+    Plan: the shared `_maximal_spans` manifest joined twice against the
+    BROADCAST (doc_id → source) projection (a corpus catalog column —
+    dimension-sized relative to text), then one aggregation on the
+    normalized (least, greatest) source pair. No new corpus scan: the
+    tokenized side table serves the manifest, the documents scan prunes
+    to two columns."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    spans = _maximal_spans(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))
+    return (
+        spans.join(F.broadcast(a), "da")
+        .join(F.broadcast(b), "db")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "len_tokens",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("len_tokens").cast("bigint").alias("dup_tokens"),
+        )
+        .orderBy(F.desc("dup_tokens"), "src_a", "src_b")
+    )
