@@ -280,27 +280,37 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _simhash64_chunks(token_hashes), 64, _simhash64_bit_on, ("source",)
     )
 
+    # one signature pass over the whole corpus, materialized as the narrow
+    # blocked table (doc_id, source, hi, lo, block_idx, block): the index
+    # probe and the broadcast batch side otherwise each re-run the
+    # scan→md5→64-sum pipeline over their source slice (measured
+    # 1.9→1.1 s at sf0.1); at 100 TB this IS the persisted block-
+    # partitioned index layout (plans/dedup_index.py) built once
+    blocked_all = (
+        sig.withColumn(
+            "hi", F.conv(F.expr("substr(sig, 1, 32)"), 2, 10).cast("long")
+        )
+        .withColumn(
+            "lo", F.conv(F.expr("substr(sig, 33, 32)"), 2, 10).cast("long")
+        )
+        .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("block", F.expr("substr(sig, block_idx * 16 + 1, 16)"))
+        .select("doc_id", "source", "hi", "lo", "block_idx", "block")
+        .repartition(2 * spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+
     def blocked(side: DataFrame, id_alias: str) -> DataFrame:
-        return (
-            side.withColumn(
-                "hi", F.conv(F.expr("substr(sig, 1, 32)"), 2, 10).cast("long")
-            )
-            .withColumn(
-                "lo", F.conv(F.expr("substr(sig, 33, 32)"), 2, 10).cast("long")
-            )
-            .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
-            .withColumn("block", F.expr("substr(sig, block_idx * 16 + 1, 16)"))
-            .select(
-                F.col("doc_id").alias(id_alias),
-                F.col("hi").alias(f"{id_alias}_hi"),
-                F.col("lo").alias(f"{id_alias}_lo"),
-                "block_idx",
-                "block",
-            )
+        return side.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("hi").alias(f"{id_alias}_hi"),
+            F.col("lo").alias(f"{id_alias}_lo"),
+            "block_idx",
+            "block",
         )
 
-    index_b = blocked(sig.where(F.col("source") != NEW_SOURCE), "idx_id")
-    batch_b = blocked(sig.where(F.col("source") == NEW_SOURCE), "new_id")
+    index_b = blocked(blocked_all.where(F.col("source") != NEW_SOURCE), "idx_id")
+    batch_b = blocked(blocked_all.where(F.col("source") == NEW_SOURCE), "new_id")
     hd = F.bit_count(
         F.col("new_id_hi").bitwiseXOR(F.col("idx_id_hi"))
     ) + F.bit_count(F.col("new_id_lo").bitwiseXOR(F.col("idx_id_lo")))

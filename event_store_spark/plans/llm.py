@@ -481,7 +481,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_sig(
         chunked,
         32,
-        lambda p: F.expr(
+        lambda p: (
             f"(shiftright(c{(p - 1) // 8 + 1}, {31 - 4 * ((p - 1) % 8)})"
             " & 1) = 1"
         ),
@@ -493,6 +493,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
         .withColumn("block", F.expr("substr(sig, block_idx * 8 + 1, 8)"))
     )
+    # materialize the narrow (doc_id, sig_int, block_idx, block) table ONCE
+    # per execution: the guard's count side and BOTH self-join probes
+    # otherwise re-derive it, re-running the whole scan→md5→32-sum
+    # signature pipeline 3× per query (measured 2.6→1.3 s at sf0.1; at
+    # 100 TB this is the persisted signature-index materialization a dedup
+    # service does anyway — O(4·#docs) narrow rows, guide §5 localCheckpoint).
+    # The repartition spreads the STREAMED side of the broadcast pair probe:
+    # the aggregate upstream AQE-coalesces to ~1 partition, and SimHash
+    # buckets are naturally skewed (sf0.1: one 8-bit block value holds 65%
+    # of docs → 5.3 M of the 7.5 M candidate pairs), so without it ONE task
+    # evaluates nearly every Hamming pair (guide §2.5/§2.6 straggler).
+    blocked = blocked.repartition(
+        2 * spark.sparkContext.defaultParallelism
+    ).localCheckpoint()
     blocked = _simhash_bucket_guard(blocked, "dedup_simhash")
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.sig_int").bitwiseXOR(F.col("b.sig_int")))
@@ -529,15 +543,18 @@ def _simhash64_chunks(token_hashes: DataFrame) -> DataFrame:
     )
 
 
-def _simhash64_bit_on(pos: int):
+def _simhash64_bit_on(pos: int) -> str:
     """Is 64-bit signature bit ``pos`` (1..64) set? Bit (pos-1)%4
     (MSB-first) of md5 nibble ⌈pos/4⌉ — i.e. bit pos-1 from the MSB of
     the 64-bit md5 prefix — read from the pre-parsed chunk columns of
     `_simhash64_chunks` (bit-identical to the old per-bit hex parse;
-    the DuckDB oracles keep the nibble form of the same rule)."""
+    the DuckDB oracles keep the nibble form of the same rule). Returns
+    a SQL boolean STRING, not a Column — `_simhash_sig` splices all
+    ``bits`` predicates into one composite expression (see its note on
+    py4j construction cost)."""
     chunk = "c1" if pos <= 32 else "c2"
     shift = 31 - (pos - 1) % 32
-    return F.expr(f"(shiftright({chunk}, {shift}) & 1) = 1")
+    return f"(shiftright({chunk}, {shift}) & 1) = 1"
 
 
 def _simhash_sig(
@@ -555,22 +572,27 @@ def _simhash_sig(
     frame, which no longer carries the md5 hex column ``h`` itself — the
     chunk layout is the only thing the 32- and 64-bit forms differ in.
     ``extra_cols`` ride the grouping (doc_id-functional columns like
-    ``source``, for the incremental probe's index/batch split)."""
-    sums = token_hashes.groupBy("doc_id", *extra_cols).agg(
-        *[
-            F.sum(F.when(on(p), 1).otherwise(-1)).alias(f"s{p}")
-            for p in range(1, bits + 1)
-        ]
+    ``source``, for the incremental probe's index/batch split).
+
+    ``on(p)`` returns a SQL STRING and the whole signature is spliced
+    into TWO composite expressions (one struct of per-bit sums + a row
+    count, one concat of threshold tests): building ``bits`` per-bit
+    `F.sum(F.when(...))` Columns paid ~1.7 s of py4j round trips PER
+    QUERY at sf0.1 (measured r12 — driver-side plan construction, not
+    execution), and the bare `sum(cast(bit as int))` form halves the
+    aggregate's expression tree vs SUM(CASE ... 1 ELSE -1). Same
+    integers: old s_p = #on − #off = 2·#on − n, so s_p > 0 ⟺
+    2·sum(bit_p) > n — exact, no float anywhere."""
+    sums = ", ".join(
+        f"sum(cast(({on(p)}) as int)) AS s{p}" for p in range(1, bits + 1)
     )
-    return sums.select(
-        "doc_id",
-        *extra_cols,
-        F.concat(
-            *[
-                F.when(F.col(f"s{p}") > 0, "1").otherwise("0")
-                for p in range(1, bits + 1)
-            ]
-        ).alias("sig"),
+    sig = ", ".join(
+        f"IF(2 * s.s{p} > s.n, '1', '0')" for p in range(1, bits + 1)
+    )
+    return (
+        token_hashes.groupBy("doc_id", *extra_cols)
+        .agg(F.expr(f"struct({sums}, count(1) AS n)").alias("s"))
+        .select("doc_id", *extra_cols, F.expr(f"concat({sig})").alias("sig"))
     )
 
 
@@ -681,6 +703,13 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
         .withColumn("block", F.expr("substr(sig, block_idx * 16 + 1, 16)"))
     )
+    # one materialization of the narrow blocked-signature table per
+    # execution (see dedup_simhash): guard count side + both join probes
+    # read it instead of re-running the 64-sum signature build 3×; the
+    # repartition spreads the streamed probe side (same straggler note)
+    blocked = blocked.repartition(
+        2 * spark.sparkContext.defaultParallelism
+    ).localCheckpoint()
     blocked = _simhash_bucket_guard(blocked, "dedup_simhash64")
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(
