@@ -109,15 +109,21 @@ def main() -> None:
     # token/fingerprint materialization the governance + dedup-span
     # queries serve from — same write-path accounting as typed_events
     from event_store_spark.plans.tokenized import (
+        source_gram_masks,
         source_gram_sets,
         tokenized_docs,
     )
 
     tokenized_docs(spark, sf_dir)
-    # the per-gram source-set vocabulary (the governance pair's shared
-    # index artifact) — same memoized-build accounting as the minhash
-    # signature table above
-    source_gram_sets(spark, sf_dir).count()
+    # the per-gram source vocabulary (the governance pair's shared index
+    # artifact) — same memoized-build accounting as the minhash signature
+    # table above; r12 builds the bitmask form (tokenized.py), with the
+    # sorted-set form only past the source-catalog guard
+    _masks = source_gram_masks(spark, sf_dir)
+    if _masks is not None:
+        _masks[0].count()
+    else:  # pragma: no cover - >16-source corpora only
+        source_gram_sets(spark, sf_dir).count()
 
     # pinned hot events projection (tables.hot_table) + the vector-index
     # artifacts (IVF layout + per-cell HNSW graphs): same persisted-

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_store_spark.plans.registry import register
-from event_store_spark.tables import load_table
+from event_store_spark.tables import hot_table, load_table
 
 CEP_WITHIN_US = 172_800_000_000  # 48 h (fixture events are ~7 h apart per user)
 
@@ -72,7 +72,7 @@ def cep_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences within 48 hours."""
     from event_store_spark.operators.cep import match_pattern
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = hot_table(spark, sf_dir, "events")
     matches = match_pattern(
         ev,
         keys=["user_id"],

@@ -30,6 +30,11 @@ from event_store_spark.tables import load_table
 #: docstring)
 PR_ITERATIONS = 4
 PR_DAMPING = 0.85
+#: pagerank_events folds its power steps on the driver while the
+#: transition EDGE table (O(#event_types²) — a type-vocabulary catalog)
+#: fits comfortably in driver memory; past this it falls back to the
+#: distributed `operators.graph.pagerank`
+PR_DRIVER_EDGE_MAX = 200_000
 
 
 def _pagerank_oracle() -> str:
@@ -313,10 +318,18 @@ def _knn_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planes = adaptive_planes(emb.count())
     emb = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
-    topk = emb.groupBy("bucket").applyInPandas(
-        _knn_blas_bucket_topk,
-        "vec_id bigint, pos int, nbr bigint, sim double",
-    ).cache()
+    topk = (
+        emb.groupBy("bucket")
+        .applyInPandas(
+            _knn_blas_bucket_topk,
+            "vec_id bigint, pos int, nbr bigint, sim double",
+        )
+        # narrow before caching (see tokenized.source_gram_masks): the
+        # grouped-map stage caches at the full 8×cores shuffle width and
+        # label_propagation_knn re-scans this table several times per run
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
     memo[("blas", sf_dir)] = topk
     return topk
 
@@ -374,37 +387,80 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one reached only via a single hub.
 
     Plan: ONE shuffle on user_id for the LAG window builds the weighted
-    edge list, which is eagerly checkpointed ONCE (the operator derives
-    nodes / out-weights / dangling set from the checkpoint instead of
-    re-running the window three times); each power step is then a
-    broadcast join + tiny aggregate over the O(#types²) edge table. See
-    `operators.graph.pagerank` for the 100 TB contract (edge table built
-    once, per-step shuffle carries only partial sums, lineage truncated
-    every `checkpoint_every` steps); `tests/test_pagerank.py` pins the
-    operator against a NumPy power-iteration reference including dangling
-    redistribution, and exercises the million-edge bipartite ship graph.
+    edge list (distributed — this is the corpus-sized part); the power
+    steps then fold on the DRIVER over the collected O(#types²) edge
+    table behind the PR_DRIVER_EDGE_MAX vocabulary guard (r12 — see the
+    inline note), falling back to `operators.graph.pagerank` past it.
+    `tests/test_pagerank.py` pins the operator against a NumPy
+    power-iteration reference including dangling redistribution,
+    exercises the million-edge bipartite ship graph, and pins the
+    query's driver fold row-for-row against the distributed operator.
     """
-    from event_store_spark.operators.graph import pagerank
+    from event_store_spark.tables import hot_table
 
-    ev = load_table(spark, sf_dir, "events")
+    # pinned hot events projection (the r11 sub-second-tail lever —
+    # every other events-window query already routes through it)
+    ev = hot_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).where(F.col("prev_type").isNotNull())
-    edges = (
-        seq.groupBy(
-            F.col("prev_type").alias("src"),
-            F.col("event_type").alias("dst"),
+    edges = seq.groupBy(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    # r12: the power iterations fold on the DRIVER when the transition
+    # graph is small enough to collect — it is O(#event_types²) rows, a
+    # type-vocabulary catalog, not corpus-sized (the mad_outliers /
+    # k-centroids bounded-driver-fold discipline). The distributed
+    # operator spent ~1.3 s at sf0.1 on the sequential-job floor of
+    # 4 power steps (broadcast builds + aggregates per step) whose total
+    # data is a few hundred rows; the driver fold is one collect + one
+    # createDataFrame. Everything corpus-sized (the user_id window, the
+    # edge aggregation) stays distributed, and past the guard the plan
+    # falls back to `operators.graph.pagerank` unchanged. The final
+    # rounding projection stays IN SPARK, so the emitted expression —
+    # and therefore the oracle-checked values — are identical; the fold
+    # mirrors the operator term for term (uniform start, out-weight
+    # normalization, uniform dangling redistribution), pinned against it
+    # by tests/test_pagerank.py::test_query_driver_fold_matches_operator.
+    edge_rows = edges.collect()
+    if len(edge_rows) <= PR_DRIVER_EDGE_MAX:
+        import numpy as np
+
+        nodes = sorted(
+            {r["src"] for r in edge_rows} | {r["dst"] for r in edge_rows}
         )
-        .agg(F.count(F.lit(1)).alias("weight"))
-        .localCheckpoint(eager=True)
-    )
-    ranks = pagerank(
-        edges,
-        damping=PR_DAMPING,
-        iterations=PR_ITERATIONS,
-        checkpoint_every=PR_ITERATIONS,
-    )
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        out_w = np.zeros(n)
+        for r in edge_rows:
+            out_w[idx[r["src"]]] += float(r["weight"])
+        src_i = np.array([idx[r["src"]] for r in edge_rows], dtype=np.int64)
+        dst_i = np.array([idx[r["dst"]] for r in edge_rows], dtype=np.int64)
+        wt = np.array([float(r["weight"]) for r in edge_rows]) / out_w[src_i]
+        dangling = out_w == 0.0
+        r_vec = np.full(n, 1.0 / n)
+        for _ in range(PR_ITERATIONS):
+            dm = float(r_vec[dangling].sum())
+            contrib = np.zeros(n)
+            np.add.at(contrib, dst_i, r_vec[src_i] * wt)
+            r_vec = (1.0 - PR_DAMPING) / n + PR_DAMPING * (
+                contrib + dm / n
+            )
+        ranks = spark.createDataFrame(
+            [(nodes[i], float(r_vec[i])) for i in range(n)],
+            "node string, rank double",
+        )
+    else:  # pragma: no cover - beyond the vocabulary guard
+        from event_store_spark.operators.graph import pagerank
+
+        ranks = pagerank(
+            edges.localCheckpoint(eager=True),
+            damping=PR_DAMPING,
+            iterations=PR_ITERATIONS,
+            checkpoint_every=PR_ITERATIONS,
+        )
     return (
         ranks.select(
             "node",

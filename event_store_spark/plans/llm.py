@@ -116,7 +116,15 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = memo.get(("sig", sf_dir))
     if got is not None:
         return got
-    sig = minhash_band_signatures(_docs(spark, sf_dir)).cache()
+    # narrow to the core count before caching: the band aggregate caches
+    # at the full 8×cores initial shuffle width (AQE does not rewrite the
+    # cached plan), so every one of the ~8 consumer queries paid 256-task
+    # stages over ~hundred-row partitions (r12)
+    sig = (
+        minhash_band_signatures(_docs(spark, sf_dir))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
     memo[("sig", sf_dir)] = sig
     return sig
 

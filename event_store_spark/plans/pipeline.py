@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from event_store_spark.plans.registry import register
-from event_store_spark.tables import load_table
+from event_store_spark.tables import hot_table, load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +304,7 @@ def q55_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsalted formulation); only the shuffle layout differs."""
     from event_store_spark.functions.skew import salted_agg
 
-    events = load_table(spark, sf_dir, "events").select(
+    events = hot_table(spark, sf_dir, "events").select(
         "user_id", F.from_json("props", "map<string,int>")["k"].alias("k_val")
     )
     agg = salted_agg(

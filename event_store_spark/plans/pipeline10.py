@@ -91,8 +91,57 @@ def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source sizes and once more for the spread counts). nsrc and the
     exclusive owner fall out of the per-gram sorted source set
     directly: size(srcs) and srcs[1]."""
-    from event_store_spark.plans.tokenized import source_gram_sets
+    from event_store_spark.plans.tokenized import (
+        source_gram_masks,
+        source_gram_sets,
+    )
 
+    got = source_gram_masks(
+        spark, sf_dir,
+        docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+    )
+    if got is not None:
+        # r12: ONE aggregate over the shared (gram → source-bitmask)
+        # table — n_grams(s) = sum(bit s), n_exclusive(s) = sum(mask is
+        # exactly 1<<s) — spliced as a single composite expression and
+        # exploded in-row to the per-source report (see
+        # source_similarity_jaccard for the full rationale). The
+        # basis-point projection stays the identical Spark expression.
+        per_gram, sources = got
+        k = len(sources)
+        sums = ", ".join(
+            [
+                f"sum(cast((shiftright(mask, {i}) & 1) as long)) AS z{i}"
+                for i in range(k)
+            ]
+            + [
+                f"sum(cast(mask = {1 << i} as long)) AS x{i}"
+                for i in range(k)
+            ]
+        )
+        esc = [s.replace("\\", "\\\\").replace("'", "\\'") for s in sources]
+        rows = ", ".join(
+            f"struct('{esc[i]}' AS source, s.z{i} AS n_grams,"
+            f" s.x{i} AS n_exclusive)"
+            for i in range(k)
+        )
+        return (
+            per_gram.agg(F.expr(f"struct({sums})").alias("s"))
+            .select(F.explode(F.expr(f"array({rows})")).alias("p"))
+            .select("p.*")
+            .where(F.col("n_grams") > 0)  # gram-less sources never enter
+            .select(
+                "source",
+                F.col("n_grams").cast("bigint").alias("n_grams"),
+                F.col("n_exclusive").cast("bigint").alias("n_exclusive"),
+                F.floor(10000.0 * F.col("n_exclusive") / F.col("n_grams"))
+                .cast("bigint")
+                .alias("novelty_bp"),
+            )
+            .orderBy("source")
+        )
+
+    # fallback past the source-catalog guard: the r11 sorted-set plan
     per_gram = source_gram_sets(
         spark, sf_dir,
         docs_fn=lambda: load_table(spark, sf_dir, "documents"),

@@ -318,8 +318,84 @@ def source_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     source_ngram_novelty. The sizes re-aggregate explodes per-gram
     source sets, but its groupBy has #sources keys, so map-side
     partials collapse the exchange to partitions×sources rows."""
-    from event_store_spark.plans.tokenized import source_gram_sets
+    from event_store_spark.plans.tokenized import (
+        source_gram_masks,
+        source_gram_sets,
+    )
 
+    got = source_gram_masks(
+        spark, sf_dir,
+        docs_fn=lambda: load_table(spark, sf_dir, "documents"),
+    )
+    if got is not None:
+        # r12: the whole source×source statistic is the bit-indicator
+        # GRAM matrix product Bᵀ·B (B = grams × k source bits): its
+        # diagonal is the per-source vocabulary sizes and its (i,j)
+        # entries the pairwise intersections. Each task folds ITS masks
+        # into one k×k int64 partial inside a `mapInArrow` (exact
+        # integer adds — vectorized NumPy per guide §4.2; the sorted-set
+        # plan's interpreted slice/transform pair expansion measured
+        # 1.3-1.4 s at sf0.1 and scales with the gram space, while a
+        # k+k(k−1)/2-column JVM aggregate blows past codegen's field
+        # limits and fell to interpreted eval). Partials are ≤210 rows
+        # per task — the reduce is corpus-size-independent. The final
+        # basis-point projection is the IDENTICAL Spark expression, so
+        # emitted values are unchanged.
+        per_gram, sources = got
+        k = len(sources)
+
+        def _fold(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            m = np.zeros((k, k), dtype=np.int64)
+            for batch in batches:
+                masks = batch.column(0).to_numpy(zero_copy_only=False)
+                bits = (masks[:, None] >> np.arange(k)) & 1
+                m += bits.T @ bits
+            iu = np.triu_indices(k)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu[0].astype("int32")),
+                    pa.array(iu[1].astype("int32")),
+                    pa.array(m[iu]),
+                ],
+                names=["i", "j", "n"],
+            )
+
+        counts = (
+            per_gram.select("mask")
+            .mapInArrow(_fold, "i int, j int, n long")
+            .groupBy("i", "j")
+            .agg(F.sum("n").alias("n"))
+        )
+        cells = {(r["i"], r["j"]): r["n"] for r in counts.collect()}
+        sizes = {i: cells.get((i, i), 0) for i in range(k)}
+        rows = [
+            (sources[i], sources[j], cells.get((i, j), 0),
+             sizes[i], sizes[j])
+            for i in range(k)
+            for j in range(i + 1, k)
+            # a gram-less source never enters the size table in the join
+            # form — same exclusion here
+            if sizes[i] and sizes[j]
+        ]
+        tiny = spark.createDataFrame(
+            rows, "src_a string, src_b string, n long, na long, nb long"
+        )
+        out = tiny.select(
+            "src_a",
+            "src_b",
+            F.col("n").cast("bigint").alias("n_common"),
+            F.floor(
+                10000.0 * F.col("n") / (F.col("na") + F.col("nb") - F.col("n"))
+            )
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        return out.orderBy("src_a", "src_b")
+
+    # fallback past the source-catalog guard: the r11 sorted-set plan
     per_gram = source_gram_sets(
         spark, sf_dir,
         docs_fn=lambda: load_table(spark, sf_dir, "documents"),

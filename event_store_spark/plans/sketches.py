@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_store_spark.plans.registry import register
-from event_store_spark.tables import load_table
+from event_store_spark.tables import hot_table, load_table
 
 #: HLL++ relative standard deviation target; the audit accepts 5×rsd —
 #: generous against the ~3σ tail while still catching real drift
@@ -59,7 +59,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL is duplicate-insensitive, so sketching the deduped pairs yields
     the identical estimator."""
     per_pair = (
-        load_table(spark, sf_dir, "events")
+        hot_table(spark, sf_dir, "events")
         .groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

@@ -130,6 +130,69 @@ _GRAM_SETS_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     WeakKeyDictionary()
 )
 
+_GRAM_MASKS_MEMO: "WeakKeyDictionary[SparkSession, dict[str, object]]" = (
+    WeakKeyDictionary()
+)
+
+#: mask form applies while the source catalog fits this many bits — the
+#: consumers build k + k(k−1)/2 aggregate columns over the mask table
+#: (32 → 528, comfortably inside codegen's method-splitting limits);
+#: past it they fall back to the sorted-set plan
+GRAM_MASK_MAX_SOURCES = 32
+
+
+def source_gram_masks(spark: SparkSession, sf_dir: str, docs_fn=None):
+    """((g, mask) DataFrame, sorted source list) — every distinct 3-gram
+    hash with the BITMASK of the sources it occurs in, or ``None`` when
+    the source catalog exceeds GRAM_MASK_MAX_SOURCES (callers then use
+    `source_gram_sets`).
+
+    r12 re-plan of the governance pair's shared build: the sorted
+    source-SET arrays (`source_gram_sets`) made both consumers pay
+    interpreted higher-order lambdas per gram row at query time —
+    source_similarity_jaccard's nested slice/transform pair expansion
+    alone measured 1.3–1.4 s at sf0.1 over the ~M-row gram table. A
+    bitmask is ONE `bit_or` codegen aggregate (same single gram
+    exchange, map-side partials, duplicates collapse in the OR), and
+    every downstream statistic both queries need — per-source vocabulary
+    sizes, pairwise intersections, exclusivity counts — is an EXACT fold
+    over the ≤2^k-row (mask → gram count) histogram, done on the driver
+    (the mad_outliers bounded-fold discipline; a source catalog is a
+    mixture-design artifact, not corpus-scaled). Same memo+cache
+    accounting as `source_gram_sets`."""
+    memo = _GRAM_MASKS_MEMO.setdefault(spark, {})
+    if sf_dir in memo:
+        return memo[sf_dir]
+    tok = tokenized_docs(spark, sf_dir, docs_fn=docs_fn)
+    sources = sorted(
+        r["source"] for r in tok.select("source").distinct().collect()
+    )
+    if len(sources) > GRAM_MASK_MAX_SOURCES:
+        memo[sf_dir] = None
+        return None
+    bit = F.create_map(
+        *[
+            x
+            for i, s in enumerate(sources)
+            for x in (F.lit(s), F.lit(1 << i).cast("long"))
+        ]
+    )
+    out = (
+        tok.select(bit[F.col("source")].alias("b"), F.explode("g3").alias("g"))
+        .groupBy("g")
+        .agg(F.expr("bit_or(b)").alias("mask"))
+        # the aggregate caches at the session's FULL initial shuffle width
+        # (8×cores — AQE's runtime coalescing does not rewrite the cached
+        # plan), and every consumer then pays per-partition task overhead
+        # on ~hundred-row partitions; narrow without a shuffle
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    memo[sf_dir] = (out, sources)
+    return memo[sf_dir]
+
+
+
 
 def source_gram_sets(spark: SparkSession, sf_dir: str, docs_fn=None) -> DataFrame:
     """(g, srcs) — every distinct 3-gram hash with its SORTED distinct
@@ -151,6 +214,8 @@ def source_gram_sets(spark: SparkSession, sf_dir: str, docs_fn=None) -> DataFram
         .select("source", F.explode("g3").alias("g"))
         .groupBy("g")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        # same cached-width note as `source_gram_masks`
+        .coalesce(spark.sparkContext.defaultParallelism)
         .cache()
     )
     memo[sf_dir] = out

@@ -505,6 +505,7 @@ def main() -> None:
     # artifact — built before the isolated heavy children below, which
     # read it from parquet)
     from event_store_spark.plans.tokenized import (
+        source_gram_masks,
         source_gram_sets,
         tokenized_docs,
     )
@@ -524,7 +525,11 @@ def main() -> None:
         from event_store_spark.tables import hot_table
 
         _minhash_signatures(spark, out_dir).count()
-        source_gram_sets(spark, out_dir).count()
+        _masks = source_gram_masks(spark, out_dir)
+        if _masks is not None:
+            _masks[0].count()
+        else:  # pragma: no cover - >16-source corpora only
+            source_gram_sets(spark, out_dir).count()
         hot_table(spark, out_dir, "events").count()
         if "ann_hnsw_topk" in QUERIES:
             from event_store_spark.plans.hnsw import _hnsw_graph

@@ -223,3 +223,21 @@ def test_label_propagation_random_graphs_match_reference(spark):
         ref = _py_label_prop(nodes, edges, rounds)
         got = _run_lp(spark, nodes, edges, rounds, checkpoint_every=2)
         assert got == ref, (trial, rounds)
+
+
+def test_query_driver_fold_matches_operator(spark, monkeypatch):
+    """pagerank_events' r12 driver fold (NumPy power steps over the
+    collected O(#types²) edge table) must emit row-for-row the same
+    rank_e8 values as the distributed operator path it replaced — the
+    guard only changes WHERE the tiny iteration runs, never the result."""
+    from event_store_spark.plans import graphq
+    from event_store_spark.plans.graphq import pagerank_events
+
+    sf = "/root/testdata/sf0.01"
+    folded = [tuple(r) for r in pagerank_events(spark, sf).collect()]
+    # force the fallback: a zero guard sends every corpus down the
+    # distributed operator path
+    monkeypatch.setattr(graphq, "PR_DRIVER_EDGE_MAX", -1)
+    distributed = [tuple(r) for r in pagerank_events(spark, sf).collect()]
+    assert folded == distributed
+    assert len(folded) > 0

@@ -750,17 +750,24 @@ def test_winnowing_single_scan_no_join(spark, sf_correct):
 
 
 def test_source_similarity_joins_stay_catalog_sized(spark, sf_correct):
-    """source_similarity_jaccard's only non-equi join is the all-pairs
-    frame over the #sources-row size table (catalog-sized, broadcast);
-    intersection counts come from in-row pair expansion of per-gram
-    source sets, never a gram-table self-join."""
+    """source_similarity_jaccard (r12 mask-GEMM form): the returned frame
+    is catalog-sized — k(k−1)/2 rows from the driver fold of the Bᵀ·B
+    partials — with NO join operator of any kind; the gram table is
+    touched only through the shared bitmask build, which reads the
+    ingest-materialized g3 bigint arrays and never the text column, and
+    is never self-joined."""
     plan = _plan(spark, sf_correct, "source_similarity_jaccard")
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # sizes × sizes only
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    # grams travel as longs, pre-hashed at ingest: the scan reads the
-    # materialized g3 bigint-array column, never the text
-    assert "g3" in plan and "text" not in plan
+    assert "text" not in plan
+
+    from event_store_spark.plans.tokenized import source_gram_masks
+
+    per_gram, sources = source_gram_masks(spark, sf_correct)
+    assert 0 < len(sources) <= 62
+    build = per_gram._jdf.queryExecution().executedPlan().toString()
+    assert "g3" in build and "text" not in build
+    assert "Join" not in build
 
 
 def test_phrase_collocations_broadcasts_vocab(spark, sf_correct):

@@ -68,10 +68,18 @@ def main() -> None:
     from event_store_spark.plans.llm import _minhash_signatures
 
     _minhash_signatures(spark, sf_dir).count()
-    from event_store_spark.plans.tokenized import source_gram_sets, tokenized_docs
+    from event_store_spark.plans.tokenized import (
+        source_gram_masks,
+        source_gram_sets,
+        tokenized_docs,
+    )
 
     tokenized_docs(spark, sf_dir)
-    source_gram_sets(spark, sf_dir).count()
+    _masks = source_gram_masks(spark, sf_dir)
+    if _masks is not None:
+        _masks[0].count()
+    else:
+        source_gram_sets(spark, sf_dir).count()
     from event_store_spark.plans.hnsw import _hnsw_graph
     from event_store_spark.tables import hot_table
 
