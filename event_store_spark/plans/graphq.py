@@ -173,7 +173,12 @@ def _knn_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.alias("sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nbr")
-    ranked = pairs.withColumn("pos", F.row_number().over(w)).cache()
+    # coalesce-before-cache: see tokenized.source_gram_masks
+    ranked = (
+        pairs.withColumn("pos", F.row_number().over(w))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
     memo[sf_dir] = ranked
     return ranked
 
@@ -680,6 +685,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
         .distinct()
+        # narrow before caching (tokenized.source_gram_masks note): the
+        # distinct caches at the 8×cores initial width and this table is
+        # re-scanned by five consumers
+        .coalesce(spark.sparkContext.defaultParallelism)
         .cache()
     )
     # cached: consumed by both orientation broadcasts AND the n_nodes
@@ -690,6 +699,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
+        .coalesce(spark.sparkContext.defaultParallelism)
         .cache()
     )
     # the degree table is one row per VERTEX (12 B each — ~24 MB at the
@@ -728,6 +738,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(_pack("d1", "p1"))
         .alias("kdst"),
     ).cache()
+    # NOTE: `oriented` inherits `pairs`' coalesced width through the
+    # broadcast joins (no exchange between them), so it needs no second
+    # coalesce of its own.
     # physical-strategy pick (VERDICT r10 #3): the oriented adjacency is
     # |E| int32 elements TOTAL (~0.5 GB at the 100x corpus) — far under
     # Spark's 8 GB broadcast cap — so both adjacency probes can run as

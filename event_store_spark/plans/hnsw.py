@@ -201,7 +201,12 @@ def _hnsw_graph(spark: SparkSession, sf_dir: str, spill: int = 1) -> DataFrame:
         _build_cell_graph,
         "cell int, vec_id bigint, level int, nbrs array<array<bigint>>",
     )
-    out = membership.join(graph, ["cell", "vec_id"]).cache()
+    # coalesce-before-cache: see tokenized.source_gram_masks
+    out = (
+        membership.join(graph, ["cell", "vec_id"])
+        .coalesce(membership.sparkSession.sparkContext.defaultParallelism)
+        .cache()
+    )
     memo[(sf_dir, spill)] = out
     return out
 

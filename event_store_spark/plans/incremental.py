@@ -146,6 +146,8 @@ def _verified_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jac") >= JACCARD_MIN)
         .select("new_id", "idx_id", "jac")
+        # coalesce-before-cache: see tokenized.source_gram_masks
+        .coalesce(spark.sparkContext.defaultParallelism)
         .cache()
     )
     memo[sf_dir] = out

@@ -187,6 +187,8 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+        # coalesce-before-cache: see tokenized.source_gram_masks
+        .coalesce(spark.sparkContext.defaultParallelism)
         .cache()
     )
     memo[sf_dir] = cand

@@ -334,6 +334,8 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_val = (
             tagged.groupBy("col_name", "v")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            # coalesce-before-cache: see tokenized.source_gram_masks
+            .coalesce(spark.sparkContext.defaultParallelism)
             .cache()
         )
         memo[key] = per_val

@@ -425,6 +425,8 @@ def _twolevel_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.select("vec_id", "v", "cell")
         .groupBy("cell")
         .applyInPandas(fine, "vec_id bigint, v array<double>, cell bigint")
+        # coalesce-before-cache: see tokenized.source_gram_masks
+        .coalesce(a.sparkSession.sparkContext.defaultParallelism)
         .cache()
     )
     memo[sf_dir] = assigned

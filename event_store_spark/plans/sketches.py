@@ -392,6 +392,8 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("l_partkey").alias("k"))
             .distinct()
+            # coalesce-before-cache: see tokenized.source_gram_masks
+            .coalesce(spark.sparkContext.defaultParallelism)
             .cache()
         )
         # materialize the filter itself as k BITMAPS of 4096 bits (64
