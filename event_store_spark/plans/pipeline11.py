@@ -187,7 +187,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and the corpus text is scanned exactly once. Tokens come from
     the ingest-tokenized side table (`plans.tokenized`) — the query
     never regex-splits or even scans the text column."""
-    pairs = _winnow_pairs(_winnow_toks(spark, sf_dir), tokenized=True)
+    pairs = _winnow_pairs(_winnow_fp(spark, sf_dir))
     return pairs.orderBy(
         F.desc("n_shared"), "doc_a", "doc_b"
     ).limit(50)
@@ -217,7 +217,7 @@ def dedup_winnow_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     window picks the witness."""
     from pyspark.sql import Window
 
-    pairs = _winnow_pairs(_winnow_toks(spark, sf_dir), tokenized=True)
+    pairs = _winnow_pairs(_winnow_fp(spark, sf_dir))
     w = Window.partitionBy("doc_b").orderBy("doc_a")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -231,22 +231,26 @@ def dedup_winnow_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, w) from the tokenize-at-ingest side table — a pruned
-    parquet scan of the token arrays; the `documents` text column is
-    never read (the dedup_ngram_jaccard pattern, VERDICT r11 #2)."""
+def _winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f) — each document's distinct winnowing fingerprints as
+    xxhash64 longs, served from the ingest side table's `wf` column
+    (r12, VERDICT r11 #2): a pruned scan of ONE bigint-array column —
+    the whole gram/window-min selection runs at ingest, and the pair
+    stage groups by an 8-byte long instead of a 4-string struct (the
+    same contract move as dedup_ngram_jaccard's `g3` reroute; hashes are
+    join/group keys only, 2^-64-collision trade documented there)."""
     from event_store_spark.plans.tokenized import tokenized_docs
 
     return tokenized_docs(
         spark, sf_dir, docs_fn=lambda: load_table(spark, sf_dir, "documents")
-    ).select("doc_id", "w")
+    ).select("doc_id", F.explode("wf").alias("f"))
 
 
-def _winnow_pairs(docs: DataFrame, tokenized: bool = False) -> DataFrame:
+def _winnow_pairs(fp: DataFrame) -> DataFrame:
     """(doc_a < doc_b, n_shared ≥ MIN_SHARED): the winnowing pair table
     under the registered stoplist + threshold rules — shared by
-    `text_winnowing` and `dedup_winnow_drops`."""
-    fp = winnow_fingerprints(docs, tokenized=tokenized)
+    `text_winnowing` and `dedup_winnow_drops`. ``fp``: (doc_id, f)
+    distinct fingerprints per doc."""
     pair_expr = (
         "flatten(transform(ds, (a, i) -> "
         "transform(slice(ds, i + 2, size(ds)), "

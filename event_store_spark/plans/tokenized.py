@@ -61,10 +61,40 @@ def _tok_dir(sf_dir: str) -> str:
     level, and a top-level-only key could silently serve stale tokens
     for a regenerated partitioned corpus (ADVICE r10/r11)."""
     src = table_path(sf_dir, "documents")
-    digest = hashlib.md5(parquet_identity(src).encode()).hexdigest()[:16]
+    digest = hashlib.md5(
+        f"v{_TOK_SCHEMA_VERSION}|{parquet_identity(src)}".encode()
+    ).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "event_store_spark_tok", digest, "documents_tok"
     )
+
+
+#: winnow-at-ingest selection (r12, VERDICT r11 #2): the per-doc DISTINCT
+#: winnowing fingerprints (pipeline11's K=4-token grams, window W=5,
+#: string-min selection — struct field order ≡ joined-string order for
+#: clean tokens, see `pipeline11.winnow_fingerprints`), hashed to one
+#: xxhash64 long per selected gram. Fingerprints are only ever
+#: join/group keys, so the long carries the same 2^-64-collision
+#: contract as `g3`. Window minima use the straightforward
+#: slice/array_min form here — this runs ONCE per corpus on the write
+#: path, where the query-time doubling trick's constant factor doesn't
+#: matter.
+_WF_EXPR = """
+CASE WHEN size(w) >= 8 THEN
+  transform(
+    array_distinct(
+      transform(sequence(0, size(w) - 8),
+        j -> array_min(transform(sequence(j, j + 4),
+               i -> struct(w[i] AS t0, w[i+1] AS t1,
+                           w[i+2] AS t2, w[i+3] AS t3))))),
+    s -> xxhash64(s.t0, s.t1, s.t2, s.t3))
+ELSE CAST(array() AS array<bigint>)
+END
+"""
+
+#: bump when the projection's schema changes so corpus cache dirs from
+#: older layouts re-materialize instead of missing columns
+_TOK_SCHEMA_VERSION = 2
 
 
 def tokenized_projection(df: DataFrame) -> DataFrame:
@@ -82,6 +112,7 @@ def tokenized_projection(df: DataFrame) -> DataFrame:
         "w",
         F.expr("transform(w, t -> xxhash64(t))").alias("th"),
         word_ngram_hashes("w", 3).alias("g3"),
+        F.expr(_WF_EXPR).alias("wf"),
     )
 
 

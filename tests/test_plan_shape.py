@@ -803,6 +803,10 @@ def test_contamination_grouped_carries_set_size_guard(spark, sf_correct, monkeyp
     plan = _plan(spark, sf_correct, "contamination_grouped")
     assert "raise_error" in plan
     monkeypatch.setattr(pl, "CONTAMINATION_MAX_DOCS_PER_GRAM", 1)
+    # the patched cap must reach a FRESH plan, not the session's memo
+    from event_store_spark.plans.registry import forget_plan
+
+    forget_plan(spark, "contamination_grouped")
     with pytest.raises(Exception, match="deny-list"):
         QUERIES["contamination_grouped"](spark, sf_correct).collect()
 
@@ -853,3 +857,43 @@ def test_knn_blas_single_bucket_exchange(spark, sf_correct):
     plan = _plan(spark, sf_correct, "knn_graph_blas")
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_registry_memoizes_plans_not_results(spark, sf_correct):
+    """r12: the registry hands back the SAME lazy DataFrame for repeated
+    calls of a pure plan-builder query (construction is not re-paid per
+    rep), while queries with eager construction — driver folds, local
+    checkpoints — are rebuilt every call. Values are identical either
+    way; what is memoized is an unexecuted plan."""
+    from event_store_spark.plans import QUERIES
+    from event_store_spark.plans.registry import _source_is_lazy
+
+    from event_store_spark.plans.registry import _PLAN_MEMO
+
+    # first construction may run footer/listing jobs (runtime guard says
+    # "not yet"); the memo lands on the first JOB-FREE construction
+    df1 = QUERIES["q12"](spark, sf_correct)  # noqa: F841 — may warm listing
+    df2 = QUERIES["q12"](spark, sf_correct)
+    assert ("q12", sf_correct) in _PLAN_MEMO.get(spark, {})  # memoized
+    # execute the STORED DataFrame so any physical-state leak would show
+    r1 = sorted(tuple(str(x) for x in r) for r in df2.collect())
+
+    # a memo hit is a FRESH QueryExecution over the stored analyzed plan:
+    # a new object whose plan is unexecuted even though the stored one
+    # just ran — AQE query stages cannot carry over between invocations
+    df3 = QUERIES["q12"](spark, sf_correct)
+    assert df3 is not df2
+    assert "isFinalPlan=false" in df3._jdf.queryExecution().executedPlan().toString()
+    r2 = sorted(tuple(str(x) for x in r) for r in df3.collect())
+    assert r1 == r2 and len(r1) > 0  # re-executed, same values
+
+    # eager constructions stay unmemoized: mad_outliers collects its
+    # per-type medians at build time
+    d1 = QUERIES["mad_outliers"](spark, sf_correct)
+    d2 = QUERIES["mad_outliers"](spark, sf_correct)
+    assert d2 is not d1
+
+    # the source guard sees the SimHash localCheckpoint
+    from event_store_spark.plans.llm import dedup_simhash
+
+    assert not _source_is_lazy(dedup_simhash)

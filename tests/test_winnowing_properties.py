@@ -122,3 +122,33 @@ def test_plan_matches_reference(spark):
         got[r["doc_id"]] = {tuple(f) for f in r["w5"]}
         want[r["doc_id"]] = select_doubled(list(r["w"]))
     assert got == want and len(got) > 0
+
+
+def test_ingest_wf_column_matches_query_time_selection(spark):
+    """The side table's winnow-at-ingest `wf` column (r12) must hold
+    exactly the xxhash64 of the same distinct grams the query-time
+    `winnow_fingerprints` selection picks — the two formulations share
+    the K=4/W=5 string-min contract and may never drift."""
+    from pyspark.sql import functions as F
+
+    from event_store_spark.plans.pipeline11 import winnow_fingerprints
+    from event_store_spark.plans.tokenized import tokenized_projection
+    from event_store_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    want = {
+        (r["doc_id"], r["h"])
+        for r in winnow_fingerprints(docs)
+        .select(
+            "doc_id",
+            F.xxhash64("f.t0", "f.t1", "f.t2", "f.t3").alias("h"),
+        )
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["h"])
+        for r in tokenized_projection(docs)
+        .select("doc_id", F.explode("wf").alias("h"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
