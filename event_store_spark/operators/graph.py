@@ -320,49 +320,66 @@ def label_propagation(
     exactly like `pagerank`. All state is integer votes and label values —
     no floats, so cross-engine parity is exact, not banded.
 
-    Plan, per round: labeled rows join the edge table (built once, eagerly
-    materialized), votes hash-aggregate by (dst, label) with map-side
-    partials, a per-dst min_by over the (−votes, label) struct picks the
-    winner (hash agg, no sort), and one left join folds winners under the
-    clamped seeds.
-    The label vector is O(V) rows, cached per round and lineage-truncated
-    every ``checkpoint_every`` rounds — the `connected_components` /
-    `pagerank` bounded-plan contract.
+    Plan, per round: labeled rows join the edge table, ONE
+    `mode(label, deterministic=true)` aggregate per dst picks the winner
+    (majority, ties → lowest — an ObjectHashAggregate whose frequency
+    maps fold map-side; one shuffle per round), and one left join folds
+    winners under the clamped seeds. Short iterations
+    (rounds <= checkpoint_every) are one pure lazy plan; longer runs are
+    lineage-truncated every ``checkpoint_every`` rounds — the
+    `connected_components` / `pagerank` bounded-plan contract.
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
 
-    # LAZY checkpoints: lineage still truncates at first materialization
-    # (round 1's join computes edges/base exactly once; later rounds read
-    # the checkpoint), but no separate warm-up job per input — eager=True
-    # cost two full jobs before the first round started (VERDICT r11 #2)
-    base = nodes.select(
-        "node", F.col("label").alias("_seed")
-    ).localCheckpoint(eager=False)
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    # Short iterations (rounds <= checkpoint_every) compose ONE pure lazy
+    # plan: no localCheckpoint, no cache. Each round references the prior
+    # label vector exactly once, so lineage depth is linear in rounds and
+    # nothing recomputes exponentially; the base/edge subtrees are narrow
+    # ops over the caller's (usually cached) inputs, so re-deriving them
+    # per reference is a map-stage re-read, not a re-shuffle. What the
+    # checkpoints actually cost at query time (r13): producing a
+    # checkpoint RDD calls queryExecution.toRdd, which under AQE
+    # materializes every upstream stage as separate sequential jobs
+    # DURING PLAN CONSTRUCTION — three checkpoints made the 2-round kNN
+    # query pay ~1.3 s of construction per invocation and disqualified
+    # it from the registry plan memo (a job during construction refuses
+    # the memo, by design).
+    pure = rounds <= checkpoint_every
+    base = nodes.select("node", F.col("label").alias("_seed"))
+    e = edges.select("src", "dst")
+    if not pure:
+        # long iterations keep the r11 lazy-checkpoint contract: lineage
+        # truncates at first materialization, inputs materialize once
+        base = base.localCheckpoint(eager=False)
+        e = e.localCheckpoint(eager=False)
     cur = base.select("node", F.col("_seed").alias("label"))
     cached: list[DataFrame] = []
     for rnd in range(1, rounds + 1):
         labeled = cur.where(F.col("label").isNotNull())
-        votes = (
+        # winner per dst = majority label, ties to smallest label — ONE
+        # `mode(label, deterministic=true)` aggregate ("most frequent
+        # value; ties return the lowest", verified: nulls ignored, ties
+        # → lexicographically smallest), replacing the r11 two-level
+        # count-then-min_by chain. That chain cost TWO exchanges per
+        # round — grouping by (dst, label) then re-grouping by dst — and
+        # the min_by over an ordering STRUCT planned as a SortAggregate
+        # (struct buffers aren't hash-aggregatable), adding a sort on
+        # both sides of the second exchange. mode() is an
+        # ObjectHashAggregate whose per-group frequency maps fold
+        # MAP-SIDE and merge across partials, so each round is exactly
+        # one shuffle of (dst, label-frequency partials).
+        winners = (
             e.join(labeled, e.src == labeled.node)
-            .groupBy(e.dst, "label")
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(e.dst)
+            .agg(F.mode("label", True).alias("_new"))
+            .select(F.col("dst").alias("node"), "_new")
         )
-        # winner per dst = max votes, ties to smallest label — a min_by
-        # over the (−votes, label) struct. A hash aggregate with map-side
-        # partials, NOT a row_number window: the window form paid an
-        # extra sort exchange per round for the same deterministic pick
-        # (ordering struct embeds the label, so ties collapse to one
-        # value — VERDICT r11 #2's per-round job-count trim)
-        winners = votes.groupBy("dst").agg(
-            F.min_by(
-                "label", F.struct((-F.col("_c")).alias("nc"), "label")
-            ).alias("label")
-        ).select(F.col("dst").alias("node"), F.col("label").alias("_new"))
         cur = base.join(winners, "node", "left").select(
             "node", F.coalesce("_seed", "_new").alias("label")
         )
+        if pure:
+            continue
         if rnd % checkpoint_every == 0 or rnd == rounds:
             # lazy for the same reason as the inputs: the caller's first
             # action (or the next round's join) materializes it once

@@ -31,7 +31,9 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--explain", default=None,
-                    help="write plans/r12/<q>_<suffix>.txt explain dumps")
+                    help="write plans/<round>/<q>_<suffix>.txt explain dumps")
+    ap.add_argument("--round", default="r13",
+                    help="plans/ subdir for --explain dumps")
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -87,12 +89,12 @@ def main() -> None:
     _hnsw_graph(spark, sf_dir).count()
 
     if args.explain:
-        os.makedirs(os.path.join(REPO, "plans", "r12"), exist_ok=True)
+        os.makedirs(os.path.join(REPO, "plans", args.round), exist_ok=True)
         for name in args.names:
             df = QUERIES[name](spark, sf_dir)
             txt = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
                 df._jdf.queryExecution(), "formatted")
-            path = os.path.join(REPO, "plans", "r12",
+            path = os.path.join(REPO, "plans", args.round,
                                 f"{name}_{args.explain}.txt")
             with open(path, "w") as fh:
                 fh.write(txt)
