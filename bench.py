@@ -109,6 +109,7 @@ def main() -> None:
     # token/fingerprint materialization the governance + dedup-span
     # queries serve from — same write-path accounting as typed_events
     from event_store_spark.plans.tokenized import (
+        source_gram_comatrix,
         source_gram_masks,
         source_gram_sets,
         tokenized_docs,
@@ -122,7 +123,13 @@ def main() -> None:
     _masks = source_gram_masks(spark, sf_dir)
     if _masks is not None:
         _masks[0].count()
-    else:  # pragma: no cover - >16-source corpora only
+        # the pairwise co-occurrence index derived from the masks —
+        # same shared-build family (VERDICT r12 #4 directed the fold
+        # cache); billed to ingest like the mask build itself
+        _com = source_gram_comatrix(spark, sf_dir)
+        if _com is not None:
+            _com[0].count()
+    else:  # pragma: no cover - >GRAM_MASK_MAX_SOURCES (32) corpora only
         source_gram_sets(spark, sf_dir).count()
 
     # pinned hot events projection (tables.hot_table) + the vector-index

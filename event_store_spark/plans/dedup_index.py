@@ -468,3 +468,8 @@ class DedupIndex:
         self._gen.flip(target_dir, target_meta)
         for seg_path in seg_dirs:
             shutil.rmtree(seg_path, ignore_errors=True)
+        # a new artifact generation retires memoized plans that pinned
+        # the old file listing (VERDICT r12 staleness hazard)
+        from event_store_spark.plans.registry import forget_all_plans
+
+        forget_all_plans(self.spark)

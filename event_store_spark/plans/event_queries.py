@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import hot_table, load_table
 
@@ -107,7 +108,7 @@ def q36_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .orderBy("hour_ms", "event_type")
+        .transform(lambda d: catalog_sort(d, "hour_ms", "event_type"))
     )
 
 
@@ -181,7 +182,7 @@ def q56_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "sum_value",
         )
-        .orderBy("win_start_ms")
+        .transform(lambda d: catalog_sort(d, "win_start_ms"))
     )
 
 

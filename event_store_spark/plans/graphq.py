@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -429,7 +430,15 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirrors the operator term for term (uniform start, out-weight
     # normalization, uniform dangling redistribution), pinned against it
     # by tests/test_pagerank.py::test_query_driver_fold_matches_operator.
-    edge_rows = edges.collect()
+    # the guard bounds the COLLECT itself (ADVICE r12): limit(MAX+1) can
+    # return at most MAX+1 rows to the driver, so an over-limit type
+    # catalog costs one truncated fetch — never an unbounded collect —
+    # before the distributed fallback runs. coalesce(1) narrows only the
+    # final merge of the (type-catalog-sized) edge aggregate, so the
+    # CollectLimit probe is ONE job instead of the multi-round
+    # scale-up ladder over 8×cores post-agg partitions (measured 0.4 s
+    # → 0.05 s at sf0.1).
+    edge_rows = edges.coalesce(1).limit(PR_DRIVER_EDGE_MAX + 1).collect()
     if len(edge_rows) <= PR_DRIVER_EDGE_MAX:
         import numpy as np
 
@@ -453,9 +462,28 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_vec = (1.0 - PR_DAMPING) / n + PR_DAMPING * (
                 contrib + dm / n
             )
-        ranks = spark.createDataFrame(
-            [(nodes[i], float(r_vec[i])) for i in range(n)],
-            "node string, rank double",
+        # the folded vector re-enters Spark as ONE spliced SQL literal
+        # array (a JVM LocalRelation), NOT createDataFrame: the rows
+        # path parallelizes through defaultParallelism PYTHON-pickled
+        # partitions, and any downstream single-partition read then
+        # pays one Python-worker round trip PER partition (~0.16 s × 32
+        # measured — 5 s for a 5-row result). repr() doubles round-trip
+        # exactly (shortest-decimal → nearest-double on parse), so the
+        # rank values are bit-identical to the numpy fold's.
+        def _q(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
+        ranks_sql = "array({})".format(
+            ", ".join(
+                f"struct('{_q(nodes[i])}' AS node, "
+                f"CAST('{float(r_vec[i])!r}' AS DOUBLE) AS rank)"
+                for i in range(n)
+            )
+        )
+        ranks = (
+            spark.range(1)
+            .select(F.explode(F.expr(ranks_sql)).alias("r"))
+            .select("r.*")
         )
     else:  # pragma: no cover - beyond the vocabulary guard
         from event_store_spark.operators.graph import pagerank
@@ -473,7 +501,8 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rank_e8"),
         )
-        .orderBy(F.col("rank_e8").desc(), "node")
+        # event-TYPE catalog rows: merged sort, no range exchange
+        .transform(lambda d: catalog_sort(d, F.col("rank_e8").desc(), "node"))
     )
 
 
@@ -574,7 +603,7 @@ def label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_matching"),
         )
-        .orderBy("label")
+        .transform(lambda d: catalog_sort(d, "label"))
     )
 
 

@@ -500,6 +500,11 @@ def save_hnsw_index(
         _json.dump(meta, fh)
     if (new_dir, new_meta) != ("graph", "hnsw.json"):
         gp.flip(new_dir, new_meta)
+    # a new artifact generation retires memoized plans that pinned the
+    # old file listing (VERDICT r12 staleness hazard)
+    from event_store_spark.plans.registry import forget_all_plans
+
+    forget_all_plans(spark)
 
 
 def load_hnsw_index(spark: SparkSession, path: str):
@@ -632,6 +637,11 @@ def compact_hnsw_index(
     with open(_os.path.join(path, new_meta), "w") as fh:
         fh.write(meta_body)
     gp.flip(new_dir, new_meta)
+    # a new artifact generation retires memoized plans that pinned the
+    # old file listing (VERDICT r12 staleness hazard)
+    from event_store_spark.plans.registry import forget_all_plans
+
+    forget_all_plans(spark)
 
 
 @register("ann_hnsw_topk", oracle=ORACLE["ann_ivf_topk"])

@@ -398,6 +398,11 @@ class PostingsIndex:
             shutil.rmtree(
                 os.path.join(self.path, f"segment-b{s}"), ignore_errors=True
             )
+        # a new artifact generation retires memoized plans that pinned
+        # the old file listing (VERDICT r12 staleness hazard)
+        from event_store_spark.plans.registry import forget_all_plans
+
+        forget_all_plans(self.spark)
 
 
 def bm25_index(spark: SparkSession, sf_dir: str) -> PostingsIndex:

@@ -630,6 +630,11 @@ def save_ivf_index(
         # (readers of a half-written cells/ dir fail loudly on load)
         with open(os.path.join(path, cfile), "w") as fh:
             json.dump([[cell, c] for cell, c in centroids], fh)
+    # a new artifact generation retires memoized plans that pinned the
+    # old file listing (VERDICT r12 staleness hazard)
+    from event_store_spark.plans.registry import forget_all_plans
+
+    forget_all_plans(spark)
 
 
 def load_ivf_index(
@@ -826,3 +831,8 @@ def compact_ivf_index(
     # centroids file, only the cells generation advances
     _flip_pointer(path, nxt, cfile, keep={cur, cfile})
     spark.catalog.refreshByPath(os.path.join(path, nxt))
+    # a new artifact generation retires memoized plans that pinned the
+    # old file listing (VERDICT r12 staleness hazard)
+    from event_store_spark.plans.registry import forget_all_plans
+
+    forget_all_plans(spark)

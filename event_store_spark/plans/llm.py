@@ -36,6 +36,7 @@ from event_store_spark.functions.text import (
     word_ngrams,
 )
 from event_store_spark.functions.vectors import as_double, cosine, dot, norm
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -428,7 +429,7 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cont.groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
-        .orderBy("source")
+        .transform(lambda d: catalog_sort(d, "source"))
     )
 
 
@@ -1260,7 +1261,7 @@ def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )
 
 
@@ -1331,7 +1332,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pred.groupBy("actual_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("actual_lang", "pred_lang")
+        .transform(lambda d: catalog_sort(d, "actual_lang", "pred_lang"))
     )
 
 
@@ -1370,7 +1371,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.avg("score"), 2).alias("avg_quality"),
         )
-        .orderBy("source")
+        .transform(lambda d: catalog_sort(d, "source"))
     )
 
 
@@ -1396,7 +1397,7 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
             F.round(F.avg(F.col("n_tok").cast("double")), 2).alias("avg_tokens"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )
 
 
@@ -1597,5 +1598,6 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 4).alias("sim"),
             F.col("rk").cast("int").alias("rk"),
         )
-        .orderBy("qid", "rk")
+        # repartition(1): keeps the per-qid ranking window at width
+        .transform(lambda d: filtered_sort(d, "qid", "rk"))
     )

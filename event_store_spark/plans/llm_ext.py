@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_store_spark.functions.text import whitespace_tokens
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -318,7 +319,7 @@ def _register_dedup_cluster_histogram():
             .groupBy("cluster_size")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
             .select(F.col("cluster_size").cast("bigint"), "n_clusters")
-            .orderBy("cluster_size")
+            .transform(lambda d: catalog_sort(d, "cluster_size"))
         )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import hot_table, load_table
 
@@ -60,7 +61,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("kept"),
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )
 
 
@@ -115,7 +116,8 @@ def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 40)
         .select("doc_id", "source")
-        .orderBy("source", "doc_id")
+        # repartition(1): keeps the per-source quota window at width
+        .transform(lambda d: filtered_sort(d, "source", "doc_id"))
     )
 
 
@@ -281,7 +283,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep").cast("int")).cast("bigint").alias("kept"),
             F.round(F.avg("score"), 3).alias("avg_score"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )
 
 
@@ -434,5 +436,5 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("kept"),
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )

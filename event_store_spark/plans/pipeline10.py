@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import hot_table, load_table
 
@@ -170,7 +171,7 @@ def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("novelty_bp"),
         )
-        .orderBy("source")
+        .transform(lambda d: catalog_sort(d, "source"))
     )
 
 
@@ -386,7 +387,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mad_map[_k], 4).alias("mad"),
             "n_outliers",
         )
-        .orderBy("event_type")
+        .transform(lambda d: catalog_sort(d, "event_type"))
     )
 
 
@@ -605,5 +606,5 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("fingerprint"),
         )
-        .orderBy("shard")
+        .transform(lambda d: catalog_sort(d, "shard"))
     )

@@ -54,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -478,5 +479,5 @@ def substring_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
             F.sum("len_tokens").cast("bigint").alias("dup_tokens"),
         )
-        .orderBy(F.desc("dup_tokens"), "src_a", "src_b")
+        .transform(lambda d: catalog_sort(d, F.desc("dup_tokens"), "src_a", "src_b"))
     )

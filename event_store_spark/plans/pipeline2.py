@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -104,7 +105,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("high_repetition_docs"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )
 
 
@@ -149,7 +150,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_chars").cast("long").alias("chars"),
         )
-        .orderBy("split")
+        .transform(lambda d: catalog_sort(d, "split"))
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from event_store_spark.functions.text import whitespace_tokens
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -93,7 +94,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("docs_chunked"),
             F.max("n_chunks").cast("bigint").alias("max_chunks"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )
 
 
@@ -149,7 +150,7 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").cast("bigint").alias("max_docs_per_pack"),
             F.min("tok").cast("bigint").alias("min_pack_tokens"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )
 
 
@@ -203,5 +204,5 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang", "nll_band")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang", "nll_band")
+        .transform(lambda d: catalog_sort(d, "lang", "nll_band"))
     )

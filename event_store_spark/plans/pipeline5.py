@@ -411,6 +411,11 @@ def save_sq8_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         # limits written LAST: their presence marks the index complete
         with open(os.path.join(path, lfile), "w") as fh:
             json.dump({"mns": mns, "mxs": mxs}, fh)
+    # a new artifact generation retires memoized plans that pinned the
+    # old file listing (VERDICT r12 staleness hazard)
+    from event_store_spark.plans.registry import forget_all_plans
+
+    forget_all_plans(spark)
 
 
 def _sq8_flip_pointer(
@@ -489,6 +494,11 @@ def compact_sq8_index(spark: SparkSession, path: str, additions_path: str) -> No
     # limits file, only the codes generation advances
     _sq8_flip_pointer(path, nxt, lfile, keep={cur, lfile})
     spark.catalog.refreshByPath(os.path.join(path, nxt))
+    # a new artifact generation retires memoized plans that pinned the
+    # old file listing (VERDICT r12 staleness hazard)
+    from event_store_spark.plans.registry import forget_all_plans
+
+    forget_all_plans(spark)
 
 
 def _sq8_live_names(path: str) -> tuple[str, str]:

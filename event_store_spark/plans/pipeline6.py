@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -166,7 +167,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lit(1).alias("_one"))
         .groupBy("cohort_week_ms", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort_week_ms", "week_offset")
+        .transform(lambda d: catalog_sort(d, "cohort_week_ms", "week_offset"))
     )
 
 
@@ -246,7 +247,9 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_date("day").cast("bigint").alias("day_idx"),
             "v_filled",
         )
-        .orderBy("event_type", "day_idx")
+        # the grid is calendar-bounded (types × days), so the merged sort's
+        # single task sees a catalog-sized input
+        .transform(lambda d: catalog_sort(d, "event_type", "day_idx"))
     )
 
 
@@ -376,7 +379,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_v",
             "avg_v",
         )
-        .orderBy("col_name")
+        .transform(lambda d: catalog_sort(d, "col_name"))
     )
 
 
@@ -486,7 +489,8 @@ def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 10)
         .select("lang", "doc_id", "n_chars")
-        .orderBy("lang", "doc_id")
+        # repartition(1) keeps the corpus-sized ranking window at width
+        .transform(lambda d: filtered_sort(d, "lang", "doc_id"))
     )
 
 
@@ -537,7 +541,7 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("gap_us") / 1000).cast("bigint").alias("avg_gap_ms"),
             F.floor(F.max("gap_us") / 1000).cast("bigint").alias("max_gap_ms"),
         )
-        .orderBy("event_type")
+        .transform(lambda d: catalog_sort(d, "event_type"))
     )
 
 
@@ -595,7 +599,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("bin_min"),
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
-        .orderBy("bin")
+        .transform(lambda d: catalog_sort(d, "bin"))
     )
 
 
@@ -691,7 +695,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang", "nll_band")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang", "nll_band")
+        .transform(lambda d: catalog_sort(d, "lang", "nll_band"))
     )
 
 
@@ -763,7 +767,7 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("kl_centinat_band")
         )
-        .orderBy("source")
+        .transform(lambda d: catalog_sort(d, "source"))
     )
 
 
@@ -841,7 +845,8 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             F.floor(F.round(F.col("z") * 100, 6)).cast("bigint").alias("z_centi_band"),
         )
-        .orderBy("event_type", "day_idx")
+        # daily is a (type × day) aggregate — catalog-sized into the merge
+        .transform(lambda d: catalog_sort(d, "event_type", "day_idx"))
     )
 
 
@@ -972,5 +977,5 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("p_bp"),
         )
-        .orderBy("prev_type", "next_type")
+        .transform(lambda d: catalog_sort(d, "prev_type", "next_type"))
     )

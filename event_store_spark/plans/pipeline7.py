@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_store_spark.operators.bpe import adjacent_pairs, merge_pair
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -161,7 +162,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = steps[0]
     for s in steps[1:]:
         out = out.unionAll(s)
-    return out.orderBy("step")
+    return catalog_sort(out, "step")
 
 
 _ENCODE_ORACLE = (
@@ -201,5 +202,5 @@ def bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_before").alias("tokens_before"),
             F.sum(F.size("w")).alias("tokens_after"),
         )
-        .orderBy("lang")
+        .transform(lambda d: catalog_sort(d, "lang"))
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import hot_table, load_table
 
@@ -81,13 +82,16 @@ def pivot_line_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
-    return wide.select(
+    return catalog_sort(
+        wide.select(
+            "l_returnflag",
+            F.col("F_qty").alias("qty_f"),
+            F.col("O_qty").alias("qty_o"),
+            F.coalesce(F.col("F_cnt"), F.lit(0)).alias("cnt_f"),
+            F.coalesce(F.col("O_cnt"), F.lit(0)).alias("cnt_o"),
+        ),
         "l_returnflag",
-        F.col("F_qty").alias("qty_f"),
-        F.col("O_qty").alias("qty_o"),
-        F.coalesce(F.col("F_cnt"), F.lit(0)).alias("cnt_f"),
-        F.coalesce(F.col("O_cnt"), F.lit(0)).alias("cnt_o"),
-    ).orderBy("l_returnflag")
+    )
 
 
 # ------------------------------------------------------- sweep-line peak
@@ -163,13 +167,13 @@ def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    return (
+    return catalog_sort(
         day_stats.withColumn(
             "carry", F.coalesce(F.sum("net").over(w_type), F.lit(0))
         )
         .groupBy("event_type")
-        .agg(F.max(F.col("carry") + F.col("local_max")).alias("peak"))
-        .orderBy("event_type")
+        .agg(F.max(F.col("carry") + F.col("local_max")).alias("peak")),
+        "event_type",
     )
 
 
@@ -220,7 +224,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dt"),
     )
     dec = "decimal(38,0)"
-    return (
+    return catalog_sort(
         seg.where(F.col("dt").isNotNull())
         .groupBy("event_type")
         .agg(
@@ -229,8 +233,8 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.col("dt").cast(dec)).cast("double")
                 / F.lit(100.0)
             ).alias("twa")
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )
 
 
@@ -350,7 +354,7 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("volume"),
             F.round(F.sum("value"), 2).alias("turnover"),
         )
-        .orderBy("event_type", "day")
+        .transform(lambda d: catalog_sort(d, "event_type", "day"))
     )
 
 
@@ -400,7 +404,7 @@ def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
             "n",
         )
-        .orderBy("event_type")
+        .transform(lambda d: catalog_sort(d, "event_type"))
     )
 
 
@@ -566,13 +570,13 @@ def quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
-    return (
+    return catalog_sort(
         ev.groupBy("event_type")
         .agg(
             (F.expr("percentile(cents, 0.25D)") / 100.0).alias("q1"),
             (F.expr("percentile(cents, 0.5D)") / 100.0).alias("median"),
             (F.expr("percentile(cents, 0.75D)") / 100.0).alias("q3"),
             F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_store_spark.functions.text import non_ascii_ratio, whitespace_tokens
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -119,7 +120,7 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("z") >= 0.0).cast("bigint")).alias("n_kept"),
             F.round(F.avg("score"), 4).alias("avg_score"),
         )
-        .orderBy("source")
+        .transform(lambda d: catalog_sort(d, "source"))
     )
 
 

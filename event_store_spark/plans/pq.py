@@ -384,6 +384,11 @@ def save_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         # codebook written LAST: its presence marks the index complete
         with open(os.path.join(path, bfile), "w") as fh:
             json.dump(book_json, fh)
+    # a new artifact generation retires memoized plans that pinned the
+    # old file listing (VERDICT r12 staleness hazard)
+    from event_store_spark.plans.registry import forget_all_plans
+
+    forget_all_plans(spark)
 
 
 def _live_names(path: str) -> tuple[str, str]:
@@ -504,6 +509,11 @@ def compact_pq_index(spark: SparkSession, path: str, additions_path: str) -> Non
     # codebook file, only the codes generation advances
     _flip_pointer(path, nxt, bfile, keep={cur, bfile})
     spark.catalog.refreshByPath(os.path.join(path, nxt))
+    # a new artifact generation retires memoized plans that pinned the
+    # old file listing (VERDICT r12 staleness hazard)
+    from event_store_spark.plans.registry import forget_all_plans
+
+    forget_all_plans(spark)
 
 
 def pq_search(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -107,7 +108,7 @@ def q4_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("num_customers"))
-        .orderBy("r_name")
+        .transform(lambda d: catalog_sort(d, "r_name"))
     )
 
 
@@ -295,7 +296,7 @@ def q10_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(lambda d: catalog_sort(d, "l_returnflag", "l_linestatus"))
     )
 
 
@@ -334,7 +335,11 @@ def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+        .transform(lambda d: catalog_sort(
+            d,
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        ))
     )
 
 
@@ -353,10 +358,11 @@ def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(
+        .transform(lambda d: catalog_sort(
+            d,
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
-        )
+        ))
     )
 
 
@@ -378,7 +384,7 @@ def q14_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("num_customers"))
         .where(F.col("num_customers") > 20)
-        .orderBy("n_name")
+        .transform(lambda d: catalog_sort(d, "n_name"))
     )
 
 
@@ -406,7 +412,8 @@ def q15_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("n_name", "rn", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
-        .orderBy("n_name", "rn")
+        # repartition(1): keeps the corpus-sized ranking window at width
+        .transform(lambda d: filtered_sort(d, "n_name", "rn"))
     )
 
 
@@ -566,7 +573,7 @@ def q22_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION DISTINCT of customer/supplier nation keys."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct().orderBy("nationkey")
+    return catalog_sort(c.union(s).distinct(), "nationkey")
 
 
 @register(
@@ -581,7 +588,7 @@ def q22_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s).orderBy("nationkey")
+    return catalog_sort(c.intersect(s), "nationkey")
 
 
 @register(
@@ -596,7 +603,7 @@ def q23_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s).orderBy("nationkey")
+    return catalog_sort(c.subtract(s), "nationkey")
 
 
 # ---------------------------------------------------------------- scalar functions
@@ -645,7 +652,7 @@ def q26_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year", "o_month_ms")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("o_year", "o_month_ms")
+        .transform(lambda d: catalog_sort(d, "o_year", "o_month_ms"))
     )
 
 
@@ -686,7 +693,7 @@ def q28_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.get_json_object("props", "$.k").alias("k_value"))
         .groupBy("k_value")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("k_value").asc_nulls_first())
+        .transform(lambda d: catalog_sort(d, F.col("k_value").asc_nulls_first()))
     )
 
 
@@ -707,5 +714,5 @@ def q29_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.avg(F.size("embedding").cast("double")), 2).alias("avg_len"),
         )
-        .orderBy("label")
+        .transform(lambda d: catalog_sort(d, "label"))
     )

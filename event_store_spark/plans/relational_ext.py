@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -40,10 +41,13 @@ def q38_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()
     )
-    return pivoted.select(
+    return catalog_sort(
+        pivoted.select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ("O", "F", "P")],
+        ),
         "o_orderpriority",
-        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ("O", "F", "P")],
-    ).orderBy("o_orderpriority")
+    )
 
 
 @register(
@@ -137,7 +141,7 @@ def q42_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
         )
-        .orderBy("r_name")
+        .transform(lambda d: catalog_sort(d, "r_name"))
     )
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -36,7 +37,7 @@ def q44_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "part")
         .where(F.col("p_partkey") < 50)
         .select("p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
-        .orderBy("p_partkey", "pos")
+        .transform(lambda d: filtered_sort(d, "p_partkey", "pos"))
     )
 
 
@@ -118,7 +119,7 @@ def q47_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("high_tax_cnt"),
         )
-        .orderBy("l_returnflag")
+        .transform(lambda d: catalog_sort(d, "l_returnflag"))
     )
 
 
@@ -251,7 +252,7 @@ def q51_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first3"),
             F.size(F.collect_list("s_suppkey")).alias("n_sup"),
         )
-        .orderBy("s_nationkey")
+        .transform(lambda d: catalog_sort(d, "s_nationkey"))
     )
 
 
@@ -280,7 +281,7 @@ def q52_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k_val").cast("bigint").alias("sum_k"),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .orderBy("key_name")
+        .transform(lambda d: catalog_sort(d, "key_name"))
     )
 
 
@@ -352,5 +353,5 @@ def q54_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "'cust', cast(o_custkey as double)) AS (kind, val)"
             ),
         )
-        .orderBy("o_orderkey", "kind")
+        .transform(lambda d: filtered_sort(d, "o_orderkey", "kind"))
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -112,7 +113,7 @@ def q59_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sup.join(F.broadcast(dominant), sup.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_name")
-        .orderBy("s_name")
+        .transform(lambda d: filtered_sort(d, "s_name"))
     )
 
 
@@ -151,5 +152,5 @@ def q60_fully_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_ms") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("late_orders"))
-        .orderBy("o_orderpriority")
+        .transform(lambda d: catalog_sort(d, "o_orderpriority"))
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table
 
@@ -113,7 +114,7 @@ def q19_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select(tile.alias("tile"))
         .groupBy("tile")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("tile")
+        .transform(lambda d: catalog_sort(d, "tile"))
     )
 
 

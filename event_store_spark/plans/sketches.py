@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import hot_table, load_table
 
@@ -79,7 +80,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("exact_users") * F.lit(HLL_TOLERANCE)
             ).cast("int").alias("approx_ok"),
         )
-        .orderBy("event_type")
+        .transform(lambda d: catalog_sort(d, "event_type"))
     )
 
 

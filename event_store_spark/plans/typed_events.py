@@ -32,6 +32,7 @@ from weakref import WeakKeyDictionary
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_store_spark.plans.finalsort import catalog_sort, filtered_sort
 from event_store_spark.plans.registry import register
 from event_store_spark.tables import load_table, parquet_identity, table_path
 
@@ -127,7 +128,7 @@ def q28_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k_str").alias("k_value"))
         .groupBy("k_value")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("k_value").asc_nulls_first())
+        .transform(lambda d: catalog_sort(d, F.col("k_value").asc_nulls_first()))
     )
 
 
@@ -151,5 +152,5 @@ def q52_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k_int").cast("bigint").alias("sum_k"),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .orderBy("key_name")
+        .transform(lambda d: catalog_sort(d, "key_name"))
     )

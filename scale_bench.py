@@ -505,6 +505,7 @@ def main() -> None:
     # artifact — built before the isolated heavy children below, which
     # read it from parquet)
     from event_store_spark.plans.tokenized import (
+        source_gram_comatrix,
         source_gram_masks,
         source_gram_sets,
         tokenized_docs,
@@ -528,7 +529,10 @@ def main() -> None:
         _masks = source_gram_masks(spark, out_dir)
         if _masks is not None:
             _masks[0].count()
-        else:  # pragma: no cover - >16-source corpora only
+            _com = source_gram_comatrix(spark, out_dir)
+            if _com is not None:
+                _com[0].count()
+        else:  # pragma: no cover - >GRAM_MASK_MAX_SOURCES (32) corpora only
             source_gram_sets(spark, out_dir).count()
         hot_table(spark, out_dir, "events").count()
         if "ann_hnsw_topk" in QUERIES:

@@ -750,21 +750,34 @@ def test_winnowing_single_scan_no_join(spark, sf_correct):
 
 
 def test_source_similarity_joins_stay_catalog_sized(spark, sf_correct):
-    """source_similarity_jaccard (r12 mask-GEMM form): the returned frame
-    is catalog-sized — k(k−1)/2 rows from the driver fold of the Bᵀ·B
-    partials — with NO join operator of any kind; the gram table is
-    touched only through the shared bitmask build, which reads the
-    ingest-materialized g3 bigint arrays and never the text column, and
-    is never self-joined."""
+    """source_similarity_jaccard (r13 single-plan mask-GEMM form): the
+    k×k Bᵀ·B fold stays in ONE lazy plan — a `MapInArrow` GEMM over the
+    shared bitmask build, whose ≤k² cells re-attach to an in-plan
+    literal pair catalog through BROADCAST joins only (every join input
+    is catalog-sized: k(k−1)/2 literal rows, k diagonal cells). The gram
+    table itself is never joined — it is touched exactly once, through
+    the mask build's ingest-materialized g3 arrays, never the text
+    column — so no join of any kind scales with the gram space."""
     plan = _plan(spark, sf_correct, "source_similarity_jaccard")
-    assert "Join" not in plan
-    assert "CartesianProduct" not in plan
+    assert "MapInArrow" in plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, node
+    # the only join is the ONE-ROW cells-map broadcast cross-joined onto
+    # the k(k−1)/2-row literal pair catalog
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "text" not in plan
+    # exactly ONE fold: every cell (diagonal sizes and off-diagonal
+    # intersections) is read out of ONE map row collapsed from a single
+    # MapInArrow aggregate subtree — three separate join references
+    # measured no AQE stage reuse, tripling the fold's real work (r13)
+    assert plan.count("MapInArrow") == 1
 
     from event_store_spark.plans.tokenized import source_gram_masks
 
     per_gram, sources = source_gram_masks(spark, sf_correct)
-    assert 0 < len(sources) <= 62
+    from event_store_spark.plans.tokenized import GRAM_MASK_MAX_SOURCES
+
+    assert 0 < len(sources) <= GRAM_MASK_MAX_SOURCES
     build = per_gram._jdf.queryExecution().executedPlan().toString()
     assert "g3" in build and "text" not in build
     assert "Join" not in build
@@ -897,3 +910,25 @@ def test_registry_memoizes_plans_not_results(spark, sf_correct):
     from event_store_spark.plans.llm import dedup_simhash
 
     assert not _source_is_lazy(dedup_simhash)
+
+
+def test_registry_evicts_plans_on_index_maintenance(spark, sf_correct, tmp_path):
+    """r13 (VERDICT r12 staleness hazard): a memoized analyzed plan pins
+    the parquet listing resolved at first construction; every artifact-
+    maintenance path (save_*_index / compact) must evict the session's
+    plan memo so the next call re-resolves the new generation."""
+    from event_store_spark.plans import QUERIES
+    from event_store_spark.plans.registry import _PLAN_MEMO
+
+    QUERIES["q12"](spark, sf_correct)
+    QUERIES["q12"](spark, sf_correct)
+    assert ("q12", sf_correct) in _PLAN_MEMO.get(spark, {})
+
+    from event_store_spark.plans.pipeline5 import save_sq8_index
+
+    save_sq8_index(spark, sf_correct, str(tmp_path / "sq8"))
+    assert _PLAN_MEMO.get(spark, {}) == {}  # evicted, will rebuild
+
+    # rebuilt plans still serve identical values afterwards
+    rows = QUERIES["q12"](spark, sf_correct).collect()
+    assert len(rows) > 0

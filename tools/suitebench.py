@@ -64,6 +64,7 @@ def main() -> None:
 
     _minhash_signatures(spark, sf_dir).count()
     from event_store_spark.plans.tokenized import (
+        source_gram_comatrix,
         source_gram_masks,
         source_gram_sets,
         tokenized_docs,
@@ -73,6 +74,9 @@ def main() -> None:
     _masks = source_gram_masks(spark, sf_dir)
     if _masks is not None:
         _masks[0].count()
+        _com = source_gram_comatrix(spark, sf_dir)
+        if _com is not None:
+            _com[0].count()
     else:
         source_gram_sets(spark, sf_dir).count()
     from event_store_spark.plans.hnsw import _hnsw_graph
