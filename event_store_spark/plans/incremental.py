@@ -268,39 +268,14 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_incremental` completes minhash: batch self-dedup
     (dedup_simhash64) + incremental ingest probe, one signature
     definition (`llm._simhash_sig`)."""
-    from event_store_spark.plans.llm import (
-        _simhash64_bit_on,
-        _simhash64_chunks,
-        _simhash_sig,
-    )
+    from event_store_spark.plans.llm import _simhash_blocked64
 
-    docs = _docs(spark, sf_dir)
-    token_hashes = docs.select(
-        "doc_id", "source", F.explode(whitespace_tokens("text")).alias("t")
-    ).select("doc_id", "source", F.md5("t").alias("h"))
-    sig = _simhash_sig(
-        _simhash64_chunks(token_hashes), 64, _simhash64_bit_on, ("source",)
-    )
-
-    # one signature pass over the whole corpus, materialized as the narrow
-    # blocked table (doc_id, source, hi, lo, block_idx, block): the index
-    # probe and the broadcast batch side otherwise each re-run the
-    # scan→md5→64-sum pipeline over their source slice (measured
-    # 1.9→1.1 s at sf0.1); at 100 TB this IS the persisted block-
-    # partitioned index layout (plans/dedup_index.py) built once
-    blocked_all = (
-        sig.withColumn(
-            "hi", F.conv(F.expr("substr(sig, 1, 32)"), 2, 10).cast("long")
-        )
-        .withColumn(
-            "lo", F.conv(F.expr("substr(sig, 33, 32)"), 2, 10).cast("long")
-        )
-        .withColumn("block_idx", F.explode(F.sequence(F.lit(0), F.lit(3))))
-        .withColumn("block", F.expr("substr(sig, block_idx * 16 + 1, 16)"))
-        .select("doc_id", "source", "hi", "lo", "block_idx", "block")
-        .repartition(2 * spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
+    # the shared cached blocked-signature index (llm._simhash_blocked64):
+    # index probe and broadcast batch side split it by source instead of
+    # each re-running the scan→md5→64-sum pipeline over their slice; at
+    # 100 TB this IS the persisted block-partitioned index layout
+    # (plans/dedup_index.py) built once
+    blocked_all = _simhash_blocked64(spark, sf_dir)
 
     def blocked(side: DataFrame, id_alias: str) -> DataFrame:
         return side.select(

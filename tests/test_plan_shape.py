@@ -700,9 +700,18 @@ def test_simhash_bucket_guard_trips_loudly(spark, sf_correct, monkeypatch):
     dedup_embedding guard discipline applied to SimHash)."""
     import pytest
 
+    from event_store_spark.plans.registry import forget_plan
+
+    # the guard ceiling is a plan constant read at construction: drop any
+    # memoized plan built under the default ceiling, and drop the
+    # poisoned one afterwards so later tests rebuild under the default
+    forget_plan(spark, "dedup_simhash64")
     monkeypatch.setenv("SPARK_GRAFT_SIMHASH_MAX_BUCKET", "1")
-    with pytest.raises(Exception, match="SPARK_GRAFT_SIMHASH_MAX_BUCKET"):
-        QUERIES["dedup_simhash64"](spark, sf_correct).collect()
+    try:
+        with pytest.raises(Exception, match="SPARK_GRAFT_SIMHASH_MAX_BUCKET"):
+            QUERIES["dedup_simhash64"](spark, sf_correct).collect()
+    finally:
+        forget_plan(spark, "dedup_simhash64")
 
 
 def test_ann_recall_report_memoizes_plan_not_results(spark, sf_correct):
@@ -906,10 +915,14 @@ def test_registry_memoizes_plans_not_results(spark, sf_correct):
     d2 = QUERIES["mad_outliers"](spark, sf_correct)
     assert d2 is not d1
 
-    # the source guard sees the SimHash localCheckpoint
+    # the source guard sees pagerank's driver-side edge collect; the
+    # SimHash queries became pure plan builders in r13 (their signature
+    # build moved into the memoized `_simhash_blocked*` index builds)
+    from event_store_spark.plans.graphq import pagerank_events
     from event_store_spark.plans.llm import dedup_simhash
 
-    assert not _source_is_lazy(dedup_simhash)
+    assert not _source_is_lazy(pagerank_events)
+    assert _source_is_lazy(dedup_simhash)
 
 
 def test_registry_evicts_plans_on_index_maintenance(spark, sf_correct, tmp_path):
